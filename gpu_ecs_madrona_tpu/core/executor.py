@@ -1,0 +1,163 @@
+"""TaskGraphExecutor — the front door: build world, compile step, run.
+
+TPU-native analog of the reference's two executors:
+  - CPU: TaskGraphExecutor / ThreadPoolExecutor (include/madrona/mw_cpu.hpp,
+    src/mw/cpu_exec.cpp) — construct per-world state via
+    WorldT::registerTypes / setupTasks / ctor, then run one job per world
+    per step.
+  - GPU: MWCudaExecutor (include/madrona/mw_gpu.hpp, src/mw/cuda_exec.cpp)
+    — NVRTC-JIT the engine+user code into a megakernel and replay a CUDA
+    graph each step.
+
+Here both collapse into one path: the world class registers types, builds a
+taskgraph, and the sorted graph is traced and jit-compiled once
+(jax.jit(donate) = the CUDA-graph replay; JAX persistent compilation cache =
+the reference's MADRONA_MWGPU_KERNEL_CACHE cubin cache).  Running on CPU vs
+TPU is a backend flag, not a separate engine.
+
+World-class protocol (mirrors reference WorldT usage, mw_cpu.inl:5-44):
+
+    class MyWorld:
+        @staticmethod
+        def register_types(registry: ECSRegistry): ...
+        @staticmethod
+        def setup_tasks(builder: TaskGraphBuilder): ...
+        @staticmethod
+        def init(ctx: Context, init_data): ...   # world ctor, batched
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.core.component import Component
+from gpu_ecs_madrona_tpu.core.context import Context
+from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+from gpu_ecs_madrona_tpu.core.state import SimState, StateManager
+from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraph, TaskGraphBuilder
+
+
+@dataclasses.dataclass
+class ExecutorConfig:
+    """reference ThreadPoolExecutor::Config / StateConfig (mw_cpu.hpp:11-22,
+    mw_gpu.hpp:20-36): world count + capacities + seed."""
+
+    num_worlds: int
+    max_entities_per_world: Optional[int] = None
+    seed: int = 0
+    # donate state buffers into the jit step (in-place update; the analog of
+    # the reference stepping its persistent device state).
+    donate: bool = True
+    # optional jax.sharding.Sharding applied to every state leaf (worlds
+    # axis sharded across devices); see parallel/ for mesh helpers.
+    sharding: Optional[Any] = None
+
+
+class TaskGraphExecutor:
+    """Build + compile + run a world across many lockstep worlds."""
+
+    def __init__(self, world_cls, cfg: ExecutorConfig, init_data: Any = None):
+        self.cfg = cfg
+        self.world_cls = world_cls
+
+        registry = ECSRegistry()
+        world_cls.register_types(registry)
+        self.registry = registry
+        self.mgr = StateManager(
+            registry, cfg.num_worlds, cfg.max_entities_per_world
+        )
+
+        state = self.mgr.make_initial_state(seed=cfg.seed)
+
+        # World construction (reference: per-world WorldT ctor, batched here).
+        def init_fn(s):
+            ctx = Context(self.mgr, s)
+            world_cls.init(ctx, init_data)
+            return ctx.state
+
+        state = jax.jit(init_fn)(state)
+
+        builder = TaskGraphBuilder(self.mgr)
+        world_cls.setup_tasks(builder)
+        self.graph: TaskGraph = builder.build()
+
+        if cfg.sharding is not None:
+            state = jax.device_put(
+                state, jax.tree_util.tree_map(lambda _: cfg.sharding, state)
+            )
+        self._state = state
+
+        donate = (0,) if cfg.donate else ()
+        self._step = jax.jit(self.graph.step, donate_argnums=donate)
+
+        def multi_step(s, n_steps):
+            def body(carry, _):
+                return self.graph.step(carry), None
+
+            out, _ = jax.lax.scan(body, s, None, length=n_steps)
+            return out
+
+        self._multi_step = jax.jit(
+            multi_step, static_argnums=1, donate_argnums=donate
+        )
+
+    # -- stepping ----------------------------------------------------------
+
+    @property
+    def state(self) -> SimState:
+        return self._state
+
+    @state.setter
+    def state(self, value: SimState):
+        self._state = value
+
+    def step(self):
+        """One step (reference MWCudaExecutor::run / ThreadPoolExecutor::run)."""
+        self._state = self._step(self._state)
+
+    def run(self, num_steps: int = 1):
+        """Run ``num_steps`` steps as one fused scan (zero host round-trips
+        between steps — beyond the reference, which launches per step)."""
+        if num_steps == 1:
+            self.step()
+        else:
+            self._state = self._multi_step(self._state, num_steps)
+
+    def block_until_ready(self):
+        jax.block_until_ready(self._state)
+
+    # -- export (reference getExported / python bindings) -------------------
+
+    def get_exported(self, slot: int):
+        """Zero-copy view of an exported column: (values [W, cap, ...],
+        live row mask [W, cap]).  Analog of reference exportColumn /
+        Tensor hand-off (src/core/state.cpp:437-487, python/bindings.cpp).
+        Unlike the reference's packed copy-out pipeline
+        (device/consts.cpp:137-273), the column is already dense per world —
+        no copy happens."""
+        info = self.registry.exports[slot]
+        vals = self.mgr.column(self._state, info.archetype, info.comp)
+        mask = self.mgr.row_mask(self._state, info.archetype)
+        return vals, mask
+
+    def set_exported(self, slot: int, value):
+        """External write-back (reference copyInExportedColumns,
+        src/core/state.cpp:489-514) — e.g. action tensors from a learner."""
+        info = self.registry.exports[slot]
+        self._state = self.mgr.set_column(
+            self._state, info.archetype, info.comp, value
+        )
+
+    # -- checkpoint (absent in reference; SURVEY.md §5.4) --------------------
+
+    def save_state(self) -> SimState:
+        """The full simulation is one pytree — snapshot it."""
+        return jax.tree_util.tree_map(lambda x: x, self._state)
+
+    def restore_state(self, snapshot: SimState):
+        self._state = snapshot

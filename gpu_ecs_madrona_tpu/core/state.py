@@ -1,0 +1,435 @@
+"""SimState + StateManager: the batched ECS store and its functional ops.
+
+TPU-native redesign of the reference's state layer:
+  - reference Table (src/common/table.cpp): SoA columns, swap-remove, 2x
+    realloc growth.  Here: per-archetype SoA jax arrays with a leading
+    ``[num_worlds, capacity]`` axis and a boolean ``mask`` of live rows.
+    There is no growth and no swap-remove — capacities are static and rows
+    are freed by clearing mask bits (XLA requires static shapes; masking is
+    the TPU idiom the reference's dynamic tables cannot use).
+  - reference EntityStore / IDMap (include/madrona/impl/id_map.hpp:19-138):
+    lock-free generational id allocator.  Here: per-world id arrays
+    (``loc_arch``/``loc_row``/``gen``) and *deterministic lowest-index-first*
+    allocation computed with a cumsum ranking — a pure function of state, no
+    atomics, identical across replays (the reference's per-thread free-list
+    caches make its allocation order nondeterministic; ours is reproducible
+    by construction).
+  - reference StateManager (src/core/state.cpp, src/mw/device/state.cpp):
+    one manager spanning all worlds, per-world tables.  Here: StateManager
+    is the *static* schema companion; all dynamic data lives in the
+    ``SimState`` pytree, so a whole simulation is checkpointable and
+    shardable as one pytree.
+
+All mutating ops are pure: they take a state dict and return a new one.
+Inside a jit trace these compile to in-place donations.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ecs_madrona_tpu.core.component import (
+    Archetype,
+    Component,
+    Entity,
+)
+from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+
+SimState = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# Batched gather/scatter helpers (rows may be -1 = invalid)
+# ---------------------------------------------------------------------------
+
+
+def batched_gather(arr: jax.Array, rows: jax.Array) -> jax.Array:
+    """arr: [W, cap, ...]; rows: [W, K] (entries may be invalid; clipped).
+
+    Returns [W, K, ...].  Callers mask out invalid rows themselves.
+    """
+    cap = arr.shape[1]
+    safe = jnp.clip(rows, 0, cap - 1)
+    idx = safe.reshape(safe.shape + (1,) * (arr.ndim - 2))
+    idx = jnp.broadcast_to(idx, safe.shape + arr.shape[2:])
+    return jnp.take_along_axis(arr, idx, axis=1)
+
+
+def batched_scatter(arr: jax.Array, rows: jax.Array, values: jax.Array,
+                    valid: Optional[jax.Array] = None) -> jax.Array:
+    """Scatter values [W, K, ...] into arr [W, cap, ...] at rows [W, K].
+
+    Invalid rows (negative, or ``valid`` False) are dropped by routing them
+    to an out-of-range index (mode="drop") — the TPU-safe analog of the
+    reference's predicated writes.
+    """
+    cap = arr.shape[1]
+    ok = rows >= 0
+    if valid is not None:
+        ok = ok & valid
+    idx = jnp.where(ok, rows, cap)  # cap = out of range -> dropped
+    W = arr.shape[0]
+    widx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], idx.shape)
+    return arr.at[widx, idx].set(values, mode="drop")
+
+
+def _alloc_slots_world(free: jax.Array, count: jax.Array, k: int) -> jax.Array:
+    """Pick the first ``count`` free slot indices (lowest-index-first).
+
+    free: bool [cap]; count: int32 scalar; returns int32 [k], -1 past count
+    or when free slots run out.  Deterministic replacement for the
+    reference's IDMap free-list pop (id_map_impl.inl).
+    """
+    cap = free.shape[0]
+    ranks = jnp.cumsum(free.astype(jnp.int32)) - 1  # rank among free slots
+    take = free & (ranks < k)
+    dest = jnp.where(take, ranks, k)  # k = dropped
+    rows = jnp.full((k,), -1, jnp.int32)
+    rows = rows.at[dest].set(jnp.arange(cap, dtype=jnp.int32), mode="drop")
+    valid = jnp.arange(k, dtype=jnp.int32) < count
+    return jnp.where(valid & (rows >= 0), rows, -1)
+
+
+_alloc_slots = jax.vmap(_alloc_slots_world, in_axes=(0, 0, None))
+
+
+# ---------------------------------------------------------------------------
+# StateManager
+# ---------------------------------------------------------------------------
+
+
+class StateManager:
+    """Static schema + construction/ops for the batched ECS state.
+
+    The analog of reference StateManager (src/core/state.cpp) minus all
+    runtime allocation: every capacity is fixed at construction.
+    """
+
+    def __init__(
+        self,
+        registry: ECSRegistry,
+        num_worlds: int,
+        max_entities_per_world: Optional[int] = None,
+    ):
+        registry.freeze()
+        self.registry = registry
+        self.num_worlds = int(num_worlds)
+        total_cap = sum(info.capacity for info in registry.archetypes.values())
+        self.max_entities = int(max_entities_per_world or max(total_cap, 1))
+        self.arch_index = {name: info.index for name, info in registry.archetypes.items()}
+
+    # -- construction -----------------------------------------------------
+
+    def make_initial_state(self, seed: int = 0) -> SimState:
+        W = self.num_worlds
+        arch_states = {}
+        for name, info in self.registry.archetypes.items():
+            cap = info.capacity
+            comp_store = {}
+            for comp in info.archetype.components:
+                comp_store[comp.name] = {
+                    fname: jnp.zeros((W, cap) + tuple(shape), dtype)
+                    for fname, (shape, dtype) in comp.fields
+                }
+            arch_states[name] = {
+                "mask": jnp.zeros((W, cap), jnp.bool_),
+                "entity": jnp.full((W, cap), -1, jnp.int32),
+                "comps": comp_store,
+            }
+        singles = {}
+        for name, comp in self.registry.singletons.items():
+            singles[name] = {
+                fname: jnp.zeros((W,) + tuple(shape), dtype)
+                for fname, (shape, dtype) in comp.fields
+            }
+        keys = jax.vmap(lambda i: jax.random.fold_in(jax.random.PRNGKey(seed), i))(
+            jnp.arange(W, dtype=jnp.uint32)
+        )
+        return {
+            "arch": arch_states,
+            "eid": {
+                "loc_arch": jnp.full((W, self.max_entities), -1, jnp.int32),
+                "loc_row": jnp.full((W, self.max_entities), -1, jnp.int32),
+                "gen": jnp.zeros((W, self.max_entities), jnp.int32),
+            },
+            "singleton": singles,
+            "user": {},
+            "rng": keys,
+            "tick": jnp.zeros((W,), jnp.int32),
+        }
+
+    # -- entity lifecycle -------------------------------------------------
+
+    def make_entities(
+        self,
+        state: SimState,
+        arch: Archetype,
+        counts: jax.Array,  # int32 [W] (or python int broadcast)
+        max_new: int,
+        values: Optional[Dict[Component, Any]] = None,
+    ) -> Tuple[SimState, jax.Array]:
+        """Create up to ``counts[w]`` entities per world (max_new static cap).
+
+        Returns (new_state, entities [W, max_new] int32; -1 where not
+        created).  Functional analog of reference makeEntityNow
+        (src/core/state.inl:398-449) batched over worlds.  Overflow (table or
+        id space full) silently drops the excess creates — the masked analog
+        of the reference's assert.
+        """
+        W = self.num_worlds
+        info = self.registry.archetypes[arch.name]
+        astate = state["arch"][arch.name]
+        counts = jnp.broadcast_to(jnp.asarray(counts, jnp.int32), (W,))
+
+        rows = _alloc_slots(~astate["mask"], counts, max_new)  # [W, K]
+        id_free = state["eid"]["loc_arch"] < 0
+        eids = _alloc_slots(id_free, counts, max_new)  # [W, K]
+        valid = (rows >= 0) & (eids >= 0)
+        rows = jnp.where(valid, rows, -1)
+        eids = jnp.where(valid, eids, -1)
+
+        gens = batched_gather(state["eid"]["gen"], eids)
+        ents = jnp.where(valid, Entity.pack(eids, gens), -1)
+
+        new_mask = batched_scatter(astate["mask"], rows, jnp.ones(rows.shape, jnp.bool_))
+        new_ent_col = batched_scatter(astate["entity"], rows, ents)
+        new_comps = dict(astate["comps"])
+        prepared = {}
+        if values:
+            for comp, val in values.items():
+                prepared[comp.name] = comp.validate_value(val, (W, max_new))
+        for comp in info.archetype.components:
+            store = dict(new_comps[comp.name])
+            vals = prepared.get(comp.name)
+            for fname, (shape, dtype) in comp.fields:
+                if vals is not None:
+                    v = vals[fname]
+                else:
+                    v = jnp.zeros((W, max_new) + tuple(shape), dtype)
+                store[fname] = batched_scatter(store[fname], rows, v)
+            new_comps[comp.name] = store
+
+        new_arch = dict(state["arch"])
+        new_arch[arch.name] = {"mask": new_mask, "entity": new_ent_col, "comps": new_comps}
+
+        eid_state = state["eid"]
+        aidx = jnp.full(rows.shape, info.index, jnp.int32)
+        new_loc_arch = batched_scatter(eid_state["loc_arch"], eids, aidx)
+        new_loc_row = batched_scatter(eid_state["loc_row"], eids, rows)
+
+        new_state = dict(state)
+        new_state["arch"] = new_arch
+        new_state["eid"] = {
+            "loc_arch": new_loc_arch,
+            "loc_row": new_loc_row,
+            "gen": eid_state["gen"],
+        }
+        return new_state, ents
+
+    def destroy_entities(
+        self,
+        state: SimState,
+        ents: jax.Array,  # int32 [W, K]
+        valid: Optional[jax.Array] = None,
+    ) -> SimState:
+        """Destroy entities (null/-1 and stale-generation handles ignored).
+
+        Functional analog of reference destroyEntityNow
+        (src/core/state.inl + state.cpp) batched over worlds.
+        """
+        eid_state = state["eid"]
+        eids = Entity.id(ents)
+        gens = Entity.gen(ents)
+        ok = ~Entity.is_null(ents)
+        if valid is not None:
+            ok = ok & valid
+        cur_gen = batched_gather(eid_state["gen"], eids)
+        loc_arch = batched_gather(eid_state["loc_arch"], eids)
+        loc_row = batched_gather(eid_state["loc_row"], eids)
+        ok = ok & ((cur_gen & ((1 << 11) - 1)) == gens) & (loc_arch >= 0)
+
+        new_arch = dict(state["arch"])
+        for name, info in self.registry.archetypes.items():
+            sel = ok & (loc_arch == info.index)
+            astate = new_arch[name]
+            rows = jnp.where(sel, loc_row, -1)
+            mask = batched_scatter(astate["mask"], rows, jnp.zeros(rows.shape, jnp.bool_))
+            entc = batched_scatter(astate["entity"], rows, jnp.full(rows.shape, -1, jnp.int32))
+            new_arch[name] = {"mask": mask, "entity": entc, "comps": astate["comps"]}
+
+        rel = jnp.where(ok, eids, -1)
+        new_loc_arch = batched_scatter(eid_state["loc_arch"], rel,
+                                       jnp.full(rel.shape, -1, jnp.int32))
+        new_loc_row = batched_scatter(eid_state["loc_row"], rel,
+                                      jnp.full(rel.shape, -1, jnp.int32))
+        cur = batched_gather(eid_state["gen"], rel)
+        new_gen = batched_scatter(eid_state["gen"], rel, cur + 1)
+
+        new_state = dict(state)
+        new_state["arch"] = new_arch
+        new_state["eid"] = {"loc_arch": new_loc_arch, "loc_row": new_loc_row, "gen": new_gen}
+        return new_state
+
+    def clear_archetype(self, state: SimState, arch: Archetype) -> SimState:
+        """Free every row of an archetype in every world (reference
+        clearArchetype / ClearTmpNode, taskgraph.hpp:125-134)."""
+        info = self.registry.archetypes[arch.name]
+        astate = state["arch"][arch.name]
+        eid_state = state["eid"]
+        # Free all entity ids pointing at this archetype.
+        owned = eid_state["loc_arch"] == info.index
+        new_state = dict(state)
+        new_state["eid"] = {
+            "loc_arch": jnp.where(owned, -1, eid_state["loc_arch"]),
+            "loc_row": jnp.where(owned, -1, eid_state["loc_row"]),
+            "gen": jnp.where(owned, eid_state["gen"] + 1, eid_state["gen"]),
+        }
+        new_arch = dict(state["arch"])
+        new_arch[arch.name] = {
+            "mask": jnp.zeros_like(astate["mask"]),
+            "entity": jnp.full_like(astate["entity"], -1),
+            "comps": astate["comps"],
+        }
+        new_state["arch"] = new_arch
+        return new_state
+
+    # -- component access by entity handle --------------------------------
+
+    def lookup(self, state: SimState, ents: jax.Array):
+        """Entity handles -> (arch_index [..], row [..], live bool [..]).
+
+        Analog of reference EntityStore getLoc (state.hpp:64-97)."""
+        eid_state = state["eid"]
+        eids = Entity.id(ents)
+        gens = Entity.gen(ents)
+        cur_gen = batched_gather(eid_state["gen"], eids)
+        loc_arch = batched_gather(eid_state["loc_arch"], eids)
+        loc_row = batched_gather(eid_state["loc_row"], eids)
+        live = (~Entity.is_null(ents)) & (loc_arch >= 0) & (
+            (cur_gen & ((1 << 11) - 1)) == gens
+        )
+        return loc_arch, loc_row, live
+
+    def get_component(
+        self, state: SimState, comp: Component, ents: jax.Array
+    ) -> Tuple[Any, jax.Array]:
+        """Gather component values for entity handles [W, K].
+
+        Returns (value, live_mask).  Gathers across every archetype holding
+        the component (reference Context::get, context.inl)."""
+        loc_arch, loc_row, live = self.lookup(state, ents)
+        W, K = ents.shape[0], ents.shape[1]
+        out = {
+            fname: jnp.zeros((W, K) + tuple(shape), dtype)
+            for fname, (shape, dtype) in comp.fields
+        }
+        found = jnp.zeros((W, K), jnp.bool_)
+        for info in self.registry.archetypes_with(comp):
+            sel = live & (loc_arch == info.index)
+            store = state["arch"][info.archetype.name]["comps"][comp.name]
+            for fname in out:
+                v = batched_gather(store[fname], jnp.where(sel, loc_row, 0))
+                selb = sel.reshape(sel.shape + (1,) * (v.ndim - 2))
+                out[fname] = jnp.where(selb, v, out[fname])
+            found = found | sel
+        if comp.scalar:
+            return out["value"], found
+        return out, found
+
+    def set_component(
+        self,
+        state: SimState,
+        comp: Component,
+        ents: jax.Array,
+        value: Any,
+        valid: Optional[jax.Array] = None,
+    ) -> SimState:
+        """Scatter component values to entity handles [W, K]."""
+        loc_arch, loc_row, live = self.lookup(state, ents)
+        if valid is not None:
+            live = live & valid
+        W, K = ents.shape[0], ents.shape[1]
+        prepared = comp.validate_value(value, (W, K))
+        new_arch = dict(state["arch"])
+        for info in self.registry.archetypes_with(comp):
+            sel = live & (loc_arch == info.index)
+            astate = new_arch[info.archetype.name]
+            store = dict(astate["comps"][comp.name])
+            rows = jnp.where(sel, loc_row, -1)
+            for fname in prepared:
+                store[fname] = batched_scatter(store[fname], rows, prepared[fname])
+            comps = dict(astate["comps"])
+            comps[comp.name] = store
+            new_arch[info.archetype.name] = {
+                "mask": astate["mask"],
+                "entity": astate["entity"],
+                "comps": comps,
+            }
+        new_state = dict(state)
+        new_state["arch"] = new_arch
+        return new_state
+
+    # -- direct column access ---------------------------------------------
+
+    def column(self, state: SimState, arch: Archetype, comp: Component):
+        """The raw SoA column [W, cap, ...] (scalar comps unwrap)."""
+        store = state["arch"][arch.name]["comps"][comp.name]
+        if comp.scalar:
+            return store["value"]
+        return dict(store)
+
+    def set_column(self, state: SimState, arch: Archetype, comp: Component, value) -> SimState:
+        astate = state["arch"][arch.name]
+        old = astate["comps"][comp.name]
+        if comp.scalar:
+            value = {"value": jnp.asarray(value, old["value"].dtype)}
+        new_store = {}
+        for fname, oldarr in old.items():
+            v = jnp.asarray(value[fname], oldarr.dtype)
+            if v.shape != oldarr.shape:
+                raise ValueError(
+                    f"set_column {arch.name}.{comp.name}.{fname}: shape {v.shape} != {oldarr.shape}"
+                )
+            new_store[fname] = v
+        comps = dict(astate["comps"])
+        comps[comp.name] = new_store
+        new_arch = dict(state["arch"])
+        new_arch[arch.name] = {"mask": astate["mask"], "entity": astate["entity"], "comps": comps}
+        new_state = dict(state)
+        new_state["arch"] = new_arch
+        return new_state
+
+    def row_mask(self, state: SimState, arch: Archetype) -> jax.Array:
+        return state["arch"][arch.name]["mask"]
+
+    def entity_column(self, state: SimState, arch: Archetype) -> jax.Array:
+        return state["arch"][arch.name]["entity"]
+
+    def num_rows(self, state: SimState, arch: Archetype) -> jax.Array:
+        """Live row count per world [W] (reference archetypeCount)."""
+        return jnp.sum(state["arch"][arch.name]["mask"].astype(jnp.int32), axis=1)
+
+    # -- singletons --------------------------------------------------------
+
+    def get_singleton(self, state: SimState, comp: Component):
+        store = state["singleton"][comp.name]
+        if comp.scalar:
+            return store["value"]
+        return dict(store)
+
+    def set_singleton(self, state: SimState, comp: Component, value) -> SimState:
+        old = state["singleton"][comp.name]
+        if comp.scalar:
+            value = {"value": value}
+        new_store = {f: jnp.asarray(value[f], old[f].dtype).reshape(old[f].shape)
+                     for f in old}
+        singles = dict(state["singleton"])
+        singles[comp.name] = new_store
+        new_state = dict(state)
+        new_state["singleton"] = singles
+        return new_state

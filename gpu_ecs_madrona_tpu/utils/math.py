@@ -1,0 +1,129 @@
+"""Batched math helpers: quaternions, rigid transforms, AABBs.
+
+Functional counterparts of reference include/madrona/math.hpp (Vector3,
+Quat, Mat3x4, AABB) designed for batched jax arrays: every function
+broadcasts over arbitrary leading axes, so the same code serves one row or
+[worlds, rows] blocks.  Quaternions are stored (w, x, y, z) matching the
+reference's field order (math.hpp Quat{w,x,y,z}).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+# -- quaternions -------------------------------------------------------------
+
+
+def quat_identity(shape=(), dtype=jnp.float32):
+    q = jnp.zeros(tuple(shape) + (4,), dtype)
+    return q.at[..., 0].set(1.0)
+
+
+def quat_from_angle_axis(angle, axis):
+    """reference Quat::angleAxis (math.hpp)."""
+    angle = jnp.asarray(angle, jnp.float32)
+    axis = jnp.asarray(axis, jnp.float32)
+    axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+    half = angle * 0.5
+    w = jnp.cos(half)
+    xyz = axis * jnp.sin(half)[..., None]
+    return jnp.concatenate([w[..., None], xyz], axis=-1)
+
+def quat_mul(a, b):
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack(
+        [
+            aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw,
+        ],
+        axis=-1,
+    )
+
+
+def quat_rotate(q, v):
+    """Rotate vectors v [..., 3] by quaternions q [..., 4]
+    (reference Quat::rotateVec)."""
+    w = q[..., 0:1]
+    u = q[..., 1:4]
+    uv = jnp.cross(u, v)
+    uuv = jnp.cross(u, uv)
+    return v + 2.0 * (w * uv + uuv)
+
+
+def quat_inv_rotate(q, v):
+    qc = jnp.concatenate([q[..., 0:1], -q[..., 1:4]], axis=-1)
+    return quat_rotate(qc, v)
+
+
+def quat_normalize(q):
+    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+
+
+def quat_integrate(q, omega, dt):
+    """Integrate angular velocity omega [...,3] over dt (XPBD-style,
+    reference physics.cpp substepRigidBodies)."""
+    dq = 0.5 * quat_mul(
+        jnp.concatenate([jnp.zeros_like(omega[..., :1]), omega], axis=-1), q
+    )
+    return quat_normalize(q + dt * dq)
+
+
+# -- transforms --------------------------------------------------------------
+
+
+def transform_points(translation, rotation, points, scale=None):
+    """Apply TRS to points [..., N, 3] (reference Mat3x4::fromTRS +
+    txfmPoint, math.hpp)."""
+    p = points
+    if scale is not None:
+        p = p * scale[..., None, :]
+    p = quat_rotate(rotation[..., None, :], p)
+    return p + translation[..., None, :]
+
+
+# -- AABBs -------------------------------------------------------------------
+
+
+def aabb_invalid(shape=(), dtype=jnp.float32):
+    """reference AABB::invalid() — inverted infinite box."""
+    lo = jnp.full(tuple(shape) + (3,), jnp.inf, dtype)
+    hi = jnp.full(tuple(shape) + (3,), -jnp.inf, dtype)
+    return lo, hi
+
+
+def aabb_from_points(points):
+    """AABB of points [..., N, 3] -> (pmin [...,3], pmax [...,3])."""
+    return jnp.min(points, axis=-2), jnp.max(points, axis=-2)
+
+
+def aabb_overlaps(a_lo, a_hi, b_lo, b_hi):
+    """reference AABB::overlaps (math.hpp): strict-inequality slab test."""
+    return jnp.all((a_lo <= b_hi) & (b_lo <= a_hi), axis=-1)
+
+
+def aabb_expand(lo, hi, amount):
+    return lo - amount, hi + amount
+
+
+def aabb_union(a_lo, a_hi, b_lo, b_hi):
+    return jnp.minimum(a_lo, b_lo), jnp.maximum(a_hi, b_hi)
+
+
+UNIT_CUBE_CORNERS = jnp.array(
+    [
+        [-1.0, -1.0, -1.0],
+        [1.0, -1.0, -1.0],
+        [1.0, 1.0, -1.0],
+        [-1.0, 1.0, -1.0],
+        [-1.0, -1.0, 1.0],
+        [1.0, -1.0, 1.0],
+        [1.0, 1.0, 1.0],
+        [-1.0, 1.0, 1.0],
+    ],
+    dtype=jnp.float32,
+)

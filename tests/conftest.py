@@ -1,0 +1,22 @@
+"""Test configuration: force CPU backend with 8 virtual devices so tests run
+fast locally and multi-chip sharding tests run anywhere (SURVEY.md §4:
+multi-host tests via xla_force_host_platform_device_count).
+
+The axon TPU plugin (sitecustomize) pins jax_platforms to the tunneled TPU;
+tests must override it AFTER import, hence jax.config.update rather than
+env vars.
+"""
+
+import os
+
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
