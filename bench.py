@@ -1,0 +1,53 @@
+"""Benchmark: collisions example, aggregate env-steps/s on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline target (BASELINE.json): 1M aggregate env-steps/s at 8192 worlds on
+the collisions physics workload (vs_baseline = value / 1e6).
+
+Metric definition matches the reference examples' FPS printout:
+num_ticks * num_worlds / elapsed (reference examples/simple_taskgraph/
+mw_cpu.cpp:39-42, examples/collisions/gpu.cpp:32-43).
+"""
+
+import json
+import os
+import sys
+import time
+
+NUM_WORLDS = int(os.environ.get("BENCH_NUM_WORLDS", 8192))
+NUM_TICKS = int(os.environ.get("BENCH_NUM_TICKS", 100))
+BASELINE_STEPS_PER_S = 1_000_000.0
+
+
+def main():
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    sim = col.make_executor(
+        col.CollisionsConfig(num_worlds=NUM_WORLDS, seed=0)
+    )
+
+    # Warmup: compile step + multi-step programs (the reference's analog is
+    # the NVRTC megakernel build, amortized by its kernel cache).
+    sim.run(2)
+    sim.block_until_ready()
+
+    start = time.perf_counter()
+    sim.run(NUM_TICKS)
+    sim.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": f"collisions env-steps/s @ {NUM_WORLDS} worlds (1 chip)",
+                "value": round(steps_per_s, 1),
+                "unit": "env-steps/s",
+                "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

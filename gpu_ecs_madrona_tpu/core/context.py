@@ -72,6 +72,11 @@ class Context:
     def clear_archetype(self, arch: Archetype):
         self._state = self._mgr.clear_archetype(self._state, arch)
 
+    def emit_temporaries(self, arch: Archetype, counts, values):
+        """Fast creation into an empty temporary archetype (reference
+        makeTemporary; see StateManager.emit_temporaries)."""
+        self._state = self._mgr.emit_temporaries(self._state, arch, counts, values)
+
     # -- component access ---------------------------------------------------
 
     def get(self, comp: Component, ents) -> Tuple[Any, jax.Array]:

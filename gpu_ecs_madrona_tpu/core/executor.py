@@ -139,7 +139,14 @@ class TaskGraphExecutor:
         Tensor hand-off (src/core/state.cpp:437-487, python/bindings.cpp).
         Unlike the reference's packed copy-out pipeline
         (device/consts.cpp:137-273), the column is already dense per world —
-        no copy happens."""
+        no copy happens.
+
+        NOTE: exports are *snapshots* of the current state, not stable
+        pointers.  With donation on (default), stepping invalidates arrays
+        returned earlier — re-fetch after each run().  (The reference
+        updates fixed export buffers in place; JAX's functional arrays
+        cannot, and donation is what makes the step zero-alloc.)  Pass
+        ExecutorConfig(donate=False) if you need exports to outlive steps."""
         info = self.registry.exports[slot]
         vals = self.mgr.column(self._state, info.archetype, info.comp)
         mask = self.mgr.row_mask(self._state, info.archetype)

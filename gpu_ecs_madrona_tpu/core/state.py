@@ -48,12 +48,61 @@ SimState = Dict[str, Any]
 # ---------------------------------------------------------------------------
 
 
+# Row-gather strategy: XLA's gather op lowers to a slow sequential
+# custom-call on TPU inside large fused step programs (measured ~4ms for a
+# [256,1600]<-[256,108] gather vs 0.013ms as a one-hot matmul).  For the
+# small per-archetype tables an ECS uses, expressing the gather as a
+# one-hot-matrix matmul routes it onto the MXU and is exact:
+#   - floats: 0/1 selection matmul sums one exact term
+#   - int32: split into two 16-bit halves (each < 2^24, exact in f32),
+#     gather both, recombine with wrap-safe shifts
+_ONEHOT_GATHER_MAX_CAP = 2048
+
+
+def _onehot_matmul(oh: jax.Array, flat: jax.Array) -> jax.Array:
+    """oh: [W, K, cap] f32; flat: [W, cap, D] f32 -> [W, K, D]."""
+    return jax.lax.dot_general(
+        oh, flat,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _onehot_gather(arr: jax.Array, rows: jax.Array) -> jax.Array:
+    W, cap = arr.shape[0], arr.shape[1]
+    K = rows.shape[1]
+    trailing = arr.shape[2:]
+    D = 1
+    for s in trailing:
+        D *= s
+    safe = jnp.clip(rows, 0, cap - 1)
+    oh = (
+        safe[:, :, None] == jnp.arange(cap, dtype=safe.dtype)[None, None, :]
+    ).astype(jnp.float32)
+    flat = arr.reshape(W, cap, D)
+    dt = arr.dtype
+    if jnp.issubdtype(dt, jnp.floating):
+        out = _onehot_matmul(oh, flat.astype(jnp.float32)).astype(dt)
+    elif dt == jnp.bool_:
+        out = _onehot_matmul(oh, flat.astype(jnp.float32)) > 0.5
+    else:
+        f = flat.astype(jnp.int32)
+        lo = (f & 0xFFFF).astype(jnp.float32)
+        hi = ((f >> 16) & 0xFFFF).astype(jnp.float32)
+        lo_g = jnp.round(_onehot_matmul(oh, lo)).astype(jnp.int32)
+        hi_g = jnp.round(_onehot_matmul(oh, hi)).astype(jnp.int32)
+        out = ((hi_g << 16) | lo_g).astype(dt)
+    return out.reshape((W, K) + trailing)
+
+
 def batched_gather(arr: jax.Array, rows: jax.Array) -> jax.Array:
     """arr: [W, cap, ...]; rows: [W, K] (entries may be invalid; clipped).
 
     Returns [W, K, ...].  Callers mask out invalid rows themselves.
     """
     cap = arr.shape[1]
+    if cap <= _ONEHOT_GATHER_MAX_CAP:
+        return _onehot_gather(arr, rows)
     safe = jnp.clip(rows, 0, cap - 1)
     idx = safe.reshape(safe.shape + (1,) * (arr.ndim - 2))
     idx = jnp.broadcast_to(idx, safe.shape + arr.shape[2:])
@@ -275,9 +324,79 @@ class StateManager:
         new_state["eid"] = {"loc_arch": new_loc_arch, "loc_row": new_loc_row, "gen": new_gen}
         return new_state
 
+    def emit_temporaries(
+        self,
+        state: SimState,
+        arch: Archetype,
+        counts: jax.Array,
+        values: Dict[Component, Any],
+    ) -> SimState:
+        """Fast-path creation into an EMPTY temporary archetype.
+
+        The analog of the reference's ``makeTemporary`` rows (used for
+        CandidateTemporary / Contact archetypes, physics.hpp:184-193):
+        temporaries carry no entity ids in the reference either, and are
+        cleared wholesale each step.  Because the table is empty and
+        allocation is lowest-index-first, the new rows are exactly the
+        prefix 0..counts-1 — so creation is a dense column write plus a
+        prefix mask, with zero scatters (the TPU win over the generic
+        make_entities path).
+
+        ``values`` arrays are [W, K, ...] with K <= capacity; counts is
+        clipped to K.  Rows have no entity handles (entity column = -1);
+        look them up by row, not by handle.
+        """
+        info = self.registry.archetypes[arch.name]
+        cap = info.capacity
+        W = self.num_worlds
+        counts = jnp.broadcast_to(jnp.asarray(counts, jnp.int32), (W,))
+
+        new_comps = dict(state["arch"][arch.name]["comps"])
+        k = None
+        for comp, val in values.items():
+            prepared_shape_src = val if not comp.scalar else {"value": val}
+            first = next(iter(prepared_shape_src.values()))
+            k = first.shape[1] if k is None else k
+        if k is None:
+            k = cap
+        k = min(k, cap)
+        counts = jnp.minimum(counts, k)
+
+        for comp, val in values.items():
+            prepared = comp.validate_value(val, (W, k))
+            store = dict(new_comps[comp.name])
+            for fname, (shape, dtype) in comp.fields:
+                v = prepared[fname]
+                if k == cap:
+                    store[fname] = v
+                else:
+                    store[fname] = jnp.zeros((W, cap) + tuple(shape), dtype).at[
+                        :, :k
+                    ].set(v)
+            new_comps[comp.name] = store
+
+        mask = jnp.arange(cap, dtype=jnp.int32)[None, :] < counts[:, None]
+        new_arch = dict(state["arch"])
+        new_arch[arch.name] = {
+            "mask": mask,
+            "entity": jnp.full((W, cap), -1, jnp.int32),
+            "comps": new_comps,
+        }
+        new_state = dict(state)
+        new_state["arch"] = new_arch
+        return new_state
+
     def clear_archetype(self, state: SimState, arch: Archetype) -> SimState:
         """Free every row of an archetype in every world (reference
-        clearArchetype / ClearTmpNode, taskgraph.hpp:125-134)."""
+        clearArchetype / ClearTmpNode, taskgraph.hpp:125-134).
+
+        Component stores are zeroed: a cleared table holds no observable
+        data (the reference leaves stale bytes, which are equally
+        unobservable).  Zeroing matters on TPU — it lets XLA dead-code-
+        eliminate the *production* of temporary rows that nothing consumed
+        before the clear, which is how the jit step avoids paying for
+        unobserved temporaries (the fusion analog of the reference's
+        megakernel keeping temporaries in registers)."""
         info = self.registry.archetypes[arch.name]
         astate = state["arch"][arch.name]
         eid_state = state["eid"]
@@ -293,7 +412,7 @@ class StateManager:
         new_arch[arch.name] = {
             "mask": jnp.zeros_like(astate["mask"]),
             "entity": jnp.full_like(astate["entity"], -1),
-            "comps": astate["comps"],
+            "comps": jax.tree_util.tree_map(jnp.zeros_like, astate["comps"]),
         }
         new_state["arch"] = new_arch
         return new_state

@@ -1,0 +1,286 @@
+"""fantasy_vs example — TPU lowering of reference examples/fantasy_vs/.
+
+The reference runs this on the legacy job system (fvs.cpp): per tick an
+action-select parallelFor, then caster + archer systems depending on it,
+then a cleanup job that destroys dead entities via a CleanupTracker
+archetype (fvs.cpp:203-227).  Dynamic nested jobs (the caster's inner
+parallelFor AoE, fvs.cpp:171-183) lower to dense batched reductions.
+
+Semantics preserved per tick (reference fvs.cpp):
+  - actionSelect (fvs.cpp:108-146): busy agents count down remainingTime by
+    deltaT; idle agents move with probability 0.5 to pos + U[-1,1]^3
+    clamped to world bounds, remainingTime = |delta| / moveSpeed.  (The
+    reference clamps new_pos.z against new_pos.x — a bug in the reference;
+    we replicate the *intended* z clamp and note the difference.)
+  - caster (fvs.cpp:148-186), dragons: mana += regen*dt; idle casters with
+    mana >= 20 spend 20, pick a uniform random target point, and damage
+    every entity (any archetype with Position+Health) within radius 2 by
+    20; remainingTime = castTime.
+  - archer (fvs.cpp:188-210), knights: idle archers with arrows shoot a
+    uniformly random *live* dragon for 15 damage; arrows -= 1;
+    remainingTime = shootTime.
+  - cleanup (fvs.cpp:212-227, gameLoop mode): entities with hp <= 0 are
+    tracked in CleanupTracker, then destroyed, then the tracker is
+    cleared.  benchmark mode (fvs.cpp:262-271) skips cleanup.
+
+Init (fvs.cpp:38-105): dragons hp=1000, mana ~ U[0,50); knights hp=100,
+arrows ~ U{20..40}; positions uniform in [-10,-10,0]..[10,10,10];
+deltaT=1/60, moveSpeed=0.1, manaRegen=1, castTime=2, shootTime=0.5.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.core.component import Archetype, component
+from gpu_ecs_madrona_tpu.core.context import Context
+from gpu_ecs_madrona_tpu.core.executor import ExecutorConfig, TaskGraphExecutor
+from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraphBuilder
+
+# Components (reference fvs.hpp:17-43)
+Position = component("FvsPosition", ((3,), jnp.float32))
+Health = component("Health", hp=((), jnp.float32))
+Mana = component("Mana", mp=((), jnp.float32))
+Quiver = component("Quiver", arrows=((), jnp.int32))
+Action = component("Action", remaining=((), jnp.float32))
+CleanupEntity = component("CleanupEntity", ((), jnp.int32))
+
+# Archetypes (reference fvs.hpp:45-48)
+Dragon = Archetype("Dragon", [Position, Health, Action, Mana])
+Knight = Archetype("Knight", [Position, Health, Action, Quiver])
+CleanupTracker = Archetype("CleanupTracker", [CleanupEntity])
+
+DELTA_T = 1.0 / 60.0
+MOVE_SPEED = 0.1
+MANA_REGEN = 1.0
+CAST_TIME = 2.0
+SHOOT_TIME = 0.5
+CAST_COST = 20.0
+CAST_RADIUS = 2.0
+CAST_DAMAGE = 20.0
+ARROW_DAMAGE = 15.0
+BOUNDS_LO = (-10.0, -10.0, 0.0)
+BOUNDS_HI = (10.0, 10.0, 10.0)
+
+
+@dataclasses.dataclass
+class FantasyVsConfig:
+    num_worlds: int = 1024
+    num_dragons: int = 50   # reference main.cpp:85-88 benchmark config
+    num_knights: int = 200
+    seed: int = 0
+    cleanup: bool = True    # gameLoop mode; False = reference benchmarkTick
+    # replicate the reference's z-clamped-by-x bug bit-for-bit
+    replicate_clamp_bug: bool = False
+
+
+class FantasyVsWorld:
+    config: FantasyVsConfig = FantasyVsConfig()
+
+    @classmethod
+    def with_config(cls, cfg: FantasyVsConfig):
+        return type("FantasyVsWorld", (cls,), {"config": cfg})
+
+    @classmethod
+    def register_types(cls, registry: ECSRegistry):
+        cfg = cls.config
+        registry.register_archetype(Dragon, capacity=cfg.num_dragons)
+        registry.register_archetype(Knight, capacity=cfg.num_knights)
+        registry.register_archetype(
+            CleanupTracker,
+            capacity=cfg.num_dragons + cfg.num_knights,
+            temporary=True,
+        )
+        registry.export_column(Dragon, Position, 0)
+        registry.export_column(Dragon, Health, 1)
+        registry.export_column(Knight, Position, 2)
+        registry.export_column(Knight, Health, 3)
+
+    @classmethod
+    def init(cls, ctx: Context, init_data=None):
+        cfg = cls.config
+        W = ctx.num_worlds
+        lo = jnp.array(BOUNDS_LO)
+        hi = jnp.array(BOUNDS_HI)
+        ctx.data = {"_": jnp.zeros((W, 1))}  # constants closed over instead
+
+        kd_pos, kd_mana = ctx.rng_one(), ctx.rng_one()
+        kk_pos, kk_arrows = ctx.rng_one(), ctx.rng_one()
+
+        nd, nk = cfg.num_dragons, cfg.num_knights
+        d_pos = jax.vmap(lambda k: jax.random.uniform(k, (nd, 3), minval=lo, maxval=hi))(kd_pos)
+        d_mana = jax.vmap(lambda k: jax.random.uniform(k, (nd,), minval=0.0, maxval=50.0))(kd_mana)
+        ctx.make_entities(
+            Dragon, counts=nd, max_new=nd,
+            values={
+                Position: d_pos,
+                Health: {"hp": jnp.full((W, nd), 1000.0)},
+                Action: {"remaining": jnp.zeros((W, nd))},
+                Mana: {"mp": d_mana},
+            },
+        )
+        k_pos = jax.vmap(lambda k: jax.random.uniform(k, (nk, 3), minval=lo, maxval=hi))(kk_pos)
+        k_arrows = jax.vmap(
+            lambda k: jax.random.randint(k, (nk,), 20, 41)
+        )(kk_arrows)
+        ctx.make_entities(
+            Knight, counts=nk, max_new=nk,
+            values={
+                Position: k_pos,
+                Health: {"hp": jnp.full((W, nk), 100.0)},
+                Action: {"remaining": jnp.zeros((W, nk))},
+                Quiver: {"arrows": k_arrows},
+            },
+        )
+
+    @classmethod
+    def setup_tasks(cls, builder: TaskGraphBuilder):
+        cfg = cls.config
+        lo = jnp.array(BOUNDS_LO)
+        hi = jnp.array(BOUNDS_HI)
+
+        def action_select(rowctx, pos, action):
+            # reference fvs.cpp:108-146
+            rem = action["remaining"]
+            busy = rem > 0.0
+            k_act, k_move = jax.random.split(rowctx.key)
+            do_move = (~busy) & (jax.random.uniform(k_act) <= 0.5)
+            delta = jax.random.uniform(k_move, (3,), minval=-1.0, maxval=1.0)
+            new_pos = pos + delta
+            if cfg.replicate_clamp_bug:
+                # reference fvs.cpp:139 clamps z against new_pos.x
+                clamped = jnp.stack([
+                    jnp.clip(new_pos[0], lo[0], hi[0]),
+                    jnp.clip(new_pos[1], lo[1], hi[1]),
+                    jnp.clip(new_pos[0], lo[2], hi[2]),
+                ])
+            else:
+                clamped = jnp.clip(new_pos, lo, hi)
+            moved_delta = clamped - pos
+            move_time = jnp.linalg.norm(moved_delta) / MOVE_SPEED
+            out_pos = jnp.where(do_move, clamped, pos)
+            out_rem = jnp.where(
+                busy, rem - DELTA_T, jnp.where(do_move, move_time, rem)
+            )
+            return out_pos, {"remaining": out_rem}
+
+        n_action = builder.parallel_for_node(
+            action_select, [Position, Action], name="action_select", needs_rng=True
+        )
+
+        def caster(ctx: Context):
+            # reference fvs.cpp:148-186 — dragons AoE-blast random targets.
+            d_mask = ctx.row_mask(Dragon)
+            d_act = ctx.column(Dragon, Action)["remaining"]
+            d_mana = ctx.column(Dragon, Mana)["mp"]
+            W, nd = d_mask.shape
+
+            mana = jnp.where(d_mask, d_mana + MANA_REGEN * DELTA_T, d_mana)
+            can_cast = d_mask & (d_act <= 0.0) & (mana >= CAST_COST)
+
+            keys = ctx.rng_one()  # [W, 2]
+            targets = jax.vmap(
+                lambda k: jax.random.uniform(k, (nd, 3), minval=lo, maxval=hi)
+            )(keys)  # [W, nd, 3]
+
+            # AoE damage to every Position+Health entity (both archetypes).
+            for arch in (Dragon, Knight):
+                pos = ctx.column(arch, Position)  # [W, ne, 3]
+                hp = ctx.column(arch, Health)["hp"]
+                amask = ctx.row_mask(arch)
+                d2 = jnp.sum(
+                    (targets[:, :, None, :] - pos[:, None, :, :]) ** 2, axis=-1
+                )  # [W, nd, ne]
+                hit = (
+                    can_cast[:, :, None]
+                    & amask[:, None, :]
+                    & (d2 <= CAST_RADIUS * CAST_RADIUS)
+                )
+                dmg = CAST_DAMAGE * jnp.sum(hit, axis=1).astype(jnp.float32)
+                ctx.set_column(arch, Health, {"hp": hp - dmg})
+
+            mana = jnp.where(can_cast, mana - CAST_COST, mana)
+            act = jnp.where(can_cast, CAST_TIME, d_act)
+            ctx.set_column(Dragon, Mana, {"mp": mana})
+            ctx.set_column(Dragon, Action, {"remaining": act})
+
+        n_cast = builder.add_node(caster, deps=[n_action], name="caster")
+
+        def archer(ctx: Context):
+            # reference fvs.cpp:188-210 — knights shoot a random live dragon.
+            k_mask = ctx.row_mask(Knight)
+            k_act = ctx.column(Knight, Action)["remaining"]
+            arrows = ctx.column(Knight, Quiver)["arrows"]
+            d_mask = ctx.row_mask(Dragon)
+            W, nk = k_mask.shape
+            nd = d_mask.shape[1]
+
+            shoot = k_mask & (k_act <= 0.0) & (arrows > 0)
+            n_dragons = jnp.sum(d_mask.astype(jnp.int32), axis=1)  # [W]
+            shoot = shoot & (n_dragons[:, None] > 0)
+
+            keys = ctx.rng_one()
+            pick = jax.vmap(lambda k: jax.random.randint(k, (nk,), 0, 1 << 30))(keys)
+            sel_rank = pick % jnp.maximum(n_dragons[:, None], 1)  # [W, nk]
+
+            # rank -> live dragon row: row r has rank (cumsum of mask)-1
+            d_rank = jnp.cumsum(d_mask, axis=1, dtype=jnp.int32) - 1  # [W, nd]
+            # one-hot over dragons: knight k hits dragon row r iff live and
+            # rank matches.  Damage = matmul accumulate (MXU, no scatter).
+            hits = (
+                shoot[:, :, None]
+                & d_mask[:, None, :]
+                & (sel_rank[:, :, None] == d_rank[:, None, :])
+            )  # [W, nk, nd]
+            dmg = ARROW_DAMAGE * jnp.sum(hits, axis=1).astype(jnp.float32)
+            d_hp = ctx.column(Dragon, Health)["hp"]
+            ctx.set_column(Dragon, Health, {"hp": d_hp - dmg})
+
+            arrows = jnp.where(shoot, arrows - 1, arrows)
+            k_act = jnp.where(shoot, SHOOT_TIME, k_act)
+            ctx.set_column(Knight, Quiver, {"arrows": arrows})
+            ctx.set_column(Knight, Action, {"remaining": k_act})
+
+        n_arch = builder.add_node(archer, deps=[n_action], name="archer")
+
+        if cfg.cleanup:
+
+            def cleanup(ctx: Context):
+                # reference fvs.cpp:212-227: track dead, destroy, clear.
+                dead_ents = []
+                dead_masks = []
+                for arch in (Dragon, Knight):
+                    hp = ctx.column(arch, Health)["hp"]
+                    amask = ctx.row_mask(arch)
+                    dead = amask & (hp <= 0.0)
+                    ents = ctx.entity_column(arch)
+                    dead_ents.append(jnp.where(dead, ents, -1))
+                    dead_masks.append(dead)
+                all_dead = jnp.concatenate(dead_ents, axis=1)
+                all_mask = jnp.concatenate(dead_masks, axis=1)
+                counts = jnp.sum(all_mask.astype(jnp.int32), axis=1)
+                ctx.emit_temporaries(
+                    CleanupTracker, counts=counts,
+                    values={CleanupEntity: all_dead},
+                )
+                ctx.destroy_entities(all_dead, valid=all_mask)
+                ctx.clear_archetype(CleanupTracker)
+
+            builder.add_node(cleanup, deps=[n_cast, n_arch], name="cleanup")
+
+
+def make_executor(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
+    world = FantasyVsWorld.with_config(cfg)
+    return TaskGraphExecutor(
+        world,
+        ExecutorConfig(
+            num_worlds=cfg.num_worlds,
+            max_entities_per_world=cfg.num_dragons + cfg.num_knights + 8,
+            seed=cfg.seed,
+            **exec_kwargs,
+        ),
+    )

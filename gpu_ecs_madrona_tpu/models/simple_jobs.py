@@ -1,0 +1,193 @@
+"""simple_jobs example — TPU lowering of reference examples/simple_jobs/.
+
+The reference expresses this workload as dynamic fork-join jobs over raw
+per-world buffers (simple.cpp: SphereObject/candidate/contact arrays with
+atomic counters, ctx.submitN grids) — the legacy job-system path (SURVEY.md
+§2.3 JobManager).  The recursive simLoop (simple.cpp:192-214) lowers to a
+static per-tick taskgraph; the atomic-counter buffers lower to per-world
+user-data arrays with count scalars (ctx.data), exercising the user-data
+path rather than ECS archetypes — matching the reference, which keeps this
+example's state *outside* the ECS.
+
+Semantics per tick (reference simple.cpp):
+  1. preprocess (simple.cpp:148-190 in broadphaseSystem): clamp translation
+     to world bounds, then AABB of the rotated unit cube.
+  2. broadphase (simple.cpp:193-218): all ordered pairs (a != b) with AABB
+     overlap append (a, b) index pairs.
+  3. narrowphase (simple.cpp:222-250): contact normal = normalize(b - a).
+  4. solver (simple.cpp:159-181): a -= normal, b += normal per contact
+     (serial in reference; commutes — see collisions.py), counters reset.
+
+Init (simple_jobs/init.cpp): 100 objects, uniform random positions in
+bounds [-10,-10,0]..[10,10,10], rotations angle-axis about +Y, U[0, pi).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.core.context import Context
+from gpu_ecs_madrona_tpu.core.executor import ExecutorConfig, TaskGraphExecutor
+from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraphBuilder
+from gpu_ecs_madrona_tpu.utils import math as m
+
+BOUNDS_LO = (-10.0, -10.0, 0.0)
+BOUNDS_HI = (10.0, 10.0, 10.0)
+
+
+@dataclasses.dataclass
+class SimpleJobsConfig:
+    num_worlds: int = 1024
+    num_objects: int = 100
+    max_pairs: int = 1600  # candidate/contact buffer capacity (static shapes)
+    seed: int = 0
+
+
+class SimpleJobsWorld:
+    config: SimpleJobsConfig = SimpleJobsConfig()
+
+    @classmethod
+    def with_config(cls, cfg: SimpleJobsConfig):
+        return type("SimpleJobsWorld", (cls,), {"config": cfg})
+
+    @classmethod
+    def register_types(cls, registry: ECSRegistry):
+        # The reference keeps this example's state outside the ECS
+        # (simple.hpp:63-88: raw malloc'd arrays in SimpleSim); nothing to
+        # register.  Exports are defined over user data instead.
+        pass
+
+    @classmethod
+    def init(cls, ctx: Context, init_data=None):
+        cfg = cls.config
+        W = ctx.num_worlds
+        n = cfg.num_objects
+        lo = jnp.array(BOUNDS_LO)
+        hi = jnp.array(BOUNDS_HI)
+        kpos, kang = ctx.rng_one(), ctx.rng_one()
+        pos = jax.vmap(lambda k: jax.random.uniform(k, (n, 3), minval=lo, maxval=hi))(kpos)
+        ang = jax.vmap(lambda k: jax.random.uniform(k, (n,), minval=0.0, maxval=jnp.pi))(kang)
+        rot = m.quat_from_angle_axis(ang, jnp.array([0.0, 1.0, 0.0]))
+        K = cfg.max_pairs
+        ctx.data = {
+            "translation": pos,                         # [W, n, 3]
+            "rotation": rot,                            # [W, n, 4]
+            "aabb_lo": jnp.zeros((W, n, 3)),
+            "aabb_hi": jnp.zeros((W, n, 3)),
+            "candidates": jnp.zeros((W, K, 2), jnp.int32),
+            "num_candidates": jnp.zeros((W,), jnp.int32),
+            "contacts_normal": jnp.zeros((W, K, 3)),
+            "contacts_ab": jnp.zeros((W, K, 2), jnp.int32),
+            "num_contacts": jnp.zeros((W,), jnp.int32),
+        }
+
+    @classmethod
+    def setup_tasks(cls, builder: TaskGraphBuilder):
+        cfg = cls.config
+        K = cfg.max_pairs
+
+        def preprocess(ctx: Context):
+            d = ctx.data
+            lo = jnp.array(BOUNDS_LO)
+            hi = jnp.array(BOUNDS_HI)
+            pos = jnp.clip(d["translation"], lo, hi)
+            corners = m.transform_points(pos, d["rotation"], m.UNIT_CUBE_CORNERS)
+            alo, ahi = m.aabb_from_points(corners)
+            d = dict(d)
+            d.update(translation=pos, aabb_lo=alo, aabb_hi=ahi)
+            ctx.data = d
+
+        n_pre = builder.add_node(preprocess, name="preprocess")
+
+        def overlap_grid(d):
+            lo, hi = d["aabb_lo"], d["aabb_hi"]
+            ok = m.aabb_overlaps(
+                lo[:, :, None, :], hi[:, :, None, :],
+                lo[:, None, :, :], hi[:, None, :, :],
+            )
+            n = lo.shape[1]
+            return ok & ~jnp.eye(n, dtype=bool)[None]
+
+        def broadphase(ctx: Context):
+            # reference simple.cpp:193-218 (atomic append -> deterministic
+            # pair-index-order compaction; the reference's append order is
+            # scheduler-dependent, ours is reproducible).
+            d = dict(ctx.data)
+            ok = overlap_grid(d)
+            W, n = ok.shape[:2]
+            flat = ok.reshape(W, n * n)
+            counts = jnp.sum(flat.astype(jnp.int32), axis=1)
+            k_eff = min(K, n * n)
+            ranks = jnp.cumsum(flat, axis=1, dtype=jnp.int32) - 1
+            dest = jnp.where(flat & (ranks < k_eff), ranks, k_eff)
+            widx = jnp.broadcast_to(jnp.arange(W, dtype=jnp.int32)[:, None], dest.shape)
+            ab_grid = jnp.stack(
+                [
+                    jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, :, None], (W, n, n)),
+                    jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[None, None, :], (W, n, n)),
+                ],
+                axis=-1,
+            ).reshape(W, n * n, 2)
+            cands = jnp.zeros((W, K, 2), jnp.int32).at[widx, dest].set(
+                ab_grid, mode="drop"
+            )
+            d.update(candidates=cands, num_candidates=jnp.minimum(counts, k_eff))
+            ctx.data = d
+
+        n_broad = builder.add_node(broadphase, deps=[n_pre], name="broadphase")
+
+        def narrowphase(ctx: Context):
+            # reference simple.cpp:222-250 + candidate counter reset at :154-157
+            d = dict(ctx.data)
+            pos = d["translation"]
+            cands = d["candidates"]
+            a = jnp.take_along_axis(pos, jnp.clip(cands[..., 0:1], 0, pos.shape[1] - 1), axis=1)
+            b = jnp.take_along_axis(pos, jnp.clip(cands[..., 1:2], 0, pos.shape[1] - 1), axis=1)
+            diff = b - a
+            inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-30))
+            d.update(
+                contacts_normal=diff * inv,
+                contacts_ab=cands,
+                num_contacts=d["num_candidates"],
+                num_candidates=jnp.zeros_like(d["num_candidates"]),
+            )
+            ctx.data = d
+
+        n_narrow = builder.add_node(narrowphase, deps=[n_broad], name="narrowphase")
+
+        def solver(ctx: Context):
+            # reference simple.cpp:159-181.  Net push computed densely (see
+            # collisions.py solver for the commutativity argument).
+            d = dict(ctx.data)
+            ok = overlap_grid(d)
+            W, n = ok.shape[:2]
+            k_eff = min(K, n * n)
+            ranks = (
+                jnp.cumsum(ok.reshape(W, n * n), axis=1, dtype=jnp.int32) - 1
+            ).reshape(W, n, n)
+            ok = ok & (ranks < k_eff)
+            pos = d["translation"]
+            diff = pos[:, None, :, :] - pos[:, :, None, :]
+            inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-30))
+            normals = diff * inv
+            delta = -2.0 * jnp.sum(jnp.where(ok[..., None], normals, 0.0), axis=2)
+            d.update(
+                translation=pos + delta,
+                num_contacts=jnp.zeros_like(d["num_contacts"]),
+            )
+            ctx.data = d
+
+        builder.add_node(solver, deps=[n_narrow], name="solver")
+
+
+def make_executor(cfg: SimpleJobsConfig = SimpleJobsConfig(), **exec_kwargs):
+    world = SimpleJobsWorld.with_config(cfg)
+    return TaskGraphExecutor(
+        world,
+        ExecutorConfig(num_worlds=cfg.num_worlds, max_entities_per_world=8,
+                       seed=cfg.seed, **exec_kwargs),
+    )

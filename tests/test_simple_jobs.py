@@ -1,0 +1,91 @@
+"""simple_jobs behavioral tests vs reference examples/simple_jobs/simple.cpp."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ecs_madrona_tpu.models import simple_jobs as sj
+
+
+def small_cfg(**kw):
+    d = dict(num_worlds=4, num_objects=12, max_pairs=256, seed=5)
+    d.update(kw)
+    return sj.SimpleJobsConfig(**d)
+
+
+def test_clamp_and_aabb():
+    sim = sj.make_executor(small_cfg())
+    sim.step()
+    d = sim.state["user"]
+    pos = np.asarray(d["translation"])
+    assert (pos >= np.array(sj.BOUNDS_LO) - 2.1).all()  # pushes can exceed briefly
+    alo, ahi = np.asarray(d["aabb_lo"]), np.asarray(d["aabb_hi"])
+    assert (ahi >= alo).all()
+    # rotated unit cube AABB half-extent is within [1, sqrt(3)] per axis
+    half = (ahi - alo) / 2
+    assert (half >= 1.0 - 1e-5).all() and (half <= np.sqrt(3) + 1e-5).all()
+
+
+def test_counters_reset_each_tick():
+    sim = sj.make_executor(small_cfg())
+    sim.run(3)
+    d = sim.state["user"]
+    assert (np.asarray(d["num_candidates"]) == 0).all()
+    assert (np.asarray(d["num_contacts"]) == 0).all()
+
+
+def test_overlap_pushes_apart():
+    sim = sj.make_executor(small_cfg(num_worlds=1, num_objects=2))
+    d = dict(sim.state["user"])
+    d["translation"] = jnp.array([[[0.0, 0.0, 5.0], [1.0, 0.0, 5.0]]])
+    d["rotation"] = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (1, 2, 4)).copy()
+    st = dict(sim.state)
+    st["user"] = d
+    sim.state = st
+    sim.step()
+    pos = np.asarray(sim.state["user"]["translation"])
+    np.testing.assert_allclose(pos[0, 0], [-2.0, 0.0, 5.0], atol=1e-5)
+    np.testing.assert_allclose(pos[0, 1], [3.0, 0.0, 5.0], atol=1e-5)
+
+
+def test_determinism():
+    a = sj.make_executor(small_cfg())
+    b = sj.make_executor(small_cfg())
+    a.run(10)
+    b.run(10)
+    assert np.array_equal(
+        np.asarray(a.state["user"]["translation"]),
+        np.asarray(b.state["user"]["translation"]),
+    )
+
+
+def test_parity_with_collisions_example():
+    """simple_jobs and collisions implement the same physics on different
+    state layouts (user buffers vs ECS archetypes); with identical inits
+    their trajectories must match — the cross-layout consistency check the
+    reference cannot do (its two examples use different RNG streams)."""
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    cfg_j = small_cfg(num_worlds=2, num_objects=8)
+    cfg_c = col.CollisionsConfig(num_worlds=2, num_objects=8, max_pairs=256, seed=5)
+    sj_sim = sj.make_executor(cfg_j)
+    col_sim = col.make_executor(cfg_c)
+
+    # copy collisions' init into simple_jobs user buffers
+    pos = col_sim.mgr.column(col_sim.state, col.CubeObject, col.Translation)[:, :8]
+    rot = col_sim.mgr.column(col_sim.state, col.CubeObject, col.Rotation)[:, :8]
+    d = dict(sj_sim.state["user"])
+    d["translation"] = jnp.asarray(pos)
+    d["rotation"] = jnp.asarray(rot)
+    st = dict(sj_sim.state)
+    st["user"] = d
+    sj_sim.state = st
+
+    # One step: init is in-bounds so simple_jobs' pre-step clamp is a no-op
+    # and the two pipelines compute identical pushes.
+    sj_sim.run(1)
+    col_sim.run(1)
+    p_j = np.asarray(sj_sim.state["user"]["translation"])
+    p_c = np.asarray(
+        col_sim.mgr.column(col_sim.state, col.CubeObject, col.Translation)
+    )[:, :8]
+    np.testing.assert_allclose(p_j, p_c, atol=1e-5)
