@@ -20,15 +20,19 @@ BASELINE_STEPS_PER_S = 1_000_000.0
 
 
 def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from gpu_ecs_madrona_tpu.models import collisions as col
 
     sim = col.make_executor(
         col.CollisionsConfig(num_worlds=NUM_WORLDS, seed=0)
     )
 
-    # Warmup: compile step + multi-step programs (the reference's analog is
-    # the NVRTC megakernel build, amortized by its kernel cache).
-    sim.run(2)
+    # Warmup: compile the step program (the reference's analog is the NVRTC
+    # megakernel build, amortized by its kernel cache / our persistent
+    # compilation cache).
+    sim.run(3)
     sim.block_until_ready()
 
     start = time.perf_counter()

@@ -1,0 +1,205 @@
+"""Physics assets: collision geometry + rigid-body metadata per object type.
+
+TPU redesign of reference PhysicsLoader / ObjectManager
+(include/madrona/physics_assets.hpp, src/physics/physics_assets.cpp) and the
+half-edge mesh (physics.hpp geometry::HalfEdgeMesh):
+
+The reference packs pointer-linked half-edge meshes into GPU buffers; a TPU
+needs rectangular, padded, masked arrays instead.  An ObjectManager here is
+a dict of arrays over the object-type axis O:
+    prim_type [O]           0=sphere, 1=hull, 2=plane (physics.hpp:245-257)
+    sphere_radius [O]
+    verts [O, Vmax, 3]  + num_verts [O]
+    face_normals [O, Fmax, 3], face_d [O, Fmax]  + num_faces [O]
+    edge_dirs [O, Emax, 3]  + num_edges [O]   (unique edge directions)
+    local_aabb_lo/hi [O, 3]
+    inv_mass [O], inv_inertia [O, 3], mu_s [O], mu_d [O]
+      (RigidBodyMetadata, physics.hpp:247-253)
+
+These are *constants* closed over by the physics systems — the analog of
+the reference's ObjectManager living in unified device memory — so XLA
+embeds them rather than threading them through the state pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+PRIM_SPHERE = 0
+PRIM_HULL = 1
+PRIM_PLANE = 2
+
+
+@dataclasses.dataclass
+class SourceObject:
+    """One registered object type (reference SourceObject/SourceMesh,
+    importer.hpp)."""
+
+    prim_type: int
+    sphere_radius: float = 1.0
+    verts: Optional[np.ndarray] = None          # [V, 3] convex hull vertices
+    faces: Optional[List[np.ndarray]] = None    # list of vertex-index loops
+    inv_mass: float = 1.0
+    inv_inertia: Tuple[float, float, float] = (1.0, 1.0, 1.0)
+    mu_s: float = 0.5
+    mu_d: float = 0.5
+
+
+def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
+    """Convex box hull with analytic inverse inertia (solid cuboid)."""
+    hx, hy, hz = half_extents
+    verts = np.array(
+        [[sx * hx, sy * hy, sz * hz]
+         for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
+        np.float32,
+    )
+    # faces as CCW loops (outward normals)
+    faces = [
+        np.array([1, 3, 7, 5]),  # +x
+        np.array([0, 4, 6, 2]),  # -x
+        np.array([2, 6, 7, 3]),  # +y
+        np.array([0, 1, 5, 4]),  # -y
+        np.array([4, 5, 7, 6]),  # +z
+        np.array([0, 2, 3, 1]),  # -z
+    ]
+    if inv_mass > 0:
+        m = 1.0 / inv_mass
+        ix = 12.0 / (m * (4 * hy * hy + 4 * hz * hz))
+        iy = 12.0 / (m * (4 * hx * hx + 4 * hz * hz))
+        iz = 12.0 / (m * (4 * hx * hx + 4 * hy * hy))
+        inv_inertia = (ix, iy, iz)
+    else:
+        inv_inertia = (0.0, 0.0, 0.0)
+    return SourceObject(PRIM_HULL, verts=verts, faces=faces, inv_mass=inv_mass,
+                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d)
+
+
+def make_sphere(radius=1.0, inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
+    if inv_mass > 0:
+        m = 1.0 / inv_mass
+        i = 1.0 / (0.4 * m * radius * radius)
+        inv_inertia = (i, i, i)
+    else:
+        inv_inertia = (0.0, 0.0, 0.0)
+    return SourceObject(PRIM_SPHERE, sphere_radius=radius, inv_mass=inv_mass,
+                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d)
+
+
+def make_plane(mu_s=0.5, mu_d=0.5) -> SourceObject:
+    """Static z=0 ground plane in object space (normal +z), reference
+    CollisionPrimitive::Plane (physics.hpp:264)."""
+    return SourceObject(PRIM_PLANE, inv_mass=0.0, inv_inertia=(0, 0, 0),
+                        mu_s=mu_s, mu_d=mu_d)
+
+
+def convex_hull_from_mesh(verts: np.ndarray, faces: List[np.ndarray],
+                          inv_mass=1.0, mu_s=0.5, mu_d=0.5,
+                          inv_inertia=(1.0, 1.0, 1.0)) -> SourceObject:
+    """Wrap an already-convex mesh (e.g. loaded from .obj via
+    utils.importer) as a hull object (reference PhysicsLoader::
+    loadHullFromDisk, physics_assets.cpp)."""
+    return SourceObject(PRIM_HULL, verts=np.asarray(verts, np.float32),
+                        faces=[np.asarray(f) for f in faces],
+                        inv_mass=inv_mass, inv_inertia=tuple(inv_inertia),
+                        mu_s=mu_s, mu_d=mu_d)
+
+
+class PhysicsLoader:
+    """Collects SourceObjects, packs the padded ObjectManager arrays
+    (reference PhysicsLoader::loadObjects, physics_assets.cpp)."""
+
+    def __init__(self, max_verts: int = 32, max_faces: int = 32, max_edges: int = 16):
+        self.objects: List[SourceObject] = []
+        self.max_verts = max_verts
+        self.max_faces = max_faces
+        self.max_edges = max_edges
+
+    def load_objects(self, objs: Sequence[SourceObject]) -> "PhysicsLoader":
+        self.objects.extend(objs)
+        return self
+
+    def get_object_manager(self) -> Dict[str, np.ndarray]:
+        """Pack into the padded array dict (all numpy; systems convert)."""
+        O = max(len(self.objects), 1)
+        Vm, Fm, Em = self.max_verts, self.max_faces, self.max_edges
+        mgr = {
+            "prim_type": np.zeros(O, np.int32),
+            "sphere_radius": np.ones(O, np.float32),
+            "verts": np.zeros((O, Vm, 3), np.float32),
+            "num_verts": np.zeros(O, np.int32),
+            "face_normals": np.zeros((O, Fm, 3), np.float32),
+            "face_d": np.zeros((O, Fm), np.float32),
+            "num_faces": np.zeros(O, np.int32),
+            "edge_dirs": np.zeros((O, Em, 3), np.float32),
+            "num_edges": np.zeros(O, np.int32),
+            "local_aabb_lo": np.zeros((O, 3), np.float32),
+            "local_aabb_hi": np.zeros((O, 3), np.float32),
+            "inv_mass": np.zeros(O, np.float32),
+            "inv_inertia": np.zeros((O, 3), np.float32),
+            "mu_s": np.zeros(O, np.float32),
+            "mu_d": np.zeros(O, np.float32),
+        }
+        for i, obj in enumerate(self.objects):
+            mgr["prim_type"][i] = obj.prim_type
+            mgr["inv_mass"][i] = obj.inv_mass
+            mgr["inv_inertia"][i] = obj.inv_inertia
+            mgr["mu_s"][i] = obj.mu_s
+            mgr["mu_d"][i] = obj.mu_d
+            if obj.prim_type == PRIM_SPHERE:
+                r = obj.sphere_radius
+                mgr["sphere_radius"][i] = r
+                mgr["local_aabb_lo"][i] = (-r, -r, -r)
+                mgr["local_aabb_hi"][i] = (r, r, r)
+            elif obj.prim_type == PRIM_PLANE:
+                # infinite in x/y; broadphase treats planes specially
+                mgr["local_aabb_lo"][i] = (-1e8, -1e8, -1e8)
+                mgr["local_aabb_hi"][i] = (1e8, 1e8, 0.0)
+            else:
+                v = obj.verts
+                if v.shape[0] > Vm:
+                    raise ValueError(
+                        f"hull {i} has {v.shape[0]} verts > max_verts={Vm}"
+                    )
+                mgr["verts"][i, : v.shape[0]] = v
+                mgr["num_verts"][i] = v.shape[0]
+                mgr["local_aabb_lo"][i] = v.min(axis=0)
+                mgr["local_aabb_hi"][i] = v.max(axis=0)
+                centroid = v.mean(axis=0)
+                nf = 0
+                edge_set = []
+                for loop in obj.faces:
+                    p0, p1, p2 = v[loop[0]], v[loop[1]], v[loop[2]]
+                    n = np.cross(p1 - p0, p2 - p0)
+                    norm = np.linalg.norm(n)
+                    if norm < 1e-12:
+                        continue
+                    n = n / norm
+                    # orient outward
+                    if np.dot(n, p0 - centroid) < 0:
+                        n = -n
+                    if nf >= Fm:
+                        raise ValueError(f"hull {i} has > max_faces={Fm} faces")
+                    mgr["face_normals"][i, nf] = n
+                    mgr["face_d"][i, nf] = np.dot(n, p0)
+                    nf += 1
+                    for a, b in zip(loop, np.roll(loop, -1)):
+                        d = v[b] - v[a]
+                        dn = np.linalg.norm(d)
+                        if dn < 1e-12:
+                            continue
+                        d = d / dn
+                        # dedupe parallel directions (SAT only needs unique)
+                        if not any(
+                            abs(abs(np.dot(d, e)) - 1.0) < 1e-6 for e in edge_set
+                        ):
+                            edge_set.append(d)
+                mgr["num_faces"][i] = nf
+                if len(edge_set) > Em:
+                    raise ValueError(f"hull {i} has {len(edge_set)} unique edge dirs > max_edges={Em}")
+                for k, d in enumerate(edge_set):
+                    mgr["edge_dirs"][i, k] = d
+                mgr["num_edges"][i] = len(edge_set)
+        return mgr

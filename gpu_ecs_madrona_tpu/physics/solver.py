@@ -1,0 +1,290 @@
+"""XPBD rigid-body solver — batched, Jacobi-accumulated.
+
+TPU redesign of the reference's substep solver (src/physics/physics.cpp):
+  - substepRigidBodies (physics.cpp:79-164): semi-implicit integration with
+    gyroscopic term, previous-state stash.
+  - solvePositions (physics.cpp:166-461): per-contact positional lambdas
+    with generalized inverse mass + static-friction drift correction; joint
+    constraints (physics.cpp:560-648).
+  - setVelocities (physics.cpp:673-714): finite-difference velocity
+    recovery.
+  - solveVelocities (physics.cpp:716-1009): dynamic friction + restitution
+    with threshold 2*|g|*h (physics.cpp:31).
+
+The reference applies corrections serially per contact (Gauss-Seidel); a
+lockstep batch cannot.  Corrections here are accumulated Jacobi-style over
+the dense contact grid — per-body sums are reductions along the two grid
+axes (body i collects row i as ref and column i as other), so the solve has
+zero gathers/scatters.  An optional relaxation factor damps the Jacobi
+iteration (standard XPBD-on-GPU practice).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.utils import math as m
+
+
+def integrate(pos, rot, vel_lin, vel_ang, inv_mass, inv_inertia, ext_f,
+              ext_t, response_dynamic, h, gravity):
+    """Semi-implicit Euler substep (reference substepRigidBodies,
+    physics.cpp:79-164).  Returns new (pos, rot, vel_lin, vel_ang) plus the
+    prev stash.  All args lead with [W, n]."""
+    prev_pos, prev_rot = pos, rot
+
+    h = jnp.reshape(h, (h.shape[0], 1, 1))
+    dyn = response_dynamic & (inv_mass > 0)
+    v = vel_lin + h * (gravity[..., None, :] + ext_f * inv_mass[..., None])
+    v = jnp.where(dyn[..., None], v, vel_lin)
+    new_pos = pos + h * v
+    new_pos = jnp.where(dyn[..., None], new_pos, pos)
+
+    # angular: omega += h * invI * (tau - omega x (I omega)) (gyroscopic)
+    inertia = jnp.where(inv_inertia > 0, 1.0 / jnp.maximum(inv_inertia, 1e-12), 0.0)
+    # body-frame omega for the diagonal inertia product
+    omega_b = m.quat_inv_rotate(rot, vel_ang)
+    gyro_b = jnp.cross(omega_b, inertia * omega_b)
+    tau_b = m.quat_inv_rotate(rot, ext_t)
+    omega_b = omega_b + h * inv_inertia * (tau_b - gyro_b)
+    w = m.quat_rotate(rot, omega_b)
+    w = jnp.where(dyn[..., None], w, vel_ang)
+    new_rot = m.quat_integrate(rot, w, h)
+    new_rot = jnp.where(dyn[..., None], new_rot, rot)
+
+    return new_pos, new_rot, v, w, prev_pos, prev_rot
+
+
+def _generalized_inv_mass(r, nrm, inv_mass, inv_inertia, rot):
+    """w = 1/m + (r x n)^T I^-1 (r x n) (reference physics.cpp:215-231).
+    r, nrm [..., 3]; inv_mass [...], inv_inertia [..., 3] diagonal in the
+    body frame; rot [..., 4]."""
+    rxn = jnp.cross(r, nrm)
+    rxn_b = m.quat_inv_rotate(rot, rxn)
+    return inv_mass + jnp.sum(rxn_b * inv_inertia * rxn_b, axis=-1)
+
+
+def _apply_impulse_terms(p, r, inv_mass, inv_inertia, rot):
+    """Positional impulse p at offset r -> (dx [...,3], dq-omega [...,3]).
+    dx = p/m ; rotation update vector = I^-1 (r x p) (physics.cpp:247-268)."""
+    dx = p * inv_mass[..., None]
+    rxp_b = m.quat_inv_rotate(rot, jnp.cross(r, p))
+    dw = m.quat_rotate(rot, inv_inertia * rxp_b)
+    return dx, dw
+
+
+def solve_positions(pos, rot, contacts, inv_mass, inv_inertia, mu_s,
+                    prev_pos, prev_rot, response_dynamic, relaxation=1.0,
+                    max_visible_depth=0.05):
+    """One Jacobi XPBD positional pass over the dense contact grid
+    (reference solvePositions, physics.cpp:166-461).
+
+    contacts: dict from narrowphase_dense (ok/normal/points/depth/num_points
+    with leading [W, n, n], i=ref, j=other).  Contact depths are solved with
+    zero compliance; static friction corrects tangential drift of the
+    contact point relative to the prev-state positions, clamped by mu_s
+    (physics.cpp:369-441).
+
+    Returns (new_pos, new_rot, lambda_n [W,n,n,4]) — lambdas feed the
+    velocity pass.
+    """
+    W, n = pos.shape[0], pos.shape[1]
+    ok = contacts["ok"]
+    nrm = contacts["normal"]                      # i -> j
+    pts = contacts["points"]                      # [W,n,n,4,3]
+    depth = contacts["depth"]                     # [W,n,n,4]
+    pt_ok = ok[..., None] & (depth > 0) & (
+        jnp.arange(4)[None, None, None] < contacts["num_points"][..., None]
+    )
+
+    dynA = (response_dynamic & (inv_mass > 0))[:, :, None, None]      # [W,n,1,1]
+    dynB = (response_dynamic & (inv_mass > 0))[:, None, :, None]
+    imA = jnp.where(dynA, inv_mass[:, :, None, None], 0.0)
+    imB = jnp.where(dynB, inv_mass[:, None, :, None], 0.0)
+    iiA = jnp.where(dynA[..., None], inv_inertia[:, :, None, None, :], 0.0)
+    iiB = jnp.where(dynB[..., None], inv_inertia[:, None, :, None, :], 0.0)
+    rotA = jnp.broadcast_to(rot[:, :, None, None, :], (W, n, n, 4, 4))
+    rotB = jnp.broadcast_to(rot[:, None, :, None, :], (W, n, n, 4, 4))
+
+    rA = pts - pos[:, :, None, None, :]           # [W,n,n,4,3]
+    rB = pts - pos[:, None, :, None, :]
+    n4 = nrm[..., None, :]                        # broadcast over points
+
+    wA = _generalized_inv_mass(rA, jnp.broadcast_to(n4, rA.shape), imA, iiA, rotA)
+    wB = _generalized_inv_mass(rB, jnp.broadcast_to(n4, rB.shape), imB, iiB, rotB)
+    wsum = wA + wB
+    # XPBD: dlambda = -C / (w1 + w2); C = -depth (violation).  Corrections
+    # deeper than max_visible_depth are solved as position *bias* — applied
+    # to the body but excluded from finite-difference velocity recovery —
+    # so deep depenetration does not convert into kinetic energy (the
+    # ejection failure mode of plain XPBD; cf. PhysX
+    # maxDepenetrationVelocity).
+    depth_vis = jnp.minimum(depth, max_visible_depth)
+    dlam = jnp.where(pt_ok & (wsum > 1e-12), depth / jnp.maximum(wsum, 1e-12), 0.0)
+    dlam = dlam * relaxation
+    dlam_vis = jnp.where(pt_ok & (wsum > 1e-12),
+                         depth_vis / jnp.maximum(wsum, 1e-12), 0.0) * relaxation
+    bias_frac = jnp.where(dlam > 1e-12, (dlam - dlam_vis) / jnp.maximum(dlam, 1e-12), 0.0)
+    p = dlam[..., None] * n4                      # impulse on A along -n?
+    # normal points i->j: push i backwards, j forwards (reference pushes
+    # ref by -n * lambda, alt by +n * lambda)
+    dxA, dwA = _apply_impulse_terms(-p, rA, imA, iiA, rotA)
+    dxB, dwB = _apply_impulse_terms(p, rB, imB, iiB, rotB)
+
+    # ---- static friction (physics.cpp:369-441): tangential drift of the
+    # contact points since the substep start, clamped by mu_s * lambda_n
+    relA = pts - prev_pos[:, :, None, None, :]
+    relB = pts - prev_pos[:, None, :, None, :]
+    # current position of the material points after integration ~ pts; the
+    # drift is the relative motion of the two bodies' frames at the contact:
+    dispA = (pos[:, :, None, None, :] - prev_pos[:, :, None, None, :])
+    dispB = (pos[:, None, :, None, :] - prev_pos[:, None, :, None, :])
+    drift = dispB - dispA
+    tang = drift - jnp.sum(drift * n4, axis=-1, keepdims=True) * n4
+    tlen = jnp.linalg.norm(tang, axis=-1)
+    that = tang / jnp.maximum(tlen[..., None], 1e-12)
+    wA_t = _generalized_inv_mass(rA, jnp.broadcast_to(that, rA.shape), imA, iiA, rotA)
+    wB_t = _generalized_inv_mass(rB, jnp.broadcast_to(that, rB.shape), imB, iiB, rotB)
+    wsum_t = wA_t + wB_t
+    mu_pair = 0.5 * (mu_s[:, :, None, None] + mu_s[:, None, :, None])
+    dlam_t = jnp.where(
+        pt_ok & (wsum_t > 1e-12) & (tlen < mu_pair * dlam),
+        tlen / jnp.maximum(wsum_t, 1e-12), 0.0
+    ) * relaxation
+    pt = dlam_t[..., None] * that
+    fxA, fwA = _apply_impulse_terms(pt, rA, imA, iiA, rotA)
+    fxB, fwB = _apply_impulse_terms(-pt, rB, imB, iiB, rotB)
+    dxA, dwA = dxA + fxA, dwA + fwA
+    dxB, dwB = dxB + fxB, dwB + fwB
+
+    # ---- Jacobi accumulation: body k gets row k (as ref/A) + column k (as
+    # other/B): reductions over grid axes — no scatter.
+    m4 = pt_ok[..., None]
+    dpos = (
+        jnp.sum(jnp.where(m4, dxA, 0.0), axis=(2, 3))
+        + jnp.sum(jnp.where(m4, dxB, 0.0), axis=(1, 3))
+    )  # [W, n, 3]
+    dw = (
+        jnp.sum(jnp.where(m4, dwA, 0.0), axis=(2, 3))
+        + jnp.sum(jnp.where(m4, dwB, 0.0), axis=(1, 3))
+    )
+
+    # linear bias displacement (per body): the deep-depenetration share of
+    # the normal correction, excluded from velocity recovery
+    bias4 = bias_frac[..., None]
+    bias_dpos = (
+        jnp.sum(jnp.where(m4, dxA * bias4, 0.0), axis=(2, 3))
+        + jnp.sum(jnp.where(m4, dxB * bias4, 0.0), axis=(1, 3))
+    )
+
+    new_pos = pos + dpos
+    # apply accumulated rotation vector as a quaternion delta
+    new_rot = m.quat_normalize(
+        rot + 0.5 * m.quat_mul(
+            jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), rot
+        )
+    )
+    return new_pos, new_rot, jnp.where(pt_ok, dlam, 0.0), bias_dpos
+
+
+def set_velocities(pos, rot, prev_pos, prev_rot, h, bias_dpos=None):
+    """Finite-difference velocity recovery (reference setVelocities,
+    physics.cpp:673-714).  bias_dpos (from solve_positions) is excluded so
+    deep depenetration does not inject velocity."""
+    h = jnp.reshape(h, (h.shape[0], 1, 1))
+    if bias_dpos is None:
+        bias_dpos = jnp.zeros_like(pos)
+    v = (pos - prev_pos - bias_dpos) / h
+    dq = m.quat_mul(rot, jnp.concatenate(
+        [prev_rot[..., 0:1], -prev_rot[..., 1:4]], axis=-1))
+    omega = 2.0 * dq[..., 1:4] / h
+    omega = jnp.where(dq[..., 0:1] >= 0, omega, -omega)
+    return v, omega
+
+
+def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
+                     inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
+                     response_dynamic, h, restitution_threshold,
+                     relaxation=1.0):
+    """Velocity pass: dynamic friction + restitution (reference
+    solveVelocities, physics.cpp:716-1009).  Restitution uses the
+    pre-substep normal velocity with threshold 2*|g|*h; dynamic friction
+    clamps by mu_d * |lambda_n| / h."""
+    W, n = pos.shape[0], pos.shape[1]
+    ok = contacts["ok"]
+    nrm = contacts["normal"]
+    pts = contacts["points"]
+    pt_ok = ok[..., None] & (contacts["depth"] > 0) & (
+        jnp.arange(4)[None, None, None] < contacts["num_points"][..., None]
+    )
+    n4 = nrm[..., None, :]
+
+    dynA = (response_dynamic & (inv_mass > 0))[:, :, None, None]
+    dynB = (response_dynamic & (inv_mass > 0))[:, None, :, None]
+    imA = jnp.where(dynA, inv_mass[:, :, None, None], 0.0)
+    imB = jnp.where(dynB, inv_mass[:, None, :, None], 0.0)
+    iiA = jnp.where(dynA[..., None], inv_inertia[:, :, None, None, :], 0.0)
+    iiB = jnp.where(dynB[..., None], inv_inertia[:, None, :, None, :], 0.0)
+    rotA = jnp.broadcast_to(rot[:, :, None, None, :], (W, n, n, 4, 4))
+    rotB = jnp.broadcast_to(rot[:, None, :, None, :], (W, n, n, 4, 4))
+
+    rA = pts - pos[:, :, None, None, :]
+    rB = pts - pos[:, None, :, None, :]
+
+    def point_vel(v, w, r):
+        return v + jnp.cross(w, r)
+
+    vA = point_vel(vel_lin[:, :, None, None, :], vel_ang[:, :, None, None, :], rA)
+    vB = point_vel(vel_lin[:, None, :, None, :], vel_ang[:, None, :, None, :], rB)
+    rel = vB - vA
+    vn = jnp.sum(rel * n4, axis=-1)
+    vt = rel - vn[..., None] * n4
+    vt_len = jnp.linalg.norm(vt, axis=-1)
+    that = vt / jnp.maximum(vt_len[..., None], 1e-12)
+
+    # dynamic friction impulse magnitude: min(mu_d*|lambda_n|/h, |vt|/wsum)
+    wA_t = _generalized_inv_mass(rA, jnp.broadcast_to(that, rA.shape), imA, iiA, rotA)
+    wB_t = _generalized_inv_mass(rB, jnp.broadcast_to(that, rB.shape), imB, iiB, rotB)
+    wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
+    mu_pair = 0.5 * (mu_d[:, :, None, None] + mu_d[:, None, :, None])
+    h4 = jnp.reshape(h, (h.shape[0], 1, 1, 1))
+    fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h4, vt_len / wsum_t)
+    # friction opposes the relative tangential motion of B w.r.t. A: the
+    # impulse on B points along -that (imp is applied +imp to B below)
+    fimp = -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0)[..., None] * that
+
+    # restitution: pre-substep normal velocity
+    pvA = point_vel(pre_v[:, :, None, None, :], pre_omega[:, :, None, None, :], rA)
+    pvB = point_vel(pre_v[:, None, :, None, :], pre_omega[:, None, :, None, :], rB)
+    vn_pre = jnp.sum((pvB - pvA) * n4, axis=-1)
+    e = jnp.where(jnp.abs(vn_pre) <= restitution_threshold[..., None, None, None], 0.0, 0.0)
+    # (reference uses e=0 default restitution w/ threshold; restitution
+    # target velocity = -e*vn_pre)
+    wA_n = _generalized_inv_mass(rA, jnp.broadcast_to(n4, rA.shape), imA, iiA, rotA)
+    wB_n = _generalized_inv_mass(rB, jnp.broadcast_to(n4, rB.shape), imB, iiB, rotB)
+    wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
+    dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0))
+    nimp = jnp.where(pt_ok & (vn < 0), dv_n / wsum_n, 0.0)[..., None] * n4
+
+    imp = (fimp + nimp) * relaxation
+
+    dvA = -imp * imA[..., None]
+    dvB = imp * imB[..., None]
+    dwA_b = m.quat_inv_rotate(rotA, jnp.cross(rA, -imp))
+    dwB_b = m.quat_inv_rotate(rotB, jnp.cross(rB, imp))
+    dwA = m.quat_rotate(rotA, iiA * dwA_b)
+    dwB = m.quat_rotate(rotB, iiB * dwB_b)
+
+    m4 = pt_ok[..., None]
+    dv = (
+        jnp.sum(jnp.where(m4, dvA, 0.0), axis=(2, 3))
+        + jnp.sum(jnp.where(m4, dvB, 0.0), axis=(1, 3))
+    )
+    dw = (
+        jnp.sum(jnp.where(m4, dwA, 0.0), axis=(2, 3))
+        + jnp.sum(jnp.where(m4, dwB, 0.0), axis=(1, 3))
+    )
+    return vel_lin + dv, vel_ang + dw

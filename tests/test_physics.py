@@ -1,0 +1,188 @@
+"""Physics pipeline tests: integration, contacts, XPBD settle behavior.
+
+The reference has no physics unit tests (SURVEY.md §4 — only debug energy
+accounting, physics.cpp:52-77); these golden-behavior tests are the pyramid
+it lacks.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gpu_ecs_madrona_tpu import (
+    Archetype,
+    ECSRegistry,
+    ExecutorConfig,
+    TaskGraphExecutor,
+    base,
+)
+from gpu_ecs_madrona_tpu.physics import (
+    BODY_COMPONENTS,
+    RigidBodyPhysicsSystem,
+    assets,
+)
+from gpu_ecs_madrona_tpu.physics.components import (
+    ResponseType,
+    RESPONSE_DYNAMIC,
+    RESPONSE_STATIC,
+    Velocity,
+)
+
+Body = Archetype("PhysBody", BODY_COMPONENTS)
+
+OBJ_BOX = 0
+OBJ_SPHERE = 1
+OBJ_PLANE = 2
+
+loader = assets.PhysicsLoader()
+loader.load_objects([
+    assets.make_box((1.0, 1.0, 1.0), inv_mass=1.0),
+    assets.make_sphere(1.0, inv_mass=1.0),
+    assets.make_plane(),
+])
+OBJMGR = loader.get_object_manager()
+
+
+def make_world(num_worlds, bodies, num_substeps=4, dt=1 / 60):
+    """bodies: list of (obj_id, pos, response_type)."""
+
+    class PhysWorld:
+        @staticmethod
+        def register_types(registry):
+            RigidBodyPhysicsSystem.register_types(registry, max_candidates=64,
+                                                  max_contacts=64)
+            registry.register_archetype(Body, capacity=16)
+            registry.export_column(Body, base.Position, 0)
+            registry.export_column(Body, base.Rotation, 1)
+
+        @staticmethod
+        def init(ctx, init_data=None):
+            W = ctx.num_worlds
+            ctx.data = {"_": jnp.zeros((W, 1))}
+            RigidBodyPhysicsSystem.init(ctx, delta_t=dt,
+                                        num_substeps=num_substeps)
+            nb = len(bodies)
+            pos = jnp.broadcast_to(
+                jnp.array([b[1] for b in bodies], jnp.float32), (W, nb, 3))
+            objs = jnp.broadcast_to(
+                jnp.array([b[0] for b in bodies], jnp.int32), (W, nb))
+            resp = jnp.broadcast_to(
+                jnp.array([b[2] for b in bodies], jnp.int32), (W, nb))
+            rot = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, nb, 4))
+            scale = jnp.ones((W, nb, 3))
+            ctx.make_entities(
+                Body, counts=nb, max_new=nb,
+                values={
+                    base.Position: pos,
+                    base.Rotation: rot,
+                    base.Scale: scale,
+                    base.ObjectID: objs,
+                    ResponseType: resp,
+                },
+            )
+
+        @staticmethod
+        def setup_tasks(builder):
+            bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
+                builder, [], Body, OBJMGR)
+            ss = RigidBodyPhysicsSystem.setup_substep_tasks(
+                builder, [bp], num_substeps, Body, OBJMGR, relaxation=0.7)
+            RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
+
+    return TaskGraphExecutor(
+        PhysWorld, ExecutorConfig(num_worlds=num_worlds,
+                                  max_entities_per_world=32, seed=0))
+
+
+def test_free_fall():
+    """A body with no contacts accelerates downward at g."""
+    sim = make_world(2, [(OBJ_BOX, (0, 0, 50.0), RESPONSE_DYNAMIC)])
+    sim.run(30)  # 0.5 s
+    pos, mask = sim.get_exported(0)
+    z = np.asarray(pos)[0, 0, 2]
+    # z = 50 - 0.5*g*t^2 ~ 50 - 1.225 (semi-implicit slightly lower)
+    assert 48.0 < z < 49.0, z
+
+
+def test_box_settles_on_plane():
+    """A unit box dropped from low height settles on the ground plane with
+    its bottom at z ~ 0 (center z ~ 1)."""
+    sim = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.5), RESPONSE_DYNAMIC),
+    ])
+    sim.run(120)  # 2 s
+    pos, _ = sim.get_exported(0)
+    z = np.asarray(pos)[:, 1, 2]
+    assert (np.abs(z - 1.0) < 0.15).all(), z
+
+
+def test_sphere_settles_on_plane():
+    sim = make_world(1, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_SPHERE, (0.0, 0.0, 2.0), RESPONSE_DYNAMIC),
+    ])
+    sim.run(150)
+    pos, _ = sim.get_exported(0)
+    z = np.asarray(pos)[0, 1, 2]
+    assert abs(z - 1.0) < 0.15, z
+
+
+def test_sphere_sphere_collision():
+    """Two spheres dropped overlapping separate to >= sum of radii-ish."""
+    sim = make_world(1, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_SPHERE, (0.0, 0.0, 1.0), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.5, 0.0, 1.2), RESPONSE_DYNAMIC),
+    ])
+    sim.run(120)
+    pos, _ = sim.get_exported(0)
+    p = np.asarray(pos)[0]
+    d = np.linalg.norm(p[1] - p[2])
+    assert d > 1.6, (p, d)
+    assert np.isfinite(p).all()
+
+
+def test_static_bodies_never_move():
+    sim = make_world(1, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 0.5), RESPONSE_DYNAMIC),  # overlapping the plane
+    ])
+    sim.run(60)
+    pos, _ = sim.get_exported(0)
+    np.testing.assert_allclose(np.asarray(pos)[0, 0], [0, 0, 0], atol=1e-6)
+
+
+def test_determinism():
+    a = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 2.0), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 4.0), RESPONSE_DYNAMIC),
+    ])
+    b = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 2.0), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 4.0), RESPONSE_DYNAMIC),
+    ])
+    a.run(50)
+    b.run(50)
+    pa, _ = a.get_exported(0)
+    pb, _ = b.get_exported(0)
+    assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_box_box_stack():
+    """A box dropped on a resting box stays stacked (SAT hull-hull +
+    friction); centers end ~2 apart vertically."""
+    sim = make_world(1, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.0), RESPONSE_DYNAMIC),
+        (OBJ_BOX, (0.1, 0.0, 3.2), RESPONSE_DYNAMIC),
+    ])
+    sim.run(180)
+    pos, _ = sim.get_exported(0)
+    p = np.asarray(pos)[0]
+    assert np.isfinite(p).all()
+    assert abs(p[1, 2] - 1.0) < 0.3, p
+    assert 2.5 < p[2, 2] < 3.6, p
