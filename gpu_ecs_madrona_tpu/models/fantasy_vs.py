@@ -273,6 +273,88 @@ class FantasyVsWorld:
             builder.add_node(cleanup, deps=[n_cast, n_arch], name="cleanup")
 
 
+class FantasyVsRLWorld(FantasyVsWorld):
+    """RL variant: knight movement is driven by an injected action buffer
+    instead of the random policy — the BASELINE config-5 workload (worlds
+    sharded over a mesh feeding a PPO learner)."""
+
+    @classmethod
+    def init(cls, ctx: Context, init_data=None):
+        super().init(ctx, init_data)
+        cfg = cls.config
+        user = dict(ctx.data)
+        user["knight_move"] = jnp.zeros((ctx.num_worlds, cfg.num_knights, 3))
+        ctx.data = user
+
+    @classmethod
+    def setup_tasks(cls, builder: TaskGraphBuilder):
+        cfg = cls.config
+        lo = jnp.array(BOUNDS_LO)
+        hi = jnp.array(BOUNDS_HI)
+
+        def apply_knight_actions(ctx: Context):
+            mv = ctx.data["knight_move"]           # [W, nk, 3]
+            pos = ctx.column(Knight, Position)
+            mask = ctx.row_mask(Knight)
+            new_pos = jnp.clip(pos + jnp.tanh(mv), lo, hi)
+            ctx.set_column(Knight, Position,
+                           jnp.where(mask[..., None], new_pos, pos))
+
+        builder.add_node(apply_knight_actions, name="apply_knight_actions")
+        super().setup_tasks(builder)
+
+
+def make_rl_env(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
+    """Returns (executor, obs_fn, inject_fn, reward_fn, obs_dim, act_dim)
+    for parallel.learner.PPOLearner."""
+    world = type("FantasyVsRLWorld", (FantasyVsRLWorld,), {"config": cfg})
+    sim = TaskGraphExecutor(
+        world,
+        ExecutorConfig(
+            num_worlds=cfg.num_worlds,
+            max_entities_per_world=cfg.num_dragons + cfg.num_knights + 8,
+            seed=cfg.seed, **exec_kwargs),
+    )
+    mgr = sim.mgr
+    nd, nk = cfg.num_dragons, cfg.num_knights
+
+    def obs_fn(state):
+        d_pos = mgr.column(state, Dragon, Position)
+        d_hp = mgr.column(state, Dragon, Health)["hp"][..., None] / 1000.0
+        d_m = mgr.row_mask(state, Dragon)[..., None].astype(jnp.float32)
+        k_pos = mgr.column(state, Knight, Position)
+        k_hp = mgr.column(state, Knight, Health)["hp"][..., None] / 100.0
+        k_m = mgr.row_mask(state, Knight)[..., None].astype(jnp.float32)
+        W = d_pos.shape[0]
+        obs = jnp.concatenate([
+            (jnp.concatenate([d_pos / 10.0, d_hp, d_m], -1) * d_m).reshape(W, -1),
+            (jnp.concatenate([k_pos / 10.0, k_hp, k_m], -1) * k_m).reshape(W, -1),
+        ], axis=-1)
+        return obs
+
+    obs_dim = nd * 5 + nk * 5
+    act_dim = nk * 3
+
+    def inject_fn(state, actions):
+        user = dict(state["user"])
+        user["knight_move"] = actions.reshape(actions.shape[0], nk, 3)
+        st = dict(state)
+        st["user"] = user
+        return st
+
+    def reward_fn(prev_state, state):
+        """Damage dealt to dragons this step (+ bonus for dead dragons)."""
+        hp0 = mgr.column(prev_state, Dragon, Health)["hp"]
+        m0 = mgr.row_mask(prev_state, Dragon)
+        hp1 = mgr.column(state, Dragon, Health)["hp"]
+        m1 = mgr.row_mask(state, Dragon)
+        tot0 = jnp.sum(jnp.where(m0, hp0, 0.0), axis=1)
+        tot1 = jnp.sum(jnp.where(m1, hp1, 0.0), axis=1)
+        return (tot0 - tot1) / 100.0
+
+    return sim, obs_fn, inject_fn, reward_fn, obs_dim, act_dim
+
+
 def make_executor(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
     world = FantasyVsWorld.with_config(cfg)
     return TaskGraphExecutor(

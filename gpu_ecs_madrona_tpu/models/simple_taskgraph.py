@@ -67,6 +67,10 @@ class SimpleTaskgraphConfig:
     num_substeps: int = 4
     delta_t: float = 1.0 / 60.0
     seed: int = 0
+    # enable RGB/depth observation rendering (reference BatchRenderer)
+    render: bool = False
+    render_width: int = 64
+    render_height: int = 64
 
 
 class SimpleTaskgraphWorld:
@@ -86,6 +90,10 @@ class SimpleTaskgraphWorld:
         RenderingSystem.register_types(registry)
         registry.register_archetype(Sphere, capacity=cfg.num_objects + 4)
         registry.register_archetype(Agent, capacity=1)
+        if cfg.render:
+            # build the renderer eagerly: constructing jnp constants inside
+            # the traced world-init would leak tracers out of the jit
+            cls._renderer()
         registry.export_column(Agent, base.Position, 0)
         registry.export_column(Agent, base.Rotation, 1)
         registry.export_column(Sphere, base.Position, 2)
@@ -103,6 +111,8 @@ class SimpleTaskgraphWorld:
             ctx, delta_t=cfg.delta_t, num_substeps=cfg.num_substeps)
         RenderingSystem.init(ctx, renderable_archetypes=[Sphere],
                              view_archetype=Agent)
+        if cfg.render:
+            cls._renderer().init_buffers(ctx)
 
         # spheres: random positions/rotations (reference init.cpp:20-53)
         kpos, kang = ctx.rng_one(), ctx.rng_one()
@@ -135,6 +145,17 @@ class SimpleTaskgraphWorld:
         )
 
     @classmethod
+    def _renderer(cls):
+        from gpu_ecs_madrona_tpu.render.renderer import BatchRenderer, RendererConfig
+        if not hasattr(cls, "_renderer_obj"):
+            cfg = cls.config
+            cls._renderer_obj = BatchRenderer(
+                RendererConfig(width=cfg.render_width,
+                               height=cfg.render_height, max_views=1),
+                OBJMGR)
+        return cls._renderer_obj
+
+    @classmethod
     def setup_tasks(cls, builder: TaskGraphBuilder):
         cfg = cls.config
 
@@ -154,7 +175,9 @@ class SimpleTaskgraphWorld:
         cl = RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
         # render packing (reference simple.cpp:59-62)
-        RenderingSystem.setup_tasks(builder, [cl], [Sphere], Agent)
+        pack = RenderingSystem.setup_tasks(builder, [cl], [Sphere], Agent)
+        if cfg.render:
+            cls._renderer().setup_tasks(builder, [pack], [Sphere])
 
 
 def make_executor(cfg: SimpleTaskgraphConfig = SimpleTaskgraphConfig(),

@@ -1,0 +1,276 @@
+"""BatchRenderer — RGB + depth observation rendering for all worlds.
+
+TPU redesign of the reference's Vulkan ray-query batch renderer
+(src/mw/render/vk/batch_renderer.cpp + shaders/basic.comp): the reference
+rebuilds a TLAS per world per frame and dispatches a ray-query compute
+shader at (ceil(w/32), ceil(h/8), numViews) writing RGBA8 + float depth
+buffers (vk/batch_renderer.cpp:465-683, shader_common.h:7-9).
+
+On TPU, acceleration structures are pointer-chasing and anti-idiomatic
+(SURVEY.md §7.1): instead each pixel's camera ray analytically intersects
+every instance (sphere / oriented box / ground plane — the same primitive
+set the physics assets define), a dense [pixels x instances] reduction that
+vectorizes perfectly at the O(100) instances/world the reference's examples
+use.  Shading is Lambertian with a per-object albedo, matching the
+reference shader's simple output.  Rendering is a taskgraph node, so it
+fuses into the jit step and observations are zero-copy exports
+(rgb [W, views, H, Wpx, 4] uint8, depth [W, views, H, Wpx] f32 — the
+reference's rgbPtr/depthPtr layout batched over worlds).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.core.component import Archetype
+from gpu_ecs_madrona_tpu.core.context import Context
+from gpu_ecs_madrona_tpu.core.taskgraph import NodeID, TaskGraphBuilder
+from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHERE
+from gpu_ecs_madrona_tpu.utils import math as m
+
+BIG = 1e9
+
+
+@dataclasses.dataclass
+class RendererConfig:
+    """reference BatchRenderer::Config (mw_render.hpp / batch_renderer.hpp):
+    render width/height, max views; input mode is implicit (device arrays)."""
+
+    width: int = 64
+    height: int = 64
+    max_views: int = 1
+    # simple directional light
+    light_dir: tuple = (0.3, 0.3, -1.0)
+    ambient: float = 0.2
+
+
+class BatchRenderer:
+    """Builds a render taskgraph node over packed instance/view buffers
+    (from render.interop.RenderingSystem.setup_tasks)."""
+
+    def __init__(self, cfg: RendererConfig, object_manager: Dict[str, Any],
+                 object_albedo=None):
+        self.cfg = cfg
+        self.objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
+        num_objs = self.objmgr["prim_type"].shape[0]
+        if object_albedo is None:
+            # deterministic distinct colors per object type
+            hues = (jnp.arange(num_objs, dtype=jnp.float32) * 0.37) % 1.0
+            object_albedo = jnp.stack([
+                0.5 + 0.5 * jnp.cos(2 * jnp.pi * (hues + s))
+                for s in (0.0, 0.33, 0.67)
+            ], axis=-1)
+        self.albedo = jnp.asarray(object_albedo, jnp.float32)
+
+    def init_buffers(self, ctx: Context):
+        """Pre-create output buffers in ctx.data (stable pytree)."""
+        cfg = self.cfg
+        W = ctx.num_worlds
+        user = dict(ctx.data)
+        user["render_out"] = {
+            "rgb": jnp.zeros((W, cfg.max_views, cfg.height, cfg.width, 4),
+                             jnp.uint8),
+            "depth": jnp.full((W, cfg.max_views, cfg.height, cfg.width),
+                              jnp.inf, jnp.float32),
+        }
+        ctx.data = user
+
+    # -- ray-primitive intersections (basic.comp analogs) ------------------
+
+    @staticmethod
+    def _ray_sphere(ro, rd, center, radius):
+        """ro/rd [..., 3] broadcast vs center [..., 3], radius [...]."""
+        oc = ro - center
+        b = jnp.sum(oc * rd, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = b * b - c
+        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        hit = (disc >= 0) & (t > 1e-4)
+        t = jnp.where(hit, t, BIG)
+        normal = (ro + rd * t[..., None]) - center
+        normal = normal / jnp.maximum(jnp.linalg.norm(normal, axis=-1, keepdims=True), 1e-9)
+        return t, normal
+
+    @staticmethod
+    def _ray_obb(ro, rd, center, rot, half):
+        """Oriented-box slab test in the box's local frame."""
+        ro_l = m.quat_inv_rotate(rot, ro - center)
+        rd_l = m.quat_inv_rotate(rot, rd)
+        inv = 1.0 / jnp.where(jnp.abs(rd_l) < 1e-9,
+                              jnp.where(rd_l >= 0, 1e-9, -1e-9), rd_l)
+        t0 = (-half - ro_l) * inv
+        t1 = (half - ro_l) * inv
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = (tmax >= jnp.maximum(tmin, 1e-4))
+        t = jnp.where(hit, jnp.where(tmin > 1e-4, tmin, tmax), BIG)
+        # local normal: axis of the entry face
+        p_l = ro_l + rd_l * t[..., None]
+        an = jnp.abs(p_l / jnp.maximum(half, 1e-9))
+        axis = jnp.argmax(an, axis=-1)
+        n_l = jax.nn.one_hot(axis, 3, dtype=ro.dtype) * jnp.sign(p_l)
+        normal = m.quat_rotate(rot, n_l)
+        return t, normal
+
+    @staticmethod
+    def _ray_plane(ro, rd, center, rot):
+        n = m.quat_rotate(rot, jnp.zeros_like(center).at[..., 2].set(1.0))
+        denom = jnp.sum(rd * n, axis=-1)
+        t = jnp.sum((center - ro) * n, axis=-1) / jnp.where(
+            jnp.abs(denom) < 1e-9, 1e-9, denom)
+        hit = (t > 1e-4) & (jnp.abs(denom) > 1e-6)
+        return jnp.where(hit, t, BIG), jnp.broadcast_to(n, rd.shape)
+
+    # t-only variants for the all-instances pass (no normal computation)
+
+    @staticmethod
+    def _ray_sphere_t(ro, rd, center, radius):
+        oc = ro - center
+        b = jnp.sum(oc * rd, axis=-1)
+        c = jnp.sum(oc * oc, axis=-1) - radius * radius
+        disc = b * b - c
+        t = -b - jnp.sqrt(jnp.maximum(disc, 0.0))
+        return jnp.where((disc >= 0) & (t > 1e-4), t, BIG)
+
+    @staticmethod
+    def _ray_obb_t(ro, rd, center, rot, half):
+        ro_l = m.quat_inv_rotate(rot, ro - center)
+        rd_l = m.quat_inv_rotate(rot, rd)
+        inv = 1.0 / jnp.where(jnp.abs(rd_l) < 1e-9,
+                              jnp.where(rd_l >= 0, 1e-9, -1e-9), rd_l)
+        t0 = (-half - ro_l) * inv
+        t1 = (half - ro_l) * inv
+        tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        hit = tmax >= jnp.maximum(tmin, 1e-4)
+        return jnp.where(hit, jnp.where(tmin > 1e-4, tmin, tmax), BIG)
+
+    @staticmethod
+    def _ray_plane_t(ro, rd, center, rot):
+        n = m.quat_rotate(rot, jnp.zeros_like(center).at[..., 2].set(1.0))
+        denom = jnp.sum(rd * n, axis=-1)
+        t = jnp.sum((center - ro) * n, axis=-1) / jnp.where(
+            jnp.abs(denom) < 1e-9, 1e-9, denom)
+        return jnp.where((t > 1e-4) & (jnp.abs(denom) > 1e-6), t, BIG)
+
+    # -- node ---------------------------------------------------------------
+
+    def setup_tasks(self, builder: TaskGraphBuilder,
+                    deps: Sequence[NodeID],
+                    instance_archetypes: Sequence[Archetype]) -> NodeID:
+        """Append the render node (the analog of BatchRenderer::render being
+        called per step, cuda_exec.cpp:1787-1793 — but fused into the jit
+        step instead of a separate queue submission)."""
+        cfg = self.cfg
+        objmgr = self.objmgr
+        albedo = self.albedo
+
+        def render(ctx: Context):
+            user = dict(ctx.data)
+            render_in = user["render"]
+            views = render_in["__views__"]
+            W = ctx.num_worlds
+            V = cfg.max_views
+            Hh, Ww = cfg.height, cfg.width
+
+            # camera rays: pinhole, looking down -y in camera space with +z
+            # up (reference shader convention simplified), rotated by view
+            # rot.  NDC in [-1, 1].
+            ys = (jnp.arange(Hh, dtype=jnp.float32) + 0.5) / Hh * 2 - 1
+            xs = (jnp.arange(Ww, dtype=jnp.float32) + 0.5) / Ww * 2 - 1
+            px, py = jnp.meshgrid(xs, -ys)          # [H, W]
+            eye = views["eye"][:, :V]               # [W, V, 3]
+            vrot = views["rot"][:, :V]              # [W, V, 4]
+            tanf = views["tan_fov"][:, :V]          # [W, V]
+            vmask = views["mask"][:, :V]
+            d_cam = jnp.stack([
+                jnp.broadcast_to(px, (W, V, Hh, Ww)) * tanf[..., None, None],
+                jnp.ones((W, V, Hh, Ww)),
+                jnp.broadcast_to(py, (W, V, Hh, Ww)) * tanf[..., None, None],
+            ], axis=-1)
+            d = m.quat_rotate(vrot[:, :, None, None, :], d_cam)
+            d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+            ro = jnp.broadcast_to(eye[:, :, None, None, :], d.shape)
+
+            # gather all instances across archetypes into one flat list
+            all_pos, all_rot, all_scale, all_obj, all_mask = [], [], [], [], []
+            for arch in instance_archetypes:
+                inst = render_in[arch.name]
+                all_pos.append(inst["pos"])
+                all_rot.append(inst["rot"])
+                all_scale.append(inst["scale"])
+                all_obj.append(inst["obj_id"])
+                all_mask.append(inst["mask"])
+            pos = jnp.concatenate(all_pos, axis=1)        # [W, N, 3]
+            rot = jnp.concatenate(all_rot, axis=1)
+            scale = jnp.concatenate(all_scale, axis=1)
+            obj = jnp.concatenate(all_obj, axis=1)
+            imask = jnp.concatenate(all_mask, axis=1)
+            N = pos.shape[1]
+            ptype = objmgr["prim_type"][obj]              # [W, N]
+            radius = objmgr["sphere_radius"][obj] * scale[..., 0]
+            half = (objmgr["local_aabb_hi"][obj]
+                    - objmgr["local_aabb_lo"][obj]) * 0.5 * scale
+            alb = albedo[obj]                             # [W, N, 3]
+
+            # Pass 1 — t for every (pixel, instance): rays [W,V,H,Ww,1,3]
+            # vs instances [W,1,1,1,N,...] -> [W,V,H,Ww,N]; normals are NOT
+            # computed here (that would be a [pixels, N, 3] tensor).
+            ro5 = ro[..., None, :]
+            d5 = d[..., None, :]
+
+            def inst5(x):
+                return x[:, None, None, None]
+
+            ts = self._ray_sphere_t(ro5, d5, inst5(pos), inst5(radius))
+            tb = self._ray_obb_t(ro5, d5, inst5(pos), inst5(rot), inst5(half))
+            tp = self._ray_plane_t(ro5, d5, inst5(pos), inst5(rot))
+            pt5 = inst5(ptype)
+            t_all = jnp.where(pt5 == PRIM_SPHERE, ts,
+                              jnp.where(pt5 == PRIM_HULL, tb, tp))
+            t_all = jnp.where(inst5(imask), t_all, BIG)
+            best_t = jnp.min(t_all, axis=-1)              # [W,V,H,Ww]
+            best_i = jnp.argmin(t_all, axis=-1)
+
+            # Pass 2 — winner-only shading data: gather the winning
+            # instance's params per pixel and recompute its normal.
+            from gpu_ecs_madrona_tpu.core.state import batched_gather
+            P = V * Hh * Ww
+            flat_i = best_i.reshape(W, P)
+
+            def gw(x):
+                return batched_gather(x, flat_i).reshape((W, V, Hh, Ww) + x.shape[2:])
+
+            wpos, wrot = gw(pos), gw(rot)
+            wrad, whalf = gw(radius), gw(half)
+            wtype = gw(ptype)
+            best_alb = gw(alb)
+            _, n_s = self._ray_sphere(ro, d, wpos, wrad)
+            _, n_b = self._ray_obb(ro, d, wpos, wrot, whalf)
+            _, n_p = self._ray_plane(ro, d, wpos, wrot)
+            best_n = jnp.where((wtype == PRIM_SPHERE)[..., None], n_s,
+                               jnp.where((wtype == PRIM_HULL)[..., None], n_b, n_p))
+
+            hit = best_t < BIG * 0.5
+            light = jnp.asarray(cfg.light_dir, jnp.float32)
+            light = -light / jnp.linalg.norm(light)
+            lambert = jnp.maximum(jnp.sum(best_n * light, axis=-1), 0.0)
+            shade = cfg.ambient + (1 - cfg.ambient) * lambert
+            rgb = jnp.where(hit[..., None], best_alb * shade[..., None], 0.0)
+            rgba = jnp.concatenate(
+                [rgb, jnp.where(hit[..., None], 1.0, 0.0)], axis=-1)
+            rgba8 = (jnp.clip(rgba, 0, 1) * 255).astype(jnp.uint8)
+            depth = jnp.where(hit, best_t, jnp.inf)
+            # dead views render black / inf
+            alive = vmask[:, :, None, None]
+            rgba8 = jnp.where(alive[..., None], rgba8, 0)
+            depth = jnp.where(alive, depth, jnp.inf)
+
+            user["render_out"] = {"rgb": rgba8, "depth": depth}
+            ctx.data = user
+
+        return builder.add_node(render, deps, name="batch_render")

@@ -52,3 +52,25 @@ def test_fixed_seed_parity():
     pa, _ = a.get_exported(2)
     pb, _ = b.get_exported(2)
     assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_rendered_observations():
+    """RGB/depth observations (reference rgbObservations/depthObservations,
+    vk/batch_renderer.cpp): spheres visible from the agent camera."""
+    import numpy as np
+    sim = stg.make_executor(small_cfg(render=True, render_width=32,
+                                      render_height=32))
+    sim.run(2)
+    out = sim.state["user"]["render_out"]
+    rgb = np.asarray(out["rgb"])    # [W, V, H, Wpx, 4]
+    depth = np.asarray(out["depth"])
+    assert rgb.shape == (4, 1, 32, 32, 4)
+    assert rgb.dtype == np.uint8
+    # some pixels hit spheres (alpha = 255) and some miss (alpha = 0)
+    assert (rgb[..., 3] == 255).any()
+    assert (rgb[..., 3] == 0).any()
+    hit = np.isfinite(depth)
+    assert hit.any()
+    assert (depth[hit] > 0).all()
+    # hit pixels match alpha mask
+    np.testing.assert_array_equal(hit, rgb[..., 3] == 255)
