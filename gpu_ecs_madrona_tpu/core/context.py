@@ -103,6 +103,19 @@ class Context:
     def num_rows(self, arch: Archetype) -> jax.Array:
         return self._mgr.num_rows(self._state, arch)
 
+    # -- queries -------------------------------------------------------------
+
+    def query(self, *comps):
+        """reference ctx.query<Components...>() (context.hpp:107-110)."""
+        return self._mgr.query(*comps)
+
+    def for_each(self, query, comps, fn):
+        """reference ctx.forEach(query, fn) (context.hpp:112-117): calls
+        fn(archetype, columns, mask) per matching archetype — batch-level,
+        the caller vectorizes over rows."""
+        for arch, cols, mask in self._mgr.query_columns(self._state, query, comps):
+            fn(arch, cols, mask)
+
     # -- singletons ----------------------------------------------------------
 
     def singleton(self, comp: Component):

@@ -35,6 +35,8 @@ from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 
+from gpu_ecs_madrona_tpu.utils import tracing
+
 from gpu_ecs_madrona_tpu.core.component import Component
 from gpu_ecs_madrona_tpu.core.context import Context
 from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
@@ -118,7 +120,9 @@ class TaskGraphExecutor:
 
     def step(self):
         """One step (reference MWCudaExecutor::run / ThreadPoolExecutor::run)."""
+        tracing.log(tracing.HostEvent.STEP_START)
         self._state = self._step(self._state)
+        tracing.log(tracing.HostEvent.STEP_END)
 
     def run(self, num_steps: int = 1, use_scan: bool = False):
         """Run ``num_steps`` steps.
@@ -176,3 +180,31 @@ class TaskGraphExecutor:
 
     def restore_state(self, snapshot: SimState):
         self._state = snapshot
+
+    def save_checkpoint(self, path: str):
+        """Persist the full simulation state to disk.  The reference has no
+        state checkpointing (SURVEY.md §5.4 — only a kernel cache); here the
+        whole sim is one pytree, serialized leaf-by-leaf (orbax-compatible
+        layout: flat npz + pickled treedef)."""
+        import pickle
+        import numpy as np
+
+        leaves, treedef = jax.tree_util.tree_flatten(self._state)
+        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
+        np.savez(path, __treedef__=np.frombuffer(
+            pickle.dumps(treedef), dtype=np.uint8), **arrays)
+
+    def restore_checkpoint(self, path: str):
+        import pickle
+        import numpy as np
+
+        with np.load(path if path.endswith(".npz") else path + ".npz",
+                     allow_pickle=False) as z:
+            treedef = pickle.loads(z["__treedef__"].tobytes())
+            n = len(z.files) - 1
+            leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
+        state = jax.tree_util.tree_unflatten(treedef, leaves)
+        if self.cfg.sharding is not None:
+            state = jax.device_put(
+                state, jax.tree_util.tree_map(lambda _: self.cfg.sharding, state))
+        self._state = state

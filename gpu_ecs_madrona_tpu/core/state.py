@@ -533,6 +533,23 @@ class StateManager:
         """Live row count per world [W] (reference archetypeCount)."""
         return jnp.sum(state["arch"][arch.name]["mask"].astype(jnp.int32), axis=1)
 
+    # -- queries (reference query.hpp / makeQuery) --------------------------
+
+    def query(self, *comps):
+        """Compile a component-set query: the list of matching archetypes
+        (reference StateManager::makeQuery, src/core/state.cpp; Query
+        objects, include/madrona/query.hpp:17-105).  Queries are static —
+        compile once, reuse every step."""
+        return tuple(self.registry.archetypes_with(*comps))
+
+    def query_columns(self, state: SimState, query, comps):
+        """Iterate a compiled query: yields (archetype, [columns...], mask)
+        per matching archetype (reference iterateArchetypes,
+        src/core/state.inl:358-384)."""
+        for info in query:
+            cols = [self.column(state, info.archetype, c) for c in comps]
+            yield info.archetype, cols, self.row_mask(state, info.archetype)
+
     # -- singletons --------------------------------------------------------
 
     def get_singleton(self, state: SimState, comp: Component):

@@ -271,6 +271,23 @@ class RigidBodyPhysicsSystem:
                     new_pos, new_rot, contacts, inv_mass, inv_inertia, mu_s,
                     prev_pos, prev_rot, dyn, relaxation=relaxation)
 
+                # joint constraints (reference solvePositions joint query,
+                # physics.cpp:538-650) — solved after contacts each substep
+                jinfo = ctx.mgr.registry.archetypes.get(JointArchetype.name)
+                if jinfo is not None and jinfo.capacity > 0:
+                    jfields = ctx.column(JointArchetype, JointConstraint)
+                    jmask = ctx.row_mask(JointArchetype)
+                    arch_idx = ctx.mgr.arch_index[arch.name]
+                    la1, lr1, lv1 = ctx.mgr.lookup(ctx.state, jfields["e1"])
+                    la2, lr2, lv2 = ctx.mgr.lookup(ctx.state, jfields["e2"])
+                    rows1 = jnp.where(lv1 & (la1 == arch_idx), lr1, -1)
+                    rows2 = jnp.where(lv2 & (la2 == arch_idx), lr2, -1)
+                    im_j = jnp.where(dyn, inv_mass, 0.0)
+                    ii_j = jnp.where(dyn[..., None], inv_inertia, 0.0)
+                    p2, r2 = solver_mod.solve_joints(
+                        p2, r2, im_j, ii_j, jfields, rows1, rows2, jmask,
+                        relaxation=relaxation)
+
                 # velocity recovery + velocity solve
                 v2, w2 = solver_mod.set_velocities(p2, r2, prev_pos, prev_rot,
                                                    h_s, bias_dpos)
@@ -333,3 +350,41 @@ class RigidBodyPhysicsSystem:
         n1 = builder.clear_tmp_node(CandidateTemporary, deps)
         n2 = builder.clear_tmp_node(ContactTemporary, [n1])
         return n2
+
+
+def make_fixed_joint(ctx: Context, e1, e2, attach_rot1, attach_rot2,
+                     r1, r2, separation, counts=1, max_new=1):
+    """Create Fixed joints (reference JointConstraint::setupFixed,
+    physics.hpp:228-233).  e1/e2: entity handles [W, K]."""
+    W = ctx.num_worlds
+    K = e1.shape[1]
+    zeros3 = jnp.zeros((W, K, 3))
+    return ctx.make_entities(JointArchetype, counts=counts, max_new=max_new,
+                             values={JointConstraint: {
+        "e1": e1, "e2": e2,
+        "joint_type": jnp.zeros((W, K), jnp.int32),
+        "attach_rot1": attach_rot1, "attach_rot2": attach_rot2,
+        "separation": separation,
+        "a1_local": zeros3, "a2_local": zeros3,
+        "b1_local": zeros3, "b2_local": zeros3,
+        "r1": r1, "r2": r2,
+    }})
+
+
+def make_hinge_joint(ctx: Context, e1, e2, a1_local, a2_local,
+                     b1_local, b2_local, r1, r2, counts=1, max_new=1):
+    """Create Hinge joints (reference JointConstraint::setupHinge,
+    physics.hpp:235-243)."""
+    W = ctx.num_worlds
+    K = e1.shape[1]
+    ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, K, 4))
+    return ctx.make_entities(JointArchetype, counts=counts, max_new=max_new,
+                             values={JointConstraint: {
+        "e1": e1, "e2": e2,
+        "joint_type": jnp.ones((W, K), jnp.int32),
+        "attach_rot1": ident, "attach_rot2": ident,
+        "separation": jnp.zeros((W, K)),
+        "a1_local": a1_local, "a2_local": a2_local,
+        "b1_local": b1_local, "b2_local": b2_local,
+        "r1": r1, "r2": r2,
+    }})

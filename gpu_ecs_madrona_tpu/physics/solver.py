@@ -288,3 +288,121 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
         + jnp.sum(jnp.where(m4, dwB, 0.0), axis=(1, 3))
     )
     return vel_lin + dv, vel_ang + dw
+
+
+def solve_joints(pos, rot, inv_mass, inv_inertia, joints, rows1, rows2,
+                 jmask, relaxation=1.0):
+    """XPBD joint solve (reference handleJointConstraint + helpers,
+    physics.cpp:478-650): Fixed joints constrain relative orientation (via
+    attach_rot1/2) and separation along the attachment x-axis; Hinge joints
+    align the local axes and pin the attachment points.
+
+    pos/rot/inv_mass/inv_inertia: body columns [W, n, ...].
+    joints: JointConstraint field dict [W, J, ...]; rows1/rows2 [W, J] body
+    rows (-1 invalid); jmask [W, J] live joints.
+    Returns (new_pos, new_rot) with Jacobi-accumulated corrections.
+    """
+    from gpu_ecs_madrona_tpu.core.state import batched_gather
+
+    W, n = pos.shape[0], pos.shape[1]
+    J = rows1.shape[1]
+    valid = jmask & (rows1 >= 0) & (rows2 >= 0)
+
+    x1 = batched_gather(pos, rows1)          # [W, J, 3]
+    x2 = batched_gather(pos, rows2)
+    q1 = batched_gather(rot, rows1)          # [W, J, 4]
+    q2 = batched_gather(rot, rows2)
+    im1 = batched_gather(inv_mass, rows1)    # [W, J]
+    im2 = batched_gather(inv_mass, rows2)
+    ii1 = batched_gather(inv_inertia, rows1)  # [W, J, 3]
+    ii2 = batched_gather(inv_inertia, rows2)
+
+    is_fixed = joints["joint_type"] == 0
+
+    # ---- angular constraint -------------------------------------------
+    # Fixed: delta_q = 2 * vec((q1 aq1) (q2 aq2)^-1)  (physics.cpp:478-505)
+    o1 = m.quat_normalize(m.quat_mul(q1, joints["attach_rot1"]))
+    o2 = m.quat_normalize(m.quat_mul(q2, joints["attach_rot2"]))
+    o2_inv = jnp.concatenate([o2[..., 0:1], -o2[..., 1:4]], axis=-1)
+    diff = m.quat_mul(o1, o2_inv)
+    dq_fixed = 2.0 * diff[..., 1:4]
+    # Hinge: delta_q = cross(a1_world, a2_world)  (physics.cpp:507-535)
+    a1w = m.quat_rotate(q1, joints["a1_local"])
+    a2w = m.quat_rotate(q2, joints["a2_local"])
+    dq_hinge = jnp.cross(a1w, a2w)
+    dq = jnp.where(is_fixed[..., None], dq_fixed, dq_hinge)
+    mag = jnp.linalg.norm(dq, axis=-1)
+    dq_dir = dq / jnp.maximum(mag[..., None], 1e-12)
+    # sanitize dead rows: garbage fields can make dq NaN, and 0 * NaN
+    # poisons the masked accumulation below
+    dq_dir = jnp.where(valid[..., None], dq_dir, 0.0)
+    mag = jnp.where(valid, mag, 0.0)
+
+    n_l1 = m.quat_inv_rotate(q1, dq_dir)
+    n_l2 = m.quat_inv_rotate(q2, dq_dir)
+    w1_a = jnp.sum(n_l1 * ii1 * n_l1, axis=-1)
+    w2_a = jnp.sum(n_l2 * ii2 * n_l2, axis=-1)
+    ang_ok = valid & (mag > 1e-9) & (w1_a + w2_a > 1e-12)
+    dlam_a = jnp.where(ang_ok, mag / jnp.maximum(w1_a + w2_a, 1e-12), 0.0)
+    dlam_a = dlam_a * relaxation
+    # world-frame angular corrections (computeAngularUpdate analog):
+    # body1 rotates by -invI1*dq*dlam, body2 by +invI2*dq*dlam
+    dw1 = -m.quat_rotate(q1, ii1 * n_l1 * dlam_a[..., None])
+    dw2 = m.quat_rotate(q2, ii2 * n_l2 * dlam_a[..., None])
+
+    # ---- positional constraint ----------------------------------------
+    r1w = m.quat_rotate(q1, joints["r1"])
+    r2w = m.quat_rotate(q2, joints["r2"])
+    p1 = x1 + r1w
+    p2 = x2 + r2w
+    delta_r = p2 - p1
+    # Fixed (physics.cpp:588-614): fixed separation along the attach x
+    # axis, zero along the others
+    axes_rot = m.quat_normalize(m.quat_mul(q1, joints["attach_rot1"]))
+    a1 = m.quat_rotate(axes_rot, jnp.array([1.0, 0.0, 0.0]))
+    b1 = m.quat_rotate(axes_rot, jnp.array([0.0, 1.0, 0.0]))
+    c1 = jnp.cross(a1, b1)
+    a_sep = jnp.sum(delta_r * a1, axis=-1) - joints["separation"]
+    b_sep = jnp.sum(delta_r * b1, axis=-1)
+    c_sep = jnp.sum(delta_r * c1, axis=-1)
+    corr_fixed = (a_sep[..., None] * a1 + b_sep[..., None] * b1
+                  + c_sep[..., None] * c1)
+    # Hinge (physics.cpp:616-626): pin attachment points
+    corr = jnp.where(is_fixed[..., None], corr_fixed, delta_r)
+    c_mag = jnp.linalg.norm(corr, axis=-1)
+    nrm = corr / jnp.maximum(c_mag[..., None], 1e-12)
+    nrm = jnp.where(valid[..., None], nrm, 0.0)
+    c_mag = jnp.where(valid, c_mag, 0.0)
+
+    w1_p = _generalized_inv_mass(r1w, nrm, im1, ii1, q1)
+    w2_p = _generalized_inv_mass(r2w, nrm, im2, ii2, q2)
+    pos_ok = valid & (c_mag > 1e-9) & (w1_p + w2_p > 1e-12)
+    dlam_p = jnp.where(pos_ok, c_mag / jnp.maximum(w1_p + w2_p, 1e-12), 0.0)
+    dlam_p = dlam_p * relaxation
+    p_imp = dlam_p[..., None] * nrm          # pulls p1 toward p2
+    dx1, dwp1 = _apply_impulse_terms(p_imp, r1w, im1, ii1, q1)
+    dx2, dwp2 = _apply_impulse_terms(-p_imp, r2w, im2, ii2, q2)
+
+    # ---- accumulate to bodies (one-hot segment sums; J, n small) --------
+    rows_iota = jnp.arange(n, dtype=jnp.int32)
+    oh1 = ((rows1[..., None] == rows_iota[None, None, :]) & valid[..., None]
+           ).astype(pos.dtype)                 # [W, J, n]
+    oh2 = ((rows2[..., None] == rows_iota[None, None, :]) & valid[..., None]
+           ).astype(pos.dtype)
+
+    def seg(vals1, vals2):
+        # [W, J, 3] -> [W, n, 3]
+        return (jnp.einsum("wjc,wjn->wnc", vals1, oh1,
+                           preferred_element_type=jnp.float32)
+                + jnp.einsum("wjc,wjn->wnc", vals2, oh2,
+                             preferred_element_type=jnp.float32))
+
+    dpos = seg(dx1, dx2)
+    dang = seg(dw1 + dwp1, dw2 + dwp2)
+
+    new_pos = pos + dpos
+    new_rot = m.quat_normalize(
+        rot + 0.5 * m.quat_mul(
+            jnp.concatenate([jnp.zeros_like(dang[..., :1]), dang], axis=-1),
+            rot))
+    return new_pos, new_rot

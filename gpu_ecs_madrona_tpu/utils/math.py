@@ -61,7 +61,9 @@ def quat_inv_rotate(q, v):
 
 
 def quat_normalize(q):
-    return q / jnp.linalg.norm(q, axis=-1, keepdims=True)
+    # eps floor: all-zero quats (e.g. dead masked rows) must not produce
+    # NaN — 0 * NaN poisons masked arithmetic downstream
+    return q / jnp.maximum(jnp.linalg.norm(q, axis=-1, keepdims=True), 1e-12)
 
 
 def quat_integrate(q, omega, dt):

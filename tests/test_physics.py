@@ -186,3 +186,64 @@ def test_box_box_stack():
     assert np.isfinite(p).all()
     assert abs(p[1, 2] - 1.0) < 0.3, p
     assert 2.5 < p[2, 2] < 3.6, p
+
+
+def test_fixed_joint_holds_bodies():
+    """Two boxes joined by a Fixed joint: the hanging box must stay at its
+    attachment separation instead of free-falling (reference
+    handleJointConstraint Fixed path)."""
+    import gpu_ecs_madrona_tpu.physics as phys
+
+    class JointWorld:
+        @staticmethod
+        def register_types(registry):
+            RigidBodyPhysicsSystem.register_types(registry, max_candidates=16,
+                                                  max_contacts=16, max_joints=4)
+            registry.register_archetype(Body, capacity=8)
+            registry.export_column(Body, base.Position, 0)
+
+        @staticmethod
+        def init(ctx, init_data=None):
+            W = ctx.num_worlds
+            ctx.data = {"_": jnp.zeros((W, 1))}
+            RigidBodyPhysicsSystem.init(ctx, delta_t=1 / 60, num_substeps=4)
+            # anchor: static box at z=5; hanging dynamic box below it
+            pos = jnp.broadcast_to(
+                jnp.array([[0.0, 0, 5.0], [0.0, 0, 3.0]]), (W, 2, 3))
+            ents = ctx.make_entities(Body, counts=2, max_new=2, values={
+                base.Position: pos,
+                base.Rotation: jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, 2, 4)),
+                base.Scale: jnp.ones((W, 2, 3)),
+                base.ObjectID: jnp.zeros((W, 2), jnp.int32),
+                ResponseType: jnp.broadcast_to(
+                    jnp.array([RESPONSE_STATIC, RESPONSE_DYNAMIC]), (W, 2)
+                ).astype(jnp.int32),
+            })
+            ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, 1, 4))
+            # attach: r1 at anchor bottom, r2 at hanging top, separation 0
+            phys.make_fixed_joint(
+                ctx, ents[:, 0:1], ents[:, 1:2], ident, ident,
+                r1=jnp.broadcast_to(jnp.array([0.0, 0, -1.0]), (W, 1, 3)),
+                r2=jnp.broadcast_to(jnp.array([0.0, 0, 1.0]), (W, 1, 3)),
+                separation=jnp.zeros((W, 1)))
+
+        @staticmethod
+        def setup_tasks(builder):
+            bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
+                builder, [], Body, OBJMGR)
+            ss = RigidBodyPhysicsSystem.setup_substep_tasks(
+                builder, [bp], 4, Body, OBJMGR, relaxation=0.7)
+            RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
+
+    from gpu_ecs_madrona_tpu import ExecutorConfig, TaskGraphExecutor
+    sim = TaskGraphExecutor(JointWorld, ExecutorConfig(num_worlds=2,
+                                                       max_entities_per_world=16,
+                                                       seed=0))
+    sim.run(120)
+    pos, _ = sim.get_exported(0)
+    p = np.asarray(pos)
+    # anchored at attachment: hanging box center stays near z = 3 (5-1-1)
+    assert np.isfinite(p).all()
+    assert (np.abs(p[:, 1, 2] - 3.0) < 0.3).all(), p[:, 1]
+    # anchor static
+    np.testing.assert_allclose(p[:, 0], np.tile([0, 0, 5.0], (2, 1)), atol=1e-6)
