@@ -72,6 +72,10 @@ class Context:
     def clear_archetype(self, arch: Archetype):
         self._state = self._mgr.clear_archetype(self._state, arch)
 
+    def destroy_rows(self, arch: Archetype, dead):
+        """Scatter-free destroy-by-row-mask (see StateManager.destroy_rows)."""
+        self._state = self._mgr.destroy_rows(self._state, arch, dead)
+
     def emit_temporaries(self, arch: Archetype, counts, values):
         """Fast creation into an empty temporary archetype (reference
         makeTemporary; see StateManager.emit_temporaries)."""

@@ -172,6 +172,18 @@ class TaskGraphExecutor:
             self._state, info.archetype, info.comp, value
         )
 
+    # -- observation accessors (reference rgbObservations/depthObservations,
+    # include/madrona/mw_render.hpp + vk/batch_renderer.cpp readback ptrs) --
+
+    def rgb_observations(self):
+        """RGBA8 observations [W, views, H, Wpx, 4] (requires a
+        render.renderer.BatchRenderer node in the graph)."""
+        return self._state["user"]["render_out"]["rgb"]
+
+    def depth_observations(self):
+        """f32 depth observations [W, views, H, Wpx] (inf = miss)."""
+        return self._state["user"]["render_out"]["depth"]
+
     # -- checkpoint (absent in reference; SURVEY.md §5.4) --------------------
 
     def save_state(self) -> SimState:

@@ -251,6 +251,7 @@ class FantasyVsWorld:
 
             def cleanup(ctx: Context):
                 # reference fvs.cpp:212-227: track dead, destroy, clear.
+                # destroy-by-mask (scatter-free; see StateManager.destroy_rows)
                 dead_ents = []
                 dead_masks = []
                 for arch in (Dragon, Knight):
@@ -267,7 +268,8 @@ class FantasyVsWorld:
                     CleanupTracker, counts=counts,
                     values={CleanupEntity: all_dead},
                 )
-                ctx.destroy_entities(all_dead, valid=all_mask)
+                ctx.destroy_rows(Dragon, dead_masks[0])
+                ctx.destroy_rows(Knight, dead_masks[1])
                 ctx.clear_archetype(CleanupTracker)
 
             builder.add_node(cleanup, deps=[n_cast, n_arch], name="cleanup")
