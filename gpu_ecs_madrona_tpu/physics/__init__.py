@@ -113,6 +113,23 @@ class RigidBodyPhysicsSystem:
             "restitution_threshold": jnp.full((W,), 2.0 * gmag * h),
         })
 
+    @staticmethod
+    def reset(ctx: Context):
+        """reference RigidBodyPhysicsSystem::reset (physics.hpp:428):
+        clear per-step physics temporaries."""
+        ctx.clear_archetype(CandidateTemporary)
+        ctx.clear_archetype(ContactTemporary)
+
+    @staticmethod
+    def register_entity(ctx: Context, ents, valid=None):
+        """reference registerEntity (physics.hpp:429-431).  The dense
+        broadphase has no leaf reservation; this validates handles and
+        returns their rows as LeafIDs for API parity."""
+        _, rows, live = ctx.mgr.lookup(ctx.state, ents)
+        if valid is not None:
+            live = live & valid
+        return jnp.where(live, rows, -1)
+
     # ------------------------------------------------------------------
 
     @staticmethod
@@ -388,3 +405,39 @@ def make_hinge_joint(ctx: Context, e1, e2, a1_local, a2_local,
         "b1_local": b1_local, "b2_local": b2_local,
         "r1": r1, "r2": r2,
     }})
+
+
+def raycast(pos, rot, scale, obj_id, row_mask, object_manager,
+            origins, directions, t_max=1e9):
+    """Batched ray cast against all bodies (reference broadphase::BVH::
+    traceRay, physics.hpp:316-320 / broadphase.cpp ray path) — analytic
+    sphere/OBB/plane intersections over the dense body list, no tree.
+
+    pos/rot/scale/obj_id/row_mask: body columns [W, n, ...];
+    origins/directions: [W, R, 3].
+    Returns (hit_row [W, R] int32 (-1 = miss), hit_t [W, R] f32).
+    """
+    from gpu_ecs_madrona_tpu.render.renderer import BatchRenderer
+    from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHERE
+
+    objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
+    ptype = objmgr["prim_type"][obj_id]                       # [W, n]
+    radius = objmgr["sphere_radius"][obj_id] * scale[..., 0]
+    half = (objmgr["local_aabb_hi"][obj_id]
+            - objmgr["local_aabb_lo"][obj_id]) * 0.5 * scale
+
+    ro = origins[:, :, None, :]       # [W, R, 1, 3]
+    rd = directions[:, :, None, :]
+    c = pos[:, None, :, :]            # [W, 1, n, 3]
+    q = rot[:, None, :, :]
+    ts = BatchRenderer._ray_sphere_t(ro, rd, c, radius[:, None, :])
+    tb = BatchRenderer._ray_obb_t(ro, rd, c, q, half[:, None, :, :])
+    tp = BatchRenderer._ray_plane_t(ro, rd, c, q)
+    pt = ptype[:, None, :]
+    t = jnp.where(pt == PRIM_SPHERE, ts,
+                  jnp.where(pt == PRIM_HULL, tb, tp))
+    t = jnp.where(row_mask[:, None, :] & (t <= t_max), t, 1e9)
+    best = jnp.min(t, axis=-1)
+    row = jnp.argmin(t, axis=-1).astype(jnp.int32)
+    miss = best >= 1e9 * 0.5
+    return jnp.where(miss, -1, row), jnp.where(miss, jnp.inf, best)

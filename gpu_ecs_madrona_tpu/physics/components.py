@@ -41,6 +41,10 @@ PreSolveVelocity = component(
     "PreSolveVelocity", v=((3,), jnp.float32), omega=((3,), jnp.float32)
 )
 
+# Collision events (physics.hpp:175-183): per-step (a, b) pairs reported to
+# game logic when bodies touch.
+CollisionEvent = component("CollisionEvent", a=((), jnp.int32), b=((), jnp.int32))
+
 # Candidate/contact temporaries (physics.hpp:184-198).  CandidateCollision
 # stores entity handles (the reference stores Locs; handles are the stable
 # TPU equivalent since rows never move under masked allocation).

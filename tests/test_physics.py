@@ -247,3 +247,31 @@ def test_fixed_joint_holds_bodies():
     assert (np.abs(p[:, 1, 2] - 3.0) < 0.3).all(), p[:, 1]
     # anchor static
     np.testing.assert_allclose(p[:, 0], np.tile([0, 0, 5.0], (2, 1)), atol=1e-6)
+
+
+def test_raycast():
+    """Batched ray cast (reference BVH::traceRay analog)."""
+    import gpu_ecs_madrona_tpu.physics as phys
+
+    sim = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_SPHERE, (0.0, 0.0, 5.0), RESPONSE_DYNAMIC),
+    ])
+    mgr = sim.mgr
+    st = sim.state
+    pos = mgr.column(st, Body, base.Position)
+    rot = mgr.column(st, Body, base.Rotation)
+    scale = mgr.column(st, Body, base.Scale)
+    obj = mgr.column(st, Body, base.ObjectID)
+    mask = mgr.row_mask(st, Body)
+    origins = jnp.broadcast_to(jnp.array([[0.0, 0.0, 10.0],
+                                          [5.0, 5.0, 10.0]]), (2, 2, 3))
+    dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (2, 2, 3))
+    row, t = phys.raycast(pos, rot, scale, obj, mask, OBJMGR, origins, dirs)
+    row, t = np.asarray(row), np.asarray(t)
+    # ray 0 straight down from above the sphere -> hits sphere (row 1) at t=4
+    assert (row[:, 0] == 1).all()
+    np.testing.assert_allclose(t[:, 0], 4.0, atol=1e-4)
+    # ray 1 offset -> hits the ground plane (row 0) at t=10
+    assert (row[:, 1] == 0).all()
+    np.testing.assert_allclose(t[:, 1], 10.0, atol=1e-4)
