@@ -22,7 +22,7 @@ them out.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

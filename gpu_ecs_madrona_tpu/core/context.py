@@ -19,7 +19,6 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from gpu_ecs_madrona_tpu.core.component import Archetype, Component, Entity
 from gpu_ecs_madrona_tpu.core.state import SimState, StateManager

@@ -29,15 +29,13 @@ World-class protocol (mirrors reference WorldT usage, mw_cpu.inl:5-44):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp
 
 from gpu_ecs_madrona_tpu.utils import tracing
 
-from gpu_ecs_madrona_tpu.core.component import Component
 from gpu_ecs_madrona_tpu.core.context import Context
 from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
 from gpu_ecs_madrona_tpu.core.state import SimState, StateManager

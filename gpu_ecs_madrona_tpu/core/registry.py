@@ -11,7 +11,7 @@ object itself.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List
 
 from gpu_ecs_madrona_tpu.core.component import Archetype, Component
 

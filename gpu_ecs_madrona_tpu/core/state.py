@@ -26,8 +26,7 @@ Inside a jit trace these compile to in-place donations.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -160,21 +160,24 @@ class SimpleJobsWorld:
         n_narrow = builder.add_node(narrowphase, deps=[n_broad], name="narrowphase")
 
         def solver(ctx: Context):
-            # reference simple.cpp:159-181.  Net push computed densely (see
-            # collisions.py solver for the commutativity argument).
+            # reference simple.cpp:159-181.  Net push via the Gram-matrix
+            # formulation (identical math + fp behavior to collisions.py's
+            # solver; see the derivation there) — the [W, n, n, 3] normal
+            # grid never materializes.
             d = dict(ctx.data)
             ok = overlap_grid(d)
-            W, n = ok.shape[:2]
-            k_eff = min(K, n * n)
-            ranks = (
-                jnp.cumsum(ok.reshape(W, n * n), axis=1, dtype=jnp.int32) - 1
-            ).reshape(W, n, n)
-            ok = ok & (ranks < k_eff)
             pos = d["translation"]
-            diff = pos[:, None, :, :] - pos[:, :, None, :]
-            inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(diff * diff, -1, keepdims=True), 1e-30))
-            normals = diff * inv
-            delta = -2.0 * jnp.sum(jnp.where(ok[..., None], normals, 0.0), axis=2)
+            # center per world before the Gram (see collisions.py solver)
+            pc = pos - jnp.mean(pos, axis=1, keepdims=True)
+            gram = jnp.einsum("wic,wjc->wij", pc, pc,
+                              preferred_element_type=jnp.float32)
+            sq = jnp.sum(pc * pc, axis=-1)
+            d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
+            mmat = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
+            mx = jnp.einsum("wij,wjc->wic", mmat, pc,
+                            preferred_element_type=jnp.float32)
+            rowsum = jnp.sum(mmat, axis=2)
+            delta = -2.0 * (mx - pc * rowsum[..., None])
             d.update(
                 translation=pos + delta,
                 num_contacts=jnp.zeros_like(d["num_contacts"]),

@@ -101,6 +101,9 @@ def collision_pushes(pos, lo, hi, mask, interpret: bool = False):
         xt = jnp.swapaxes(x, 1, 2)
         return jnp.pad(xt, ((0, 0), (0, 0), (0, n - n0)), constant_values=fill)
 
+    # center per world: d2 and the push sum are translation-invariant, and
+    # centering avoids f32 cancellation in |x|^2 at large coordinates
+    pos = pos - jnp.mean(pos, axis=1, keepdims=True)
     pos_t = prep(pos)
     lo_t = prep(lo, fill=1.0)    # degenerate AABBs: overlap nothing
     hi_t = prep(hi, fill=-1.0)

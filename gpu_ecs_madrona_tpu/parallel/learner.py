@@ -18,8 +18,6 @@ Env adapter protocol (duck-typed):
 from __future__ import annotations
 
 import dataclasses
-import functools
-from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp

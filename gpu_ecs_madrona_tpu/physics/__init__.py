@@ -25,7 +25,7 @@ tree and fully vectorizes (SURVEY.md §7.1).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

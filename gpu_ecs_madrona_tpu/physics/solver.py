@@ -21,8 +21,6 @@ iteration (standard XPBD-on-GPU practice).
 
 from __future__ import annotations
 
-from typing import Any, Dict
-
 import jax
 import jax.numpy as jnp
 

@@ -21,7 +21,7 @@ reference's rgbPtr/depthPtr layout batched over worlds).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ thread pool (IO is GIL-releasing) with future handles; used to overlap
 from __future__ import annotations
 
 import concurrent.futures
-from typing import Callable, Optional
 
 
 class IOManager:

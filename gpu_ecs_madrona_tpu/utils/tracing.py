@@ -14,7 +14,7 @@ import os
 import struct
 import threading
 from enum import IntEnum
-from typing import Dict, List, Tuple
+from typing import List, Tuple
 
 
 class HostEvent(IntEnum):

@@ -109,3 +109,24 @@ def test_simple_jobs_matches_oracle_with_clamp():
             p = np.clip(p, blo, bhi)
             p = oracle_collisions_tick(p, r)
         np.testing.assert_allclose(engine_pos[w], p, atol=5e-4)
+
+
+def test_collisions_far_from_origin():
+    """Gram-formulation cancellation guard: trajectories must stay accurate
+    when worlds live far from the origin (|x| ~ 1000)."""
+    cfg = col.CollisionsConfig(num_worlds=1, num_objects=10, max_pairs=128,
+                               seed=2)
+    sim = col.make_executor(cfg)
+    mgr = sim.mgr
+    pos = mgr.column(sim.state, col.CubeObject, col.Translation) + 1000.0
+    sim.state = mgr.set_column(sim.state, col.CubeObject, col.Translation, pos)
+    p0 = np.asarray(pos, np.float64)
+    r0 = np.asarray(mgr.column(sim.state, col.CubeObject, col.Rotation),
+                    np.float64)
+    mask = np.asarray(mgr.row_mask(sim.state, col.CubeObject))
+    sim.run(3)
+    engine = np.asarray(mgr.column(sim.state, col.CubeObject, col.Translation))
+    p = p0[0][mask[0]]
+    for _ in range(3):
+        p = oracle_collisions_tick(p, r0[0][mask[0]])
+    np.testing.assert_allclose(engine[0][mask[0]], p, atol=5e-3)
