@@ -39,6 +39,7 @@ from gpu_ecs_madrona_tpu.physics import assets, narrowphase as np_mod, solver as
 from gpu_ecs_madrona_tpu.physics.components import (
     CandidateCollision,
     CollisionAABB,
+    CollisionEvent,
     ContactConstraint,
     ExternalForce,
     ExternalTorque,
@@ -75,6 +76,7 @@ BODY_COMPONENTS = [
 
 CandidateTemporary = Archetype("CandidateTemporary", [CandidateCollision])
 ContactTemporary = Archetype("ContactTemporary", [ContactConstraint])
+CollisionEventTemporary = Archetype("CollisionEventTemporary", [CollisionEvent])
 JointArchetype = Archetype("JointArchetype", [JointConstraint])
 
 
@@ -92,6 +94,8 @@ class RigidBodyPhysicsSystem:
                                     temporary=True)
         registry.register_archetype(ContactTemporary, capacity=max_contacts,
                                     temporary=True)
+        registry.register_archetype(CollisionEventTemporary,
+                                    capacity=max_contacts, temporary=True)
         registry.register_archetype(JointArchetype, capacity=max_joints)
 
     @staticmethod
@@ -119,6 +123,7 @@ class RigidBodyPhysicsSystem:
         clear per-step physics temporaries."""
         ctx.clear_archetype(CandidateTemporary)
         ctx.clear_archetype(ContactTemporary)
+        ctx.clear_archetype(CollisionEventTemporary)
 
     @staticmethod
     def register_entity(ctx: Context, ents, valid=None):
@@ -332,12 +337,20 @@ class RigidBodyPhysicsSystem:
                     k_eff = min(k_cap, n * n)
                     _, pidx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
                     from gpu_ecs_madrona_tpu.core.state import batched_gather
+                    batched_gather_ents = batched_gather
                     ents = ctx.entity_column(arch)
 
                     def gat(x):
                         return batched_gather(
                             x.reshape((W, n * n) + x.shape[3:]), pidx)
 
+                    ctx.emit_temporaries(
+                        CollisionEventTemporary,
+                        counts=jnp.minimum(counts, k_eff),
+                        values={CollisionEvent: {
+                            "a": batched_gather_ents(ents, pidx // n),
+                            "b": batched_gather_ents(ents, pidx % n),
+                        }})
                     ctx.emit_temporaries(
                         ContactTemporary,
                         counts=jnp.minimum(counts, k_eff),
@@ -366,7 +379,8 @@ class RigidBodyPhysicsSystem:
         """reference setupCleanupTasks: clear per-step temporaries."""
         n1 = builder.clear_tmp_node(CandidateTemporary, deps)
         n2 = builder.clear_tmp_node(ContactTemporary, [n1])
-        return n2
+        n3 = builder.clear_tmp_node(CollisionEventTemporary, [n2])
+        return n3
 
 
 def make_fixed_joint(ctx: Context, e1, e2, attach_rot1, attach_rot2,
