@@ -1,0 +1,53 @@
+"""Benchmark: full rigid-body physics pipeline at scale (secondary metric).
+
+Prints ONE JSON line like bench.py (the headline bench stays collisions).
+Workload: models/rigid_bench.py — ground plane + pile of boxes/spheres per
+world, full broadphase -> SAT narrowphase -> XPBD pipeline, compacted-pairs
+contact mode.
+
+Env knobs: BENCH_PHYS_WORLDS (8192), BENCH_PHYS_BODIES (64),
+BENCH_PHYS_TICKS (50), BENCH_PHYS_MODE (pairs|dense).
+"""
+
+import json
+import os
+import time
+
+NUM_WORLDS = int(os.environ.get("BENCH_PHYS_WORLDS", 8192))
+NUM_BODIES = int(os.environ.get("BENCH_PHYS_BODIES", 64))
+NUM_TICKS = int(os.environ.get("BENCH_PHYS_TICKS", 50))
+MODE = os.environ.get("BENCH_PHYS_MODE", "pairs")
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                     "/root/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+
+    sim = rb.make_executor(rb.RigidBenchConfig(
+        num_worlds=NUM_WORLDS, num_bodies=NUM_BODIES, contact_mode=MODE,
+        seed=0))
+
+    sim.run(3)
+    sim.block_until_ready()
+
+    start = time.perf_counter()
+    sim.run(NUM_TICKS)
+    sim.block_until_ready()
+    elapsed = time.perf_counter() - start
+
+    steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
+    print(json.dumps({
+        "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "
+                   f"{NUM_BODIES} bodies ({MODE})"),
+        "value": round(steps_per_s, 1),
+        "unit": "env-steps/s",
+        "vs_baseline": round(steps_per_s / 1_000_000.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

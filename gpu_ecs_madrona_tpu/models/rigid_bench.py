@@ -1,0 +1,162 @@
+"""Rigid-body pile benchmark — the FULL physics pipeline at scale.
+
+The collisions example exercises the reference's legacy job-system toy
+solver; this world exercises the complete RigidBodyPhysicsSystem
+(broadphase -> SAT narrowphase -> XPBD substeps, SURVEY.md §3.4) the way
+the reference's physics-heavy users do: per world, a ground plane plus a
+pile of boxes and spheres dropped from random poses, settling under
+gravity and friction.
+
+Default configuration targets 8192 worlds x 64 bodies on one chip with the
+compacted-pairs contact mode (setup_substep_tasks contact_mode="pairs"),
+which keeps SAT work O(candidates) instead of O(n^2) — the scaling design
+SURVEY.md §7.3 calls the capacity-compacted contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from gpu_ecs_madrona_tpu.core.component import Archetype
+from gpu_ecs_madrona_tpu.core.context import Context
+from gpu_ecs_madrona_tpu.core.executor import ExecutorConfig, TaskGraphExecutor
+from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraphBuilder
+from gpu_ecs_madrona_tpu.core import base
+from gpu_ecs_madrona_tpu.physics import (
+    BODY_COMPONENTS,
+    RigidBodyPhysicsSystem,
+    assets,
+)
+from gpu_ecs_madrona_tpu.physics.components import (
+    ResponseType,
+    RESPONSE_DYNAMIC,
+    RESPONSE_STATIC,
+)
+from gpu_ecs_madrona_tpu.utils import math as m
+
+Body = Archetype("RigidBenchBody", BODY_COMPONENTS)
+
+OBJ_BOX = 0
+OBJ_SPHERE = 1
+OBJ_PLANE = 2
+
+
+def default_object_manager():
+    loader = assets.PhysicsLoader(max_verts=8, max_faces=6, max_edges=3,
+                                  max_face_verts=4, max_full_edges=12)
+    loader.load_objects([
+        assets.make_box((0.5, 0.5, 0.5), inv_mass=1.0, mu_s=0.6, mu_d=0.4),
+        assets.make_sphere(0.5, inv_mass=1.0, mu_s=0.6, mu_d=0.4),
+        assets.make_plane(mu_s=0.8, mu_d=0.6),
+    ])
+    return loader.get_object_manager()
+
+
+@dataclasses.dataclass
+class RigidBenchConfig:
+    num_worlds: int = 8192
+    num_bodies: int = 64          # dynamic bodies per world (plus 1 plane)
+    num_substeps: int = 4
+    delta_t: float = 1 / 60
+    max_candidates: int = 0       # 0 = 8 * num_bodies
+    contact_mode: str = "pairs"
+    relaxation: float = 0.7
+    # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
+    spawn_xy: float = 8.0
+    spawn_h: float = 12.0
+    seed: int = 0
+
+    def candidates(self) -> int:
+        return self.max_candidates or 8 * self.num_bodies
+
+
+class RigidBenchWorld:
+    config: RigidBenchConfig = RigidBenchConfig()
+    objmgr = default_object_manager()
+
+    @classmethod
+    def with_config(cls, cfg: RigidBenchConfig):
+        return type("RigidBenchWorld", (cls,), {"config": cfg,
+                                                "objmgr": cls.objmgr})
+
+    @classmethod
+    def register_types(cls, registry: ECSRegistry):
+        cfg = cls.config
+        RigidBodyPhysicsSystem.register_types(
+            registry, max_candidates=cfg.candidates(),
+            max_contacts=cfg.candidates())
+        registry.register_archetype(Body, capacity=cfg.num_bodies + 1)
+        registry.export_column(Body, base.Position, 0)
+        registry.export_column(Body, base.Rotation, 1)
+
+    @classmethod
+    def init(cls, ctx: Context, init_data=None):
+        cfg = cls.config
+        W = ctx.num_worlds
+        n = cfg.num_bodies
+        ctx.data = {"_": jnp.zeros((W, 1))}
+        RigidBodyPhysicsSystem.init(ctx, delta_t=cfg.delta_t,
+                                    num_substeps=cfg.num_substeps)
+        kpos, kang, kax = ctx.rng_one(), ctx.rng_one(), ctx.rng_one()
+        lo = jnp.array([-cfg.spawn_xy, -cfg.spawn_xy, 1.0])
+        hi = jnp.array([cfg.spawn_xy, cfg.spawn_xy, cfg.spawn_h])
+        pos = jax.vmap(
+            lambda k: jax.random.uniform(k, (n, 3), minval=lo, maxval=hi)
+        )(kpos)
+        ang = jax.vmap(
+            lambda k: jax.random.uniform(k, (n,), minval=0.0, maxval=jnp.pi)
+        )(kang)
+        axis = jax.vmap(
+            lambda k: jax.random.normal(k, (n, 3))
+        )(kax)
+        axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
+        rot = m.quat_from_angle_axis(ang, axis)
+        # alternate boxes and spheres
+        objs = jnp.broadcast_to(
+            (jnp.arange(n, dtype=jnp.int32) % 2), (W, n))
+        # plane first (row 0), then the dynamic pile
+        all_pos = jnp.concatenate([jnp.zeros((W, 1, 3)), pos], axis=1)
+        ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, 1, 4))
+        all_rot = jnp.concatenate([ident, rot], axis=1)
+        all_obj = jnp.concatenate(
+            [jnp.full((W, 1), OBJ_PLANE, jnp.int32), objs], axis=1)
+        all_resp = jnp.concatenate(
+            [jnp.full((W, 1), RESPONSE_STATIC, jnp.int32),
+             jnp.full((W, n), RESPONSE_DYNAMIC, jnp.int32)], axis=1)
+        ctx.make_entities(
+            Body, counts=n + 1, max_new=n + 1,
+            values={
+                base.Position: all_pos,
+                base.Rotation: all_rot,
+                base.Scale: jnp.ones((W, n + 1, 3)),
+                base.ObjectID: all_obj,
+                ResponseType: all_resp,
+            })
+
+    @classmethod
+    def setup_tasks(cls, builder: TaskGraphBuilder):
+        cfg = cls.config
+        objmgr = cls.objmgr
+        bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
+            builder, [], Body, objmgr)
+        ss = RigidBodyPhysicsSystem.setup_substep_tasks(
+            builder, [bp], cfg.num_substeps, Body, objmgr,
+            relaxation=cfg.relaxation, contact_mode=cfg.contact_mode)
+        RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
+
+
+def make_executor(cfg: RigidBenchConfig = RigidBenchConfig(), **exec_kwargs):
+    world = RigidBenchWorld.with_config(cfg)
+    return TaskGraphExecutor(
+        world,
+        ExecutorConfig(
+            num_worlds=cfg.num_worlds,
+            max_entities_per_world=cfg.num_bodies + 8,
+            seed=cfg.seed,
+            **exec_kwargs,
+        ),
+    )

@@ -38,6 +38,7 @@ from gpu_ecs_madrona_tpu.core import base
 from gpu_ecs_madrona_tpu.physics import assets, narrowphase as np_mod, solver as solver_mod
 from gpu_ecs_madrona_tpu.physics.components import (
     CandidateCollision,
+    CandidatePairRows,
     CollisionAABB,
     CollisionEvent,
     ContactConstraint,
@@ -75,6 +76,7 @@ BODY_COMPONENTS = [
 ]
 
 CandidateTemporary = Archetype("CandidateTemporary", [CandidateCollision])
+CandidateRowsTemporary = Archetype("CandidateRowsTemporary", [CandidatePairRows])
 ContactTemporary = Archetype("ContactTemporary", [ContactConstraint])
 CollisionEventTemporary = Archetype("CollisionEventTemporary", [CollisionEvent])
 JointArchetype = Archetype("JointArchetype", [JointConstraint])
@@ -92,6 +94,8 @@ class RigidBodyPhysicsSystem:
         registry.register_singleton(PhysicsState)
         registry.register_archetype(CandidateTemporary, capacity=max_candidates,
                                     temporary=True)
+        registry.register_archetype(CandidateRowsTemporary,
+                                    capacity=max_candidates, temporary=True)
         registry.register_archetype(ContactTemporary, capacity=max_contacts,
                                     temporary=True)
         registry.register_archetype(CollisionEventTemporary,
@@ -122,6 +126,7 @@ class RigidBodyPhysicsSystem:
         """reference RigidBodyPhysicsSystem::reset (physics.hpp:428):
         clear per-step physics temporaries."""
         ctx.clear_archetype(CandidateTemporary)
+        ctx.clear_archetype(CandidateRowsTemporary)
         ctx.clear_archetype(ContactTemporary)
         ctx.clear_archetype(CollisionEventTemporary)
 
@@ -217,11 +222,20 @@ class RigidBodyPhysicsSystem:
             k_eff = min(k_cap, n * n)
             _, pair_idx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
             from gpu_ecs_madrona_tpu.core.state import batched_gather
-            a_ent = batched_gather(ents, pair_idx // n)
-            b_ent = batched_gather(ents, pair_idx % n)
+            rows_i = pair_idx // n
+            rows_j = pair_idx % n
+            a_ent = batched_gather(ents, rows_i)
+            b_ent = batched_gather(ents, rows_j)
+            counts_k = jnp.minimum(counts, k_eff)
             ctx.emit_temporaries(
-                CandidateTemporary, counts=jnp.minimum(counts, k_eff),
+                CandidateTemporary, counts=counts_k,
                 values={CandidateCollision: {"a": a_ent, "b": b_ent}})
+            # compacted body-row pairs for the pairs-mode substep (the
+            # entity-handle candidates above are the observable/API-parity
+            # surface; these rows are the solver's working set)
+            ctx.emit_temporaries(
+                CandidateRowsTemporary, counts=counts_k,
+                values={CandidatePairRows: {"i": rows_i, "j": rows_j}})
 
         return builder.add_node(find_overlaps, [n_aabb], name="bp_find_overlaps")
 
@@ -233,6 +247,7 @@ class RigidBodyPhysicsSystem:
         body_archetype: Archetype,
         object_manager: Dict[str, Any],
         relaxation: float = 1.0,
+        contact_mode: str = "auto",
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -240,9 +255,26 @@ class RigidBodyPhysicsSystem:
         setVelocities -> solveVelocities (the reference splits these into
         separate nodes; under XLA they fuse regardless, and fusing them in
         one node lets the contact grid live in registers/VMEM instead of
-        the state pytree)."""
+        the state pytree).
+
+        contact_mode selects how candidate pairs flow through narrowphase
+        + solve (the TPU analog of the reference running narrowphase only
+        on broadphase candidates, narrowphase.cpp:1768-1783):
+          "dense": all-pairs [W, n, n] grid — zero gathers, right for small
+                   body counts where n^2 SAT work is cheap.
+          "pairs": compacted broadphase candidates [W, K] (CandidateRows
+                   temporaries); body data gathered per pair by one-hot
+                   matmuls, per-body sums via segment-sum matmuls.  O(K)
+                   instead of O(n^2) SAT work — required at scale.
+          "auto":  "pairs" when the body archetype capacity > 48.
+        """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         arch = body_archetype
+        if contact_mode == "auto":
+            cap_n = builder.mgr.registry.archetypes[arch.name].capacity
+            contact_mode = "pairs" if cap_n > 48 else "dense"
+        if contact_mode not in ("dense", "pairs"):
+            raise ValueError(f"unknown contact_mode {contact_mode!r}")
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -276,27 +308,13 @@ class RigidBodyPhysicsSystem:
                                {"x": new_pos, "q": new_rot})
                 ctx.set_column(arch, PreSolveVelocity, {"v": v, "omega": w})
 
-                # narrowphase at post-integration poses, gated by the
-                # broadphase AABB grid (reference runs narrowphase on
-                # broadphase candidates)
-                aabb = ctx.column(arch, CollisionAABB)
-                cand = m.aabb_overlaps(
-                    aabb["lo"][:, :, None, :], aabb["hi"][:, :, None, :],
-                    aabb["lo"][:, None, :, :], aabb["hi"][:, None, :, :])
-                contacts = np_mod.narrowphase_dense(
-                    new_pos, new_rot, obj, mask, objmgr)
-                contacts = dict(contacts)
-                contacts["ok"] = contacts["ok"] & cand
-
-                # positional solve
-                p2, r2, lam, bias_dpos = solver_mod.solve_positions(
-                    new_pos, new_rot, contacts, inv_mass, inv_inertia, mu_s,
-                    prev_pos, prev_rot, dyn, relaxation=relaxation)
-
-                # joint constraints (reference solvePositions joint query,
-                # physics.cpp:538-650) — solved after contacts each substep
-                jinfo = ctx.mgr.registry.archetypes.get(JointArchetype.name)
-                if jinfo is not None and jinfo.capacity > 0:
+                def solve_joints_at(p2, r2):
+                    # joint constraints (reference solvePositions joint
+                    # query, physics.cpp:538-650) — solved after contacts
+                    # each substep
+                    jinfo = ctx.mgr.registry.archetypes.get(JointArchetype.name)
+                    if jinfo is None or jinfo.capacity <= 0:
+                        return p2, r2
                     jfields = ctx.column(JointArchetype, JointConstraint)
                     jmask = ctx.row_mask(JointArchetype)
                     arch_idx = ctx.mgr.arch_index[arch.name]
@@ -306,57 +324,47 @@ class RigidBodyPhysicsSystem:
                     rows2 = jnp.where(lv2 & (la2 == arch_idx), lr2, -1)
                     im_j = jnp.where(dyn, inv_mass, 0.0)
                     ii_j = jnp.where(dyn[..., None], inv_inertia, 0.0)
-                    p2, r2 = solver_mod.solve_joints(
+                    return solver_mod.solve_joints(
                         p2, r2, im_j, ii_j, jfields, rows1, rows2, jmask,
                         relaxation=relaxation)
 
-                # velocity recovery + velocity solve
-                v2, w2 = solver_mod.set_velocities(p2, r2, prev_pos, prev_rot,
-                                                   h_s, bias_dpos)
-                v3, w3 = solver_mod.solve_velocities(
-                    p2, r2, v2, w2, contacts, lam, inv_mass, inv_inertia,
-                    mu_d, v, w, dyn, h_s,
-                    phys["restitution_threshold"], relaxation=relaxation)
+                def writeback(p2, r2, v3, w3):
+                    keep = dyn[..., None]
+                    ctx.set_column(arch, base.Position, jnp.where(keep, p2, pos))
+                    ctx.set_column(arch, base.Rotation, jnp.where(keep, r2, rot))
+                    ctx.set_column(arch, Velocity, {
+                        "linear": jnp.where(keep, v3, vel["linear"]),
+                        "angular": jnp.where(keep, w3, vel["angular"]),
+                    })
 
-                keep = dyn[..., None]
-                ctx.set_column(arch, base.Position, jnp.where(keep, p2, pos))
-                ctx.set_column(arch, base.Rotation, jnp.where(keep, r2, rot))
-                ctx.set_column(arch, Velocity, {
-                    "linear": jnp.where(keep, v3, vel["linear"]),
-                    "angular": jnp.where(keep, w3, vel["angular"]),
-                })
-
-                # emit contact temporaries on the final substep for
-                # observability/export parity (DCE'd when unobserved)
-                if idx == num_substeps - 1:
-                    W, n = mask.shape
-                    flat = contacts["ok"].reshape(W, n * n)
-                    counts = jnp.sum(flat.astype(jnp.int32), axis=1)
+                def emit_observables(okk, a_ent, b_ent, contacts, lam, K):
+                    # emit contact temporaries on the final substep for
+                    # observability/export parity (DCE'd when unobserved).
+                    # okk/a_ent/b_ent/contacts/lam lead with [W, K] (K =
+                    # n*n grid-flat in dense mode, candidate capacity in
+                    # pairs mode).
+                    from gpu_ecs_madrona_tpu.core.state import batched_gather
+                    counts = jnp.sum(okk.astype(jnp.int32), axis=1)
                     k_cap = ctx.mgr.registry.archetypes[
                         ContactTemporary.name].capacity
-                    k_eff = min(k_cap, n * n)
-                    _, pidx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
-                    from gpu_ecs_madrona_tpu.core.state import batched_gather
-                    batched_gather_ents = batched_gather
-                    ents = ctx.entity_column(arch)
+                    k_eff = min(k_cap, K)
+                    _, pidx = jax.lax.top_k(okk.astype(jnp.int8), k_eff)
 
                     def gat(x):
-                        return batched_gather(
-                            x.reshape((W, n * n) + x.shape[3:]), pidx)
+                        return batched_gather(x, pidx)
 
                     ctx.emit_temporaries(
                         CollisionEventTemporary,
                         counts=jnp.minimum(counts, k_eff),
                         values={CollisionEvent: {
-                            "a": batched_gather_ents(ents, pidx // n),
-                            "b": batched_gather_ents(ents, pidx % n),
+                            "a": gat(a_ent), "b": gat(b_ent),
                         }})
                     ctx.emit_temporaries(
                         ContactTemporary,
                         counts=jnp.minimum(counts, k_eff),
                         values={ContactConstraint: {
-                            "ref": batched_gather(ents, pidx // n),
-                            "alt": batched_gather(ents, pidx % n),
+                            "ref": gat(a_ent),
+                            "alt": gat(b_ent),
                             "points": jnp.concatenate([
                                 gat(contacts["points"]),
                                 gat(contacts["depth"])[..., None]], axis=-1),
@@ -364,6 +372,145 @@ class RigidBodyPhysicsSystem:
                             "normal": gat(contacts["normal"]),
                             "lambda_n": gat(lam),
                         }})
+
+                aabb = ctx.column(arch, CollisionAABB)
+
+                if contact_mode == "dense":
+                    # narrowphase at post-integration poses, gated by the
+                    # broadphase AABB grid (reference runs narrowphase on
+                    # broadphase candidates)
+                    cand = m.aabb_overlaps(
+                        aabb["lo"][:, :, None, :], aabb["hi"][:, :, None, :],
+                        aabb["lo"][:, None, :, :], aabb["hi"][:, None, :, :])
+                    contacts = np_mod.narrowphase_dense(
+                        new_pos, new_rot, obj, mask, objmgr)
+                    contacts = dict(contacts)
+                    contacts["ok"] = contacts["ok"] & cand
+
+                    # positional solve
+                    p2, r2, lam, bias_dpos = solver_mod.solve_positions(
+                        new_pos, new_rot, contacts, inv_mass, inv_inertia,
+                        mu_s, prev_pos, prev_rot, dyn, relaxation=relaxation)
+                    p2, r2 = solve_joints_at(p2, r2)
+
+                    # velocity recovery + velocity solve
+                    v2, w2 = solver_mod.set_velocities(
+                        p2, r2, prev_pos, prev_rot, h_s, bias_dpos)
+                    v3, w3 = solver_mod.solve_velocities(
+                        p2, r2, v2, w2, contacts, lam, inv_mass, inv_inertia,
+                        mu_d, v, w, dyn, h_s,
+                        phys["restitution_threshold"], relaxation=relaxation)
+                    writeback(p2, r2, v3, w3)
+
+                    if idx == num_substeps - 1:
+                        W, n = mask.shape
+                        ents = ctx.entity_column(arch)
+                        a_grid = jnp.broadcast_to(ents[:, :, None], (W, n, n))
+                        b_grid = jnp.broadcast_to(ents[:, None, :], (W, n, n))
+                        cflat = {
+                            k: v.reshape((W, n * n) + v.shape[3:])
+                            for k, v in contacts.items()
+                        }
+                        emit_observables(
+                            cflat["ok"], a_grid.reshape(W, n * n),
+                            b_grid.reshape(W, n * n), cflat,
+                            lam.reshape(W, n * n, 4), n * n)
+                    return
+
+                # ---- pairs mode: compacted broadphase candidates ---------
+                rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
+                kmask = ctx.row_mask(CandidateRowsTemporary)
+                rows_i, rows_j = rowsc["i"], rowsc["j"]
+                n = mask.shape[1]
+                oh_i = solver_mod.onehot_rows(rows_i, kmask, n)
+                oh_j = solver_mod.onehot_rows(rows_j, kmask, n)
+
+                im_eff = jnp.where(dyn, inv_mass, 0.0)
+                ii_eff = jnp.where(dyn[..., None], inv_inertia, 0.0)
+                # one packed gather per side for all per-body channels
+                # (single one-hot matmul each; XLA CSEs oh across substeps)
+                packed = jnp.concatenate([
+                    new_pos,                               # 0:3
+                    new_rot,                               # 3:7
+                    prev_pos,                              # 7:10
+                    v,                                     # 10:13 pre-solve vel
+                    w,                                     # 13:16
+                    im_eff[..., None],                     # 16
+                    ii_eff,                                # 17:20
+                    mu_s[..., None],                       # 20
+                    mu_d[..., None],                       # 21
+                    obj.astype(jnp.float32)[..., None],    # 22 (small ints)
+                    aabb["lo"], aabb["hi"],                # 23:26, 26:29
+                ], axis=-1)
+                gA = solver_mod.pair_gather(oh_i, packed)
+                gB = solver_mod.pair_gather(oh_j, packed)
+
+                ident_q = jnp.array([1.0, 0.0, 0.0, 0.0])
+
+                def unpack(g):
+                    return {
+                        "pos": g[..., 0:3],
+                        # invalid pairs gather all-zeros; give them an
+                        # identity quat so downstream quat math stays tame
+                        "rot": jnp.where(kmask[..., None], g[..., 3:7], ident_q),
+                        "prev_pos": g[..., 7:10],
+                        "v": g[..., 10:13], "w": g[..., 13:16],
+                        "im": g[..., 16], "ii": g[..., 17:20],
+                        "mu_s": g[..., 20], "mu_d": g[..., 21],
+                        "obj": jnp.round(g[..., 22]).astype(jnp.int32),
+                        "lo": g[..., 23:26], "hi": g[..., 26:29],
+                    }
+
+                SA, SB = unpack(gA), unpack(gB)
+                pair_ok = kmask & m.aabb_overlaps(
+                    SA["lo"], SA["hi"], SB["lo"], SB["hi"])
+                FA = np_mod.body_fields(SA["pos"], SA["rot"], SA["obj"], objmgr)
+                FB = np_mod.body_fields(SB["pos"], SB["rot"], SB["obj"], objmgr)
+                contacts = np_mod.pair_contacts(FA, FB, pair_ok)
+
+                sideA = {"pos": SA["pos"], "rot": SA["rot"], "im": SA["im"],
+                         "ii": SA["ii"], "mu": SA["mu_s"],
+                         "prev_pos": SA["prev_pos"]}
+                sideB = {"pos": SB["pos"], "rot": SB["rot"], "im": SB["im"],
+                         "ii": SB["ii"], "mu": SB["mu_s"],
+                         "prev_pos": SB["prev_pos"]}
+                dpos, dwv, lam, bias_dpos = solver_mod.solve_positions_pairs(
+                    sideA, sideB, contacts, oh_i, oh_j, relaxation=relaxation)
+                p2 = new_pos + dpos
+                r2 = solver_mod._apply_rot_delta(new_rot, dwv)
+                p2, r2 = solve_joints_at(p2, r2)
+
+                v2, w2 = solver_mod.set_velocities(
+                    p2, r2, prev_pos, prev_rot, h_s, bias_dpos)
+
+                # velocity pass at post-solve poses: re-gather p2/r2/v2/w2
+                packed2 = jnp.concatenate([p2, r2, v2, w2], axis=-1)
+                gA2 = solver_mod.pair_gather(oh_i, packed2)
+                gB2 = solver_mod.pair_gather(oh_j, packed2)
+
+                def unpack2(g2, S):
+                    return {
+                        "pos": g2[..., 0:3],
+                        "rot": jnp.where(kmask[..., None], g2[..., 3:7], ident_q),
+                        "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
+                        "v": g2[..., 7:10], "w": g2[..., 10:13],
+                        "pre_v": S["v"], "pre_w": S["w"],
+                    }
+
+                dv, dwv2 = solver_mod.solve_velocities_pairs(
+                    unpack2(gA2, SA), unpack2(gB2, SB), contacts, lam,
+                    oh_i, oh_j, h_s, phys["restitution_threshold"],
+                    relaxation=relaxation)
+                writeback(p2, r2, v2 + dv, w2 + dwv2)
+
+                if idx == num_substeps - 1:
+                    from gpu_ecs_madrona_tpu.core.state import batched_gather
+                    ents = ctx.entity_column(arch)
+                    a_ent = batched_gather(ents, jnp.where(kmask, rows_i, 0))
+                    b_ent = batched_gather(ents, jnp.where(kmask, rows_j, 0))
+                    emit_observables(
+                        contacts["ok"] & kmask, a_ent, b_ent, contacts, lam,
+                        kmask.shape[1])
 
             substep.__name__ = f"physics_substep_{idx}"
             return substep
@@ -378,7 +525,8 @@ class RigidBodyPhysicsSystem:
                             deps: Sequence[NodeID]) -> NodeID:
         """reference setupCleanupTasks: clear per-step temporaries."""
         n1 = builder.clear_tmp_node(CandidateTemporary, deps)
-        n2 = builder.clear_tmp_node(ContactTemporary, [n1])
+        n1b = builder.clear_tmp_node(CandidateRowsTemporary, [n1])
+        n2 = builder.clear_tmp_node(ContactTemporary, [n1b])
         n3 = builder.clear_tmp_node(CollisionEventTemporary, [n2])
         return n3
 

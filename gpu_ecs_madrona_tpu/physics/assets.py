@@ -11,7 +11,14 @@ a dict of arrays over the object-type axis O:
     sphere_radius [O]
     verts [O, Vmax, 3]  + num_verts [O]
     face_normals [O, Fmax, 3], face_d [O, Fmax]  + num_faces [O]
-    edge_dirs [O, Emax, 3]  + num_edges [O]   (unique edge directions)
+    face_vert_idx [O, Fmax, FVmax] + face_nverts [O, Fmax]
+        (vertex-index loops per face, padded by repeating the last valid
+         index — the analog of the reference half-edge face traversal,
+         physics.hpp:76-146, needed for incident-face manifold clipping)
+    edge_dirs [O, Emax, 3]  + num_edges [O]   (unique edge directions, SAT)
+    edge_v0/edge_v1 [O, EFmax] + num_full_edges [O]
+        (full undirected edge list as vertex indices — supporting-edge
+         lookup for edge-edge contacts)
     local_aabb_lo/hi [O, 3]
     inv_mass [O], inv_inertia [O, 3], mu_s [O], mu_d [O]
       (RigidBodyMetadata, physics.hpp:247-253)
@@ -111,11 +118,14 @@ class PhysicsLoader:
     """Collects SourceObjects, packs the padded ObjectManager arrays
     (reference PhysicsLoader::loadObjects, physics_assets.cpp)."""
 
-    def __init__(self, max_verts: int = 32, max_faces: int = 32, max_edges: int = 16):
+    def __init__(self, max_verts: int = 32, max_faces: int = 32, max_edges: int = 16,
+                 max_face_verts: int = 8, max_full_edges: int = 48):
         self.objects: List[SourceObject] = []
         self.max_verts = max_verts
         self.max_faces = max_faces
         self.max_edges = max_edges
+        self.max_face_verts = max_face_verts
+        self.max_full_edges = max_full_edges
 
     def load_objects(self, objs: Sequence[SourceObject]) -> "PhysicsLoader":
         self.objects.extend(objs)
@@ -125,6 +135,7 @@ class PhysicsLoader:
         """Pack into the padded array dict (all numpy; systems convert)."""
         O = max(len(self.objects), 1)
         Vm, Fm, Em = self.max_verts, self.max_faces, self.max_edges
+        FVm, EFm = self.max_face_verts, self.max_full_edges
         mgr = {
             "prim_type": np.zeros(O, np.int32),
             "sphere_radius": np.ones(O, np.float32),
@@ -133,8 +144,13 @@ class PhysicsLoader:
             "face_normals": np.zeros((O, Fm, 3), np.float32),
             "face_d": np.zeros((O, Fm), np.float32),
             "num_faces": np.zeros(O, np.int32),
+            "face_vert_idx": np.zeros((O, Fm, FVm), np.int32),
+            "face_nverts": np.zeros((O, Fm), np.int32),
             "edge_dirs": np.zeros((O, Em, 3), np.float32),
             "num_edges": np.zeros(O, np.int32),
+            "edge_v0": np.zeros((O, EFm), np.int32),
+            "edge_v1": np.zeros((O, EFm), np.int32),
+            "num_full_edges": np.zeros(O, np.int32),
             "local_aabb_lo": np.zeros((O, 3), np.float32),
             "local_aabb_hi": np.zeros((O, 3), np.float32),
             "inv_mass": np.zeros(O, np.float32),
@@ -170,6 +186,7 @@ class PhysicsLoader:
                 centroid = v.mean(axis=0)
                 nf = 0
                 edge_set = []
+                full_edges = []
                 for loop in obj.faces:
                     p0, p1, p2 = v[loop[0]], v[loop[1]], v[loop[2]]
                     n = np.cross(p1 - p0, p2 - p0)
@@ -184,12 +201,24 @@ class PhysicsLoader:
                         raise ValueError(f"hull {i} has > max_faces={Fm} faces")
                     mgr["face_normals"][i, nf] = n
                     mgr["face_d"][i, nf] = np.dot(n, p0)
+                    if len(loop) > FVm:
+                        raise ValueError(
+                            f"hull {i} face has {len(loop)} verts > max_face_verts={FVm}")
+                    # pad the loop by repeating the last valid index: padded
+                    # entries duplicate a real corner, which is harmless for
+                    # the masked manifold candidate set
+                    padded = list(loop) + [loop[-1]] * (FVm - len(loop))
+                    mgr["face_vert_idx"][i, nf] = padded
+                    mgr["face_nverts"][i, nf] = len(loop)
                     nf += 1
                     for a, b in zip(loop, np.roll(loop, -1)):
                         d = v[b] - v[a]
                         dn = np.linalg.norm(d)
                         if dn < 1e-12:
                             continue
+                        key = (min(int(a), int(b)), max(int(a), int(b)))
+                        if key not in full_edges:
+                            full_edges.append(key)
                         d = d / dn
                         # dedupe parallel directions (SAT only needs unique)
                         if not any(
@@ -202,4 +231,20 @@ class PhysicsLoader:
                 for k, d in enumerate(edge_set):
                     mgr["edge_dirs"][i, k] = d
                 mgr["num_edges"][i] = len(edge_set)
+                if len(full_edges) > EFm:
+                    raise ValueError(
+                        f"hull {i} has {len(full_edges)} edges > max_full_edges={EFm}")
+                for k, (a, b) in enumerate(full_edges):
+                    mgr["edge_v0"][i, k] = a
+                    mgr["edge_v1"][i, k] = b
+                mgr["num_full_edges"][i] = len(full_edges)
+        # Derived position arrays (object-local space), precomputed here so
+        # the narrowphase never gathers by vertex index on device:
+        #   edge_p0/edge_p1 [O, EFm, 3] — full-edge endpoint positions
+        #   face_verts     [O, Fm, FVm, 3] — face corner positions
+        v_all = mgr["verts"]
+        oidx = np.arange(O)[:, None]
+        mgr["edge_p0"] = v_all[oidx, mgr["edge_v0"]]
+        mgr["edge_p1"] = v_all[oidx, mgr["edge_v1"]]
+        mgr["face_verts"] = v_all[np.arange(O)[:, None, None], mgr["face_vert_idx"]]
         return mgr

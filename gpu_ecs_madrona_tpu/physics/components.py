@@ -51,6 +51,12 @@ CollisionEvent = component("CollisionEvent", a=((), jnp.int32), b=((), jnp.int32
 CandidateCollision = component(
     "CandidateCollision", a=((), jnp.int32), b=((), jnp.int32)
 )
+# Internal compacted-candidate rows (body ROW indices, not entity handles):
+# the pairs-mode substep gathers body data through these (the TPU analog of
+# the reference narrowphase reading candidate entity refs directly).
+CandidatePairRows = component(
+    "CandidatePairRows", i=((), jnp.int32), j=((), jnp.int32)
+)
 ContactConstraint = component(
     "ContactConstraint",
     ref=((), jnp.int32),        # entity handle of reference body

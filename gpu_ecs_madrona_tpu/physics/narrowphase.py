@@ -1,28 +1,35 @@
-"""Narrowphase contact generation — dense batched SAT.
+"""Narrowphase contact generation — batched SAT over a generic pair axis.
 
 TPU redesign of reference src/physics/narrowphase.cpp: the reference
 dispatches per candidate pair on primitive-type bitmasks
 (narrowphase.cpp:98-108) and runs divergent SAT control flow per pair
-(doSAT, narrowphase.cpp:663-727).  Here every unordered body pair (i < j)
-of the dense [worlds, n, n] grid evaluates all primitive-pair kinds with
-masked selects — the restructuring SURVEY.md §7.3 calls for: fixed
-iteration face/edge loops with masked min-reductions instead of branches.
+(doSAT, narrowphase.cpp:663-727).  Here every pair evaluates all
+primitive-pair kinds with masked selects — the restructuring SURVEY.md §7.3
+calls for: fixed iteration face/edge loops with masked min-reductions
+instead of branches.
+
+The core (``pair_contacts``) is leading-shape generic.  Two drivers use it:
+  * ``narrowphase_dense``: pairs = the full [worlds, n, n] grid (A-side
+    fields broadcast along axis 2, B-side along axis 1).  Zero gathers;
+    right for small body counts.
+  * compacted-pairs mode (physics/__init__.py): pairs = [worlds, K]
+    broadphase candidates; body data is gathered per pair.  Right at scale,
+    where n^2 SAT work would dominate (the TPU analog of the reference
+    running narrowphase only on broadphase candidates).
 
 Supported pair kinds (reference narrowphase.cpp Type bitmask):
   sphere-sphere, sphere-plane, sphere-hull, hull-plane, hull-hull (SAT over
   face normals of both hulls + edge-direction cross axes), with up-to-4-
-  point face manifolds (deepest incident vertices; the reference clips the
-  incident face — a refinement tracked for a later round) and single-point
-  edge-edge contacts approximated at the deepest incident vertex.
+  point face manifolds and single-point edge-edge contacts.
 
-Everything is written as elementwise ops + masked reductions (never
-einsum/dot) so XLA's reduction fusion streams the [W, n, n, axes, verts]
-virtual tensors through the VPU without materializing them.
+Everything is written as elementwise ops + masked reductions so XLA's
+reduction fusion streams the per-pair virtual tensors through the VPU
+without materializing them.
 
-Output: dense contact grid dict with leading [W, n, n] (i = ref body,
-j = other body; only i < j entries are valid):
-  ok [W,n,n] bool, normal [W,n,n,3] (ref -> other),
-  points [W,n,n,4,3], depth [W,n,n,4], num_points [W,n,n]
+Output: contact dict with leading pair shape L (i = ref body A, j = other
+body B):
+  ok [L] bool, normal [L,3] (ref -> other),
+  points [L,4,3], depth [L,4], num_points [L]
 """
 
 from __future__ import annotations
@@ -39,68 +46,87 @@ NEG_BIG = -1e9
 BIG = 1e9
 
 
-def _support(axis_local, verts, vmask):
-    """max over hull verts of (axis . v).  axis_local [..., 3] in the hull's
-    local frame; verts [..., Vm, 3]; vmask [..., Vm] bool.
-    Returns [...] max projection (masked)."""
-    proj = jnp.sum(axis_local[..., None, :] * verts, axis=-1)
-    return jnp.max(jnp.where(vmask, proj, NEG_BIG), axis=-1)
+def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
+    """Per-body world-space collision fields.
 
-
-def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
-    """pos [W,n,3], rot [W,n,4] (w,x,y,z), obj_id [W,n] int32,
-    row_mask [W,n] bool, objmgr: padded asset dict (jnp arrays)."""
-    W, n = obj_id.shape
-    Vm = objmgr["verts"].shape[1]
-    Fm = objmgr["face_normals"].shape[1]
-    Em = objmgr["edge_dirs"].shape[1]
-
-    # Per-body asset data (gather over the small object-type axis)
-    ptype = objmgr["prim_type"][obj_id]              # [W,n]
-    radius = objmgr["sphere_radius"][obj_id]         # [W,n]
-    verts_l = objmgr["verts"][obj_id]                # [W,n,Vm,3] local
-    nverts = objmgr["num_verts"][obj_id]             # [W,n]
-    fnorm_l = objmgr["face_normals"][obj_id]         # [W,n,Fm,3]
-    face_d = objmgr["face_d"][obj_id]                # [W,n,Fm]
+    pos [*L,3], rot [*L,4] (w,x,y,z), obj_id [*L] int32; objmgr: padded
+    asset dict (jnp arrays).  Returns a dict of arrays with leading *L —
+    the data a reference CollisionPrimitive carries (physics.hpp:245-264)
+    pushed to world space once per body.
+    """
+    ptype = objmgr["prim_type"][obj_id]
+    radius = objmgr["sphere_radius"][obj_id]
+    verts_l = objmgr["verts"][obj_id]                # [*L,Vm,3]
+    nverts = objmgr["num_verts"][obj_id]
+    fnorm_l = objmgr["face_normals"][obj_id]         # [*L,Fm,3]
+    face_d = objmgr["face_d"][obj_id]
     nfaces = objmgr["num_faces"][obj_id]
-    edir_l = objmgr["edge_dirs"][obj_id]             # [W,n,Em,3]
+    edir_l = objmgr["edge_dirs"][obj_id]             # [*L,Em,3]
     nedges = objmgr["num_edges"][obj_id]
 
-    vmask = jnp.arange(Vm)[None, None, :] < nverts[..., None]       # [W,n,Vm]
-    fmask = jnp.arange(Fm)[None, None, :] < nfaces[..., None]
-    emask = jnp.arange(Em)[None, None, :] < nedges[..., None]
+    Vm = verts_l.shape[-2]
+    Fm = fnorm_l.shape[-2]
+    Em = edir_l.shape[-2]
+    vmask = jnp.arange(Vm) < nverts[..., None]
+    fmask = jnp.arange(Fm) < nfaces[..., None]
+    emask = jnp.arange(Em) < nedges[..., None]
 
-    is_sphere = ptype == PRIM_SPHERE
-    is_hull = ptype == PRIM_HULL
-    is_plane = ptype == PRIM_PLANE
-
-    # world-space hull verts and face normals (per body, computed once)
-    verts_w = m.quat_rotate(rot[:, :, None, :], verts_l) + pos[:, :, None, :]
-    fnorm_w = m.quat_rotate(rot[:, :, None, :], fnorm_l)            # [W,n,Fm,3]
-    # world face plane offset: n_w . x = face_d + n_w . pos_rotated... for a
-    # rotated+translated plane: d_w = face_d + n_w . pos
-    face_dw = face_d + jnp.sum(fnorm_w * pos[:, :, None, :], axis=-1)
+    rot_e = rot[..., None, :]
+    pos_e = pos[..., None, :]
+    verts_w = m.quat_rotate(rot_e, verts_l) + pos_e
+    fnorm_w = m.quat_rotate(rot_e, fnorm_l)
+    # rotated+translated face plane: d_w = face_d + n_w . pos
+    face_dw = face_d + jnp.sum(fnorm_w * pos_e, axis=-1)
+    edir_w = m.quat_rotate(rot_e, edir_l)
     # plane primitives: world normal/offset of the z=0 object plane
-    plane_n = m.quat_rotate(rot, jnp.array([0.0, 0.0, 1.0]))        # [W,n,3]
-    plane_d = jnp.sum(plane_n * pos, axis=-1)                       # [W,n]
+    plane_n = m.quat_rotate(rot, jnp.array([0.0, 0.0, 1.0]))
+    plane_d = jnp.sum(plane_n * pos, axis=-1)
 
-    # pair masks [W, n, n] — unordered pairs i < j, both live, not two
-    # non-dynamic... (static-static pairs are filtered by the solver's
-    # inverse masses; keep all here like the reference)
-    upper = jnp.triu(jnp.ones((n, n), bool), k=1)[None]
-    pair_live = row_mask[:, :, None] & row_mask[:, None, :] & upper
+    fields = {
+        "pos": pos, "rot": rot,
+        "ptype": ptype, "radius": radius,
+        "verts_w": verts_w, "vmask": vmask,
+        "fnorm_w": fnorm_w, "face_dw": face_dw, "fmask": fmask,
+        "edir_w": edir_w, "emask": emask,
+        "plane_n": plane_n, "plane_d": plane_d,
+        "lo_l": objmgr["local_aabb_lo"][obj_id],
+        "hi_l": objmgr["local_aabb_hi"][obj_id],
+        "obj_id": obj_id,
+    }
+    return fields
 
-    def A(x):  # broadcast body-i data over grid
-        return x[:, :, None]
 
-    def B(x):  # broadcast body-j data over grid
-        return x[:, None, :]
+def _expand(fields: Dict[str, Any], axis: int) -> Dict[str, Any]:
+    """Insert a broadcast pair axis into every per-body field (dense grid)."""
+    return {k: jnp.expand_dims(v, axis) for k, v in fields.items()}
 
-    out_normal = jnp.zeros((W, n, n, 3))
-    out_points = jnp.zeros((W, n, n, 4, 3))
-    out_depth = jnp.full((W, n, n, 4), -BIG)
-    out_np = jnp.zeros((W, n, n), jnp.int32)
-    out_ok = jnp.zeros((W, n, n), bool)
+
+def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
+                  pair_live: jax.Array, objmgr=None) -> Dict[str, Any]:
+    """Contacts for body pairs (A = ref, B = other).
+
+    A/B: ``body_fields`` dicts whose leading shapes broadcast to
+    ``pair_live.shape`` (= L).  Returns the contact dict (see module doc).
+    """
+    L = pair_live.shape
+    Vm = A["verts_w"].shape[-2]
+    Em = A["edir_w"].shape[-2]
+
+    def bc(x, trailing: int):
+        return jnp.broadcast_to(x, L + x.shape[x.ndim - trailing:])
+
+    is_sphereA = A["ptype"] == PRIM_SPHERE
+    is_sphereB = B["ptype"] == PRIM_SPHERE
+    is_hullA = A["ptype"] == PRIM_HULL
+    is_hullB = B["ptype"] == PRIM_HULL
+    is_planeA = A["ptype"] == PRIM_PLANE
+    is_planeB = B["ptype"] == PRIM_PLANE
+
+    out_normal = jnp.zeros(L + (3,))
+    out_points = jnp.zeros(L + (4, 3))
+    out_depth = jnp.full(L + (4,), -BIG)
+    out_np = jnp.zeros(L, jnp.int32)
+    out_ok = jnp.zeros(L, bool)
 
     def merge(sel, ok, normal, points, depth, num_points):
         nonlocal out_normal, out_points, out_depth, out_np, out_ok
@@ -112,8 +138,15 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
         out_depth = jnp.where(sel[..., None], depth, out_depth)
         out_np = jnp.where(sel, num_points, out_np)
 
-    posA, posB = A(pos), B(pos)
-    radA, radB = A(radius), B(radius)
+    posA, posB = A["pos"], B["pos"]
+    radA, radB = A["radius"], B["radius"]
+
+    def one_point(pt, pen):
+        pts = jnp.zeros(L + (4, 3)).at[..., 0, :].set(jnp.broadcast_to(pt, L + (3,)))
+        dep = jnp.full(L + (4,), -BIG).at[..., 0].set(jnp.broadcast_to(pen, L))
+        return pts, dep
+
+    ones_np = jnp.ones(L, jnp.int32)
 
     # ---------------- sphere - sphere (narrowphase.cpp sphere path) -------
     d = posB - posA
@@ -122,10 +155,8 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
     nrm = d / dist[..., None]
     pen = (radA + radB) - dist
     mid = posA + nrm * (radA - 0.5 * pen)[..., None]
-    pts = jnp.zeros((W, n, n, 4, 3)).at[..., 0, :].set(mid)
-    dep = jnp.full((W, n, n, 4), -BIG).at[..., 0].set(pen)
-    merge(A(is_sphere) & B(is_sphere), pen > 0, nrm, pts,
-          dep, jnp.ones((W, n, n), jnp.int32))
+    pts, dep = one_point(mid, pen)
+    merge(is_sphereA & is_sphereB, pen > 0, nrm, pts, dep, ones_np)
 
     # ---------------- sphere - plane (either order) -----------------------
     def sphere_plane(s_pos, s_rad, p_n, p_d, flip):
@@ -133,126 +164,127 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
         c_dist = jnp.sum(s_pos * p_n, axis=-1) - p_d
         pen = s_rad - c_dist
         contact = s_pos - p_n * c_dist[..., None]
-        nrm_sp = -p_n if not flip else p_n  # ref -> other
-        pts = jnp.zeros((W, n, n, 4, 3)).at[..., 0, :].set(contact)
-        dep = jnp.full((W, n, n, 4), -BIG).at[..., 0].set(pen)
+        nrm_sp = p_n if flip else -p_n  # ref -> other
+        nrm_sp = jnp.broadcast_to(nrm_sp, L + (3,))
+        pts, dep = one_point(contact, pen)
         return pen > 0, nrm_sp, pts, dep
 
-    ok_sp, n_sp, p_sp, d_sp = sphere_plane(posA, radA, B(plane_n), B(plane_d), flip=False)
-    merge(A(is_sphere) & B(is_plane), ok_sp, n_sp, p_sp, d_sp,
-          jnp.ones((W, n, n), jnp.int32))
-    ok_ps, n_ps, p_ps, d_ps = sphere_plane(posB, radB, A(plane_n), A(plane_d), flip=True)
-    merge(A(is_plane) & B(is_sphere), ok_ps, n_ps, p_ps, d_ps,
-          jnp.ones((W, n, n), jnp.int32))
+    ok_sp, n_sp, p_sp, d_sp = sphere_plane(posA, radA, B["plane_n"], B["plane_d"], flip=False)
+    merge(is_sphereA & is_planeB, ok_sp, n_sp, p_sp, d_sp, ones_np)
+    ok_ps, n_ps, p_ps, d_ps = sphere_plane(posB, radB, A["plane_n"], A["plane_d"], flip=True)
+    merge(is_planeA & is_sphereB, ok_ps, n_ps, p_ps, d_ps, ones_np)
 
     # ---------------- hull - plane (either order) -------------------------
     def hull_plane(h_verts_w, h_vmask, p_n, p_d, flip):
-        # vertex distances to plane [W,n,n,Vm]
+        # vertex distances to plane [*L,Vm]
         vd = jnp.sum(h_verts_w * p_n[..., None, :], axis=-1) - p_d[..., None]
         vd = jnp.where(h_vmask, vd, BIG)
         pen_v = -vd  # positive = below plane
-        top_pen, top_idx = jax.lax.top_k(pen_v, 4)      # deepest 4 verts
+        top_pen, top_idx = jax.lax.top_k(bc(pen_v, 1), 4)  # deepest 4 verts
         pts = jnp.take_along_axis(
-            h_verts_w, top_idx[..., None].repeat(3, -1), axis=-2
-        )  # [W,n,n,4,3]
+            bc(h_verts_w, 2), top_idx[..., None].repeat(3, -1), axis=-2
+        )  # [*L,4,3]
         num_pts = jnp.sum((top_pen > 0).astype(jnp.int32), axis=-1)
         nrm_hp = p_n if flip else -p_n  # ref(hull) -> other(plane): -p_n
+        nrm_hp = jnp.broadcast_to(nrm_hp, L + (3,))
         return num_pts > 0, nrm_hp, pts, top_pen, num_pts
 
-    hvwA = verts_w[:, :, None]   # [W,n,1,Vm,3] -> broadcasts over j
-    hvwB = verts_w[:, None, :]
-    vmA, vmB = vmask[:, :, None], vmask[:, None, :]
-
     ok_hp, n_hp, p_hp, d_hp2, np_hp = hull_plane(
-        jnp.broadcast_to(hvwA, (W, n, n, Vm, 3)), vmA, B(plane_n), B(plane_d), flip=False)
-    merge(A(is_hull) & B(is_plane), ok_hp, n_hp, p_hp, d_hp2, np_hp)
+        A["verts_w"], A["vmask"], B["plane_n"], B["plane_d"], flip=False)
+    merge(is_hullA & is_planeB, ok_hp, n_hp, p_hp, d_hp2, np_hp)
     ok_ph, n_ph, p_ph, d_ph, np_ph = hull_plane(
-        jnp.broadcast_to(hvwB, (W, n, n, Vm, 3)), vmB, A(plane_n), A(plane_d), flip=True)
-    merge(A(is_plane) & B(is_hull), ok_ph, n_ph, p_ph, d_ph, np_ph)
+        B["verts_w"], B["vmask"], A["plane_n"], A["plane_d"], flip=True)
+    merge(is_planeA & is_hullB, ok_ph, n_ph, p_ph, d_ph, np_ph)
 
     # ---------------- sphere - hull (either order) ------------------------
     # center vs hull face planes: closest face gives normal + depth
     def sphere_hull(s_pos, s_rad, h_fn_w, h_fd_w, h_fmask, flip):
-        # signed distance of center to each face plane [W,n,n,Fm]
+        # signed distance of center to each face plane [*L,Fm]
         cd = jnp.sum(s_pos[..., None, :] * h_fn_w, axis=-1) - h_fd_w
         cd = jnp.where(h_fmask, cd, NEG_BIG)
         # center's max face distance = signed distance to hull surface
         # (exact when center is outside near a face, approximate at edges)
-        fdist = jnp.max(cd, axis=-1)                    # [W,n,n]
+        fdist = jnp.max(cd, axis=-1)                    # [*L]
         fidx = jnp.argmax(cd, axis=-1)
-        fn = jnp.take_along_axis(h_fn_w, fidx[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+        fn = jnp.take_along_axis(
+            bc(h_fn_w, 2), fidx[..., None, None].repeat(3, -1), axis=-2
+        )[..., 0, :]
         pen = s_rad - fdist
         contact = s_pos - fn * fdist[..., None]
-        nrm_sh = -fn if not flip else fn
-        pts = jnp.zeros((W, n, n, 4, 3)).at[..., 0, :].set(contact)
-        dep = jnp.full((W, n, n, 4), -BIG).at[..., 0].set(pen)
+        nrm_sh = fn if flip else -fn
+        pts, dep = one_point(contact, pen)
         return pen > 0, nrm_sh, pts, dep
 
-    fnwA, fdwA, fmA = fnorm_w[:, :, None], face_dw[:, :, None], fmask[:, :, None]
-    fnwB, fdwB, fmB = fnorm_w[:, None, :], face_dw[:, None, :], fmask[:, None, :]
     ok_sh, n_sh, p_sh, d_sh = sphere_hull(
-        posA, radA, jnp.broadcast_to(fnwB, (W, n, n, Fm, 3)),
-        jnp.broadcast_to(fdwB, (W, n, n, Fm)), fmB, flip=False)
-    merge(A(is_sphere) & B(is_hull), ok_sh, n_sh, p_sh, d_sh,
-          jnp.ones((W, n, n), jnp.int32))
+        posA, radA, B["fnorm_w"], B["face_dw"], B["fmask"], flip=False)
+    merge(is_sphereA & is_hullB, ok_sh, n_sh, p_sh, d_sh, ones_np)
     ok_hs, n_hs, p_hs, d_hs = sphere_hull(
-        posB, radB, jnp.broadcast_to(fnwA, (W, n, n, Fm, 3)),
-        jnp.broadcast_to(fdwA, (W, n, n, Fm)), fmA, flip=True)
-    merge(A(is_hull) & B(is_sphere), ok_hs, n_hs, p_hs, d_hs,
-          jnp.ones((W, n, n), jnp.int32))
+        posB, radB, A["fnorm_w"], A["face_dw"], A["fmask"], flip=True)
+    merge(is_hullA & is_sphereB, ok_hs, n_hs, p_hs, d_hs, ones_np)
 
     # ---------------- hull - hull: SAT (narrowphase.cpp doSAT) ------------
-    both_hull = A(is_hull) & B(is_hull) & pair_live
-    rotA4, rotB4 = rot[:, :, None, :], rot[:, None, :, :]
+    both_hull = is_hullA & is_hullB & pair_live
+
+    # When both sides' fields are full pair shape (compacted-pairs mode),
+    # project supports with dot_general: XLA materializes the elementwise
+    # [*L, axes, Vm, 3] product tensors of the broadcast formulation
+    # (measured 7 GB of temps at 512 worlds x 512 pairs), while the batched
+    # dot contracts the 3-axis on the MXU with only the [*L, axes, Vm]
+    # output ever in HBM.  In dense-grid mode the sides are broadcast views
+    # along the two pair axes, so the elementwise form streams instead.
+    nb = len(L)
+    full_pairs = (A["verts_w"].shape[:nb] == L and
+                  B["verts_w"].shape[:nb] == L)
+
+    def _proj(axes_w, verts_w):
+        """[*L,K,3] x [*L,Vm,3] -> [*L,K,Vm] support projections."""
+        if full_pairs and axes_w.shape[:nb] == L:
+            batch = tuple(range(nb))
+            return jax.lax.dot_general(
+                axes_w, verts_w,
+                (((axes_w.ndim - 1,), (verts_w.ndim - 1,)), (batch, batch)),
+                preferred_element_type=jnp.float32)
+        return jnp.sum(axes_w[..., None, :] * verts_w[..., None, :, :],
+                       axis=-1)
 
     def axis_penetration(axes_w, axes_valid):
         """Penetration depth of the pair along candidate world axes.
-        axes_w [W,n,n,K,3] unit (ref -> other orientation fixed below);
-        returns penetration per axis [W,n,n,K] (+inf for invalid)."""
-        # support of A along +axis and -axis, B likewise, via local frames
-        ax_a = m.quat_inv_rotate(rotA4[:, :, :, None, :], axes_w)
-        ax_b = m.quat_inv_rotate(rotB4[:, :, :, None, :], axes_w)
-        vA = verts_l[:, :, None, None]    # [W,n,1,1,Vm,3]
-        vB = verts_l[:, None, :, None]
-        vmA5 = vmask[:, :, None, None]
-        vmB5 = vmask[:, None, :, None]
-        projA = jnp.sum(ax_a[..., None, :] * vA, axis=-1)   # [W,n,n,K,Vm]
-        projB = jnp.sum(ax_b[..., None, :] * vB, axis=-1)
-        maxA = jnp.max(jnp.where(vmA5, projA, NEG_BIG), axis=-1)
-        minA = jnp.min(jnp.where(vmA5, projA, BIG), axis=-1)
-        maxB = jnp.max(jnp.where(vmB5, projB, NEG_BIG), axis=-1)
-        minB = jnp.min(jnp.where(vmB5, projB, BIG), axis=-1)
-        # world offsets
-        offA = jnp.sum(axes_w * posA[..., None, :], axis=-1)
-        offB = jnp.sum(axes_w * posB[..., None, :], axis=-1)
-        maxA, minA = maxA + offA, minA + offA
-        maxB, minB = maxB + offB, minB + offB
+        axes_w [*L,K,3] unit; returns penetration per axis [*L,K] (+BIG for
+        invalid).  Supports are max/min projections of world verts — the
+        masked-min-reduction restructuring of the reference's support fns."""
+        projA = _proj(axes_w, A["verts_w"])               # [*L,K,Vm]
+        projB = _proj(axes_w, B["verts_w"])
+        vmA = A["vmask"][..., None, :]
+        vmB = B["vmask"][..., None, :]
+        maxA = jnp.max(jnp.where(vmA, projA, NEG_BIG), axis=-1)
+        minA = jnp.min(jnp.where(vmA, projA, BIG), axis=-1)
+        maxB = jnp.max(jnp.where(vmB, projB, NEG_BIG), axis=-1)
+        minB = jnp.min(jnp.where(vmB, projB, BIG), axis=-1)
         # overlap along axis (positive = penetrating)
         pen = jnp.minimum(maxA - minB, maxB - minA)
         return jnp.where(axes_valid, pen, BIG)
 
     # candidate axes: A's faces, B's faces, cross(edgeA, edgeB)
-    axesA = jnp.broadcast_to(fnwA, (W, n, n, Fm, 3))
-    axesB = jnp.broadcast_to(fnwB, (W, n, n, Fm, 3))
-    edA_w = m.quat_rotate(rotA4[:, :, :, None, :],
-                          jnp.broadcast_to(edir_l[:, :, None], (W, n, n, Em, 3)))
-    edB_w = m.quat_rotate(rotB4[:, :, :, None, :],
-                          jnp.broadcast_to(edir_l[:, None, :], (W, n, n, Em, 3)))
-    cross = jnp.cross(edA_w[:, :, :, :, None, :], edB_w[:, :, :, None, :, :])
-    cross = cross.reshape(W, n, n, Em * Em, 3)
+    axesA = A["fnorm_w"]
+    axesB = B["fnorm_w"]
+    cross = jnp.cross(A["edir_w"][..., :, None, :], B["edir_w"][..., None, :, :])
+    cross = cross.reshape(L + (Em * Em, 3))
     clen = jnp.linalg.norm(cross, axis=-1, keepdims=True)
     cvalid = (clen[..., 0] > 1e-6) & (
-        emask[:, :, None, :, None] & emask[:, None, :, None, :]
-    ).reshape(W, n, n, Em * Em)
+        A["emask"][..., :, None] & B["emask"][..., None, :]
+    ).reshape(L + (Em * Em,))
     cross = cross / jnp.maximum(clen, 1e-12)
 
-    penA = axis_penetration(axesA, jnp.broadcast_to(fmA, (W, n, n, Fm)))
-    penB = axis_penetration(axesB, jnp.broadcast_to(fmB, (W, n, n, Fm)))
+    penA = axis_penetration(axesA, A["fmask"])
+    penB = axis_penetration(axesB, B["fmask"])
     penE = axis_penetration(cross, cvalid)
 
     minA_, idxA_ = jnp.min(penA, -1), jnp.argmin(penA, -1)
     minB_, idxB_ = jnp.min(penB, -1), jnp.argmin(penB, -1)
     minE_, idxE_ = jnp.min(penE, -1), jnp.argmin(penE, -1)
+
+    minA_ = jnp.broadcast_to(minA_, L)
+    minB_ = jnp.broadcast_to(minB_, L)
 
     sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
     hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
@@ -265,9 +297,14 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
     use_edge = ~(use_faceA | use_faceB)
 
     # reference face normal (world, oriented ref(A) -> other(B))
-    fA = jnp.take_along_axis(axesA, idxA_[..., None, None].repeat(3, -1), -2)[..., 0, :]
-    fB = jnp.take_along_axis(axesB, idxB_[..., None, None].repeat(3, -1), -2)[..., 0, :]
-    fE = jnp.take_along_axis(cross, idxE_[..., None, None].repeat(3, -1), -2)[..., 0, :]
+    def take_axis(axes, idx):
+        return jnp.take_along_axis(
+            bc(axes, 2), idx[..., None, None].repeat(3, -1), axis=-2
+        )[..., 0, :]
+
+    fA = take_axis(axesA, jnp.broadcast_to(idxA_, L))
+    fB = take_axis(axesB, jnp.broadcast_to(idxB_, L))
+    fE = take_axis(cross, idxE_)
     ab = posB - posA
     sgn = lambda v: jnp.where(jnp.sum(v * ab, axis=-1, keepdims=True) >= 0, 1.0, -1.0)
     sat_normal = jnp.where(
@@ -278,16 +315,12 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
     # manifold: deepest incident-hull verts against the separating plane.
     # face-of-A wins -> incident hull is B (verts measured against A's
     # plane); face-of-B wins -> incident is A; edge -> single deepest B vert.
-    # reference-hull local AABBs for point clipping
-    lo_l = objmgr["local_aabb_lo"][obj_id]          # [W,n,3]
-    hi_l = objmgr["local_aabb_hi"][obj_id]
-
     def clip_to_ref(pts4, ref_pos, ref_rot, ref_lo, ref_hi):
         """Clamp contact points into the reference hull's local AABB —
-        the cheap stand-in for the reference's incident-face clipping
-        (narrowphase.cpp manifold clip): without it, manifold points
-        overhanging the reference face apply spurious torque.  Exact for
-        boxes; conservative for general hulls."""
+        the cheap stand-in for full incident-face clipping (narrowphase.cpp
+        manifold clip): without it, manifold points overhanging the
+        reference face apply spurious torque.  Exact for boxes;
+        conservative for general hulls."""
         local = m.quat_inv_rotate(ref_rot[..., None, :], pts4 - ref_pos[..., None, :])
         local = jnp.clip(local, ref_lo[..., None, :], ref_hi[..., None, :])
         return m.quat_rotate(ref_rot[..., None, :], local) + ref_pos[..., None, :]
@@ -298,22 +331,23 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
         # ref-hull support point.
         proj = jnp.sum(incident_w * nrm_to_inc[..., None, :], axis=-1)
         proj = jnp.where(inc_mask, proj, BIG)
-        top_pen, top_idx = jax.lax.top_k(-proj, 4)  # smallest projections
-        pts = jnp.take_along_axis(incident_w, top_idx[..., None].repeat(3, -1), -2)
+        top_pen, top_idx = jax.lax.top_k(bc(proj, 1) * -1.0, 4)  # smallest projections
+        pts = jnp.take_along_axis(
+            bc(incident_w, 2), top_idx[..., None].repeat(3, -1), -2)
         return pts, top_pen
 
-    ptsB, prB = deepest_pts(jnp.broadcast_to(hvwB, (W, n, n, Vm, 3)), vmB, sat_normal)
-    ptsA, prA = deepest_pts(jnp.broadcast_to(hvwA, (W, n, n, Vm, 3)), vmA, -sat_normal)
+    ptsB, prB = deepest_pts(B["verts_w"], B["vmask"], sat_normal)
+    ptsA, prA = deepest_pts(A["verts_w"], A["vmask"], -sat_normal)
     # clip incident points into the reference hull (ref=A when A's face is
     # the separating plane, ref=B otherwise)
-    ptsB = clip_to_ref(ptsB, jnp.broadcast_to(posA, (W, n, n, 3)),
-                       jnp.broadcast_to(rotA4, (W, n, n, 4)),
-                       jnp.broadcast_to(lo_l[:, :, None], (W, n, n, 3)),
-                       jnp.broadcast_to(hi_l[:, :, None], (W, n, n, 3)))
-    ptsA = clip_to_ref(ptsA, jnp.broadcast_to(posB, (W, n, n, 3)),
-                       jnp.broadcast_to(rotB4, (W, n, n, 4)),
-                       jnp.broadcast_to(lo_l[:, None, :], (W, n, n, 3)),
-                       jnp.broadcast_to(hi_l[:, None, :], (W, n, n, 3)))
+    ptsB = clip_to_ref(ptsB, jnp.broadcast_to(posA, L + (3,)),
+                       jnp.broadcast_to(A["rot"], L + (4,)),
+                       jnp.broadcast_to(A["lo_l"], L + (3,)),
+                       jnp.broadcast_to(A["hi_l"], L + (3,)))
+    ptsA = clip_to_ref(ptsA, jnp.broadcast_to(posB, L + (3,)),
+                       jnp.broadcast_to(B["rot"], L + (4,)),
+                       jnp.broadcast_to(B["lo_l"], L + (3,)),
+                       jnp.broadcast_to(B["hi_l"], L + (3,)))
     pts_sat = jnp.where(use_faceB[..., None, None], ptsA, ptsB)
     pen_rel = jnp.where(use_faceB[..., None], prA, prB)
     # convert relative projections to true depths: deepest point has depth
@@ -322,8 +356,7 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
     num_sat = jnp.sum((depth_sat > 0).astype(jnp.int32), axis=-1)
     num_sat = jnp.where(use_edge, jnp.minimum(num_sat, 1), num_sat)
     depth_sat = jnp.where(
-        use_edge[..., None] & (jnp.arange(4)[None, None, None] > 0),
-        -BIG, depth_sat)
+        use_edge[..., None] & (jnp.arange(4) > 0), -BIG, depth_sat)
 
     merge(both_hull, hit, sat_normal, pts_sat, depth_sat, num_sat)
 
@@ -334,3 +367,16 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
         "depth": out_depth,
         "num_points": out_np,
     }
+
+
+def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
+    """Dense [W, n, n] all-pairs narrowphase (i = ref body, j = other; only
+    i < j entries valid).  pos [W,n,3], rot [W,n,4], obj_id [W,n] int32,
+    row_mask [W,n] bool."""
+    W, n = obj_id.shape
+    F = body_fields(pos, rot, obj_id, objmgr)
+    A = _expand(F, 2)
+    B = _expand(F, 1)
+    upper = jnp.triu(jnp.ones((n, n), bool), k=1)[None]
+    pair_live = row_mask[:, :, None] & row_mask[:, None, :] & upper
+    return pair_contacts(A, B, pair_live)

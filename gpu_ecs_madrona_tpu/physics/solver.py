@@ -12,11 +12,21 @@ TPU redesign of the reference's substep solver (src/physics/physics.cpp):
     with threshold 2*|g|*h (physics.cpp:31).
 
 The reference applies corrections serially per contact (Gauss-Seidel); a
-lockstep batch cannot.  Corrections here are accumulated Jacobi-style over
-the dense contact grid — per-body sums are reductions along the two grid
-axes (body i collects row i as ref and column i as other), so the solve has
-zero gathers/scatters.  An optional relaxation factor damps the Jacobi
-iteration (standard XPBD-on-GPU practice).
+lockstep batch cannot.  Corrections here are accumulated Jacobi-style.  The
+per-contact impulse math lives in leading-shape-generic cores
+(`_positional_contact_math`, `_velocity_contact_math`) shared by two
+accumulation drivers:
+
+  * dense grid [W, n, n]: per-body sums are reductions along the two grid
+    axes (body i collects row i as ref and column i as other) — zero
+    gathers/scatters.  Right for small body counts.
+  * compacted pairs [W, K]: contacts carry body-row indices; per-body sums
+    are one-hot matmul segment sums (`accumulate_pairs`) — the MXU-friendly
+    scatter-add replacement.  Right at scale, where the n^2 grid would
+    dominate.
+
+An optional relaxation factor damps the Jacobi iteration (standard
+XPBD-on-GPU practice).
 """
 
 from __future__ import annotations
@@ -74,118 +84,141 @@ def _apply_impulse_terms(p, r, inv_mass, inv_inertia, rot):
     return dx, dw
 
 
-def solve_positions(pos, rot, contacts, inv_mass, inv_inertia, mu_s,
-                    prev_pos, prev_rot, response_dynamic, relaxation=1.0,
-                    max_visible_depth=0.05):
-    """One Jacobi XPBD positional pass over the dense contact grid
-    (reference solvePositions, physics.cpp:166-461).
+def _positional_contact_math(posA, rotA, imA, iiA, muA, prevA,
+                             posB, rotB, imB, iiB, muB, prevB,
+                             contacts, relaxation=1.0,
+                             max_visible_depth=0.05):
+    """Per-contact positional impulse math (reference solvePositions,
+    physics.cpp:166-461), leading-shape generic.
 
-    contacts: dict from narrowphase_dense (ok/normal/points/depth/num_points
-    with leading [W, n, n], i=ref, j=other).  Contact depths are solved with
-    zero compliance; static friction corrects tangential drift of the
-    contact point relative to the prev-state positions, clamped by mu_s
-    (physics.cpp:369-441).
+    Per-side args have leading *L (the pair shape): pos [*L,3], rot [*L,4],
+    im [*L], ii [*L,3], mu [*L], prev pos [*L,3].  contacts: dict with
+    leading *L (ok/normal/points/depth/num_points; normal points A->B).
 
-    Returns (new_pos, new_rot, lambda_n [W,n,n,4]) — lambdas feed the
-    velocity pass.
+    Contact depths are solved with zero compliance; static friction corrects
+    tangential drift of the contact point relative to the prev-state
+    positions, clamped by mu_s (physics.cpp:369-441).  Corrections deeper
+    than max_visible_depth are flagged as position *bias* — applied to the
+    body but excluded from finite-difference velocity recovery — so deep
+    depenetration does not convert into kinetic energy (the ejection
+    failure mode of plain XPBD; cf. PhysX maxDepenetrationVelocity).
+
+    Returns (dxA, dwA, dxB, dwB [*L,4,3] per-point corrections — already
+    masked to zero on dead points, dlam [*L,4], bias_frac [*L,4],
+    pt_ok [*L,4]).
     """
-    W, n = pos.shape[0], pos.shape[1]
     ok = contacts["ok"]
-    nrm = contacts["normal"]                      # i -> j
-    pts = contacts["points"]                      # [W,n,n,4,3]
-    depth = contacts["depth"]                     # [W,n,n,4]
+    nrm = contacts["normal"]                      # A -> B
+    pts = contacts["points"]                      # [*L,4,3]
+    depth = contacts["depth"]                     # [*L,4]
     pt_ok = ok[..., None] & (depth > 0) & (
-        jnp.arange(4)[None, None, None] < contacts["num_points"][..., None]
+        jnp.arange(4) < contacts["num_points"][..., None]
     )
 
-    dynA = (response_dynamic & (inv_mass > 0))[:, :, None, None]      # [W,n,1,1]
-    dynB = (response_dynamic & (inv_mass > 0))[:, None, :, None]
-    imA = jnp.where(dynA, inv_mass[:, :, None, None], 0.0)
-    imB = jnp.where(dynB, inv_mass[:, None, :, None], 0.0)
-    iiA = jnp.where(dynA[..., None], inv_inertia[:, :, None, None, :], 0.0)
-    iiB = jnp.where(dynB[..., None], inv_inertia[:, None, :, None, :], 0.0)
-    rotA = jnp.broadcast_to(rot[:, :, None, None, :], (W, n, n, 4, 4))
-    rotB = jnp.broadcast_to(rot[:, None, :, None, :], (W, n, n, 4, 4))
+    imA4, imB4 = imA[..., None], imB[..., None]                 # [*L,1]
+    iiA4, iiB4 = iiA[..., None, :], iiB[..., None, :]           # [*L,1,3]
+    rotA4, rotB4 = rotA[..., None, :], rotB[..., None, :]
 
-    rA = pts - pos[:, :, None, None, :]           # [W,n,n,4,3]
-    rB = pts - pos[:, None, :, None, :]
-    n4 = nrm[..., None, :]                        # broadcast over points
+    rA = pts - posA[..., None, :]                 # [*L,4,3]
+    rB = pts - posB[..., None, :]
+    n4 = jnp.broadcast_to(nrm[..., None, :], rA.shape)
 
-    wA = _generalized_inv_mass(rA, jnp.broadcast_to(n4, rA.shape), imA, iiA, rotA)
-    wB = _generalized_inv_mass(rB, jnp.broadcast_to(n4, rB.shape), imB, iiB, rotB)
+    wA = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
+    wB = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
     wsum = wA + wB
-    # XPBD: dlambda = -C / (w1 + w2); C = -depth (violation).  Corrections
-    # deeper than max_visible_depth are solved as position *bias* — applied
-    # to the body but excluded from finite-difference velocity recovery —
-    # so deep depenetration does not convert into kinetic energy (the
-    # ejection failure mode of plain XPBD; cf. PhysX
-    # maxDepenetrationVelocity).
+    # XPBD: dlambda = -C / (w1 + w2); C = -depth (violation).
     depth_vis = jnp.minimum(depth, max_visible_depth)
     dlam = jnp.where(pt_ok & (wsum > 1e-12), depth / jnp.maximum(wsum, 1e-12), 0.0)
     dlam = dlam * relaxation
     dlam_vis = jnp.where(pt_ok & (wsum > 1e-12),
                          depth_vis / jnp.maximum(wsum, 1e-12), 0.0) * relaxation
     bias_frac = jnp.where(dlam > 1e-12, (dlam - dlam_vis) / jnp.maximum(dlam, 1e-12), 0.0)
-    p = dlam[..., None] * n4                      # impulse on A along -n?
-    # normal points i->j: push i backwards, j forwards (reference pushes
+    p = dlam[..., None] * n4
+    # normal points A->B: push A backwards, B forwards (reference pushes
     # ref by -n * lambda, alt by +n * lambda)
-    dxA, dwA = _apply_impulse_terms(-p, rA, imA, iiA, rotA)
-    dxB, dwB = _apply_impulse_terms(p, rB, imB, iiB, rotB)
+    dxA, dwA = _apply_impulse_terms(-p, rA, imA4, iiA4, rotA4)
+    dxB, dwB = _apply_impulse_terms(p, rB, imB4, iiB4, rotB4)
 
     # ---- static friction (physics.cpp:369-441): tangential drift of the
-    # contact points since the substep start, clamped by mu_s * lambda_n
-    relA = pts - prev_pos[:, :, None, None, :]
-    relB = pts - prev_pos[:, None, :, None, :]
-    # current position of the material points after integration ~ pts; the
-    # drift is the relative motion of the two bodies' frames at the contact:
-    dispA = (pos[:, :, None, None, :] - prev_pos[:, :, None, None, :])
-    dispB = (pos[:, None, :, None, :] - prev_pos[:, None, :, None, :])
+    # contact points since the substep start, clamped by mu_s * lambda_n.
+    # The drift is the relative motion of the two bodies' frames at the
+    # contact over this substep:
+    dispA = (posA - prevA)[..., None, :]
+    dispB = (posB - prevB)[..., None, :]
     drift = dispB - dispA
     tang = drift - jnp.sum(drift * n4, axis=-1, keepdims=True) * n4
     tlen = jnp.linalg.norm(tang, axis=-1)
-    that = tang / jnp.maximum(tlen[..., None], 1e-12)
-    wA_t = _generalized_inv_mass(rA, jnp.broadcast_to(that, rA.shape), imA, iiA, rotA)
-    wB_t = _generalized_inv_mass(rB, jnp.broadcast_to(that, rB.shape), imB, iiB, rotB)
+    that = jnp.broadcast_to(tang / jnp.maximum(tlen[..., None], 1e-12), rA.shape)
+    wA_t = _generalized_inv_mass(rA, that, imA4, iiA4, rotA4)
+    wB_t = _generalized_inv_mass(rB, that, imB4, iiB4, rotB4)
     wsum_t = wA_t + wB_t
-    mu_pair = 0.5 * (mu_s[:, :, None, None] + mu_s[:, None, :, None])
+    mu_pair = (0.5 * (muA + muB))[..., None]
     dlam_t = jnp.where(
         pt_ok & (wsum_t > 1e-12) & (tlen < mu_pair * dlam),
         tlen / jnp.maximum(wsum_t, 1e-12), 0.0
     ) * relaxation
     pt = dlam_t[..., None] * that
-    fxA, fwA = _apply_impulse_terms(pt, rA, imA, iiA, rotA)
-    fxB, fwB = _apply_impulse_terms(-pt, rB, imB, iiB, rotB)
+    fxA, fwA = _apply_impulse_terms(pt, rA, imA4, iiA4, rotA4)
+    fxB, fwB = _apply_impulse_terms(-pt, rB, imB4, iiB4, rotB4)
     dxA, dwA = dxA + fxA, dwA + fwA
     dxB, dwB = dxB + fxB, dwB + fwB
 
+    # mask dead points to zero HERE: downstream accumulations (grid
+    # reductions or one-hot matmuls) must never see the NaNs garbage pairs
+    # can produce (0 * NaN = NaN).
+    m4 = pt_ok[..., None]
+    dxA = jnp.where(m4, dxA, 0.0)
+    dwA = jnp.where(m4, dwA, 0.0)
+    dxB = jnp.where(m4, dxB, 0.0)
+    dwB = jnp.where(m4, dwB, 0.0)
+    return dxA, dwA, dxB, dwB, jnp.where(pt_ok, dlam, 0.0), bias_frac, pt_ok
+
+
+def _apply_rot_delta(rot, dw):
+    """Accumulated rotation vector -> quaternion delta (physics.cpp:247-268)."""
+    return m.quat_normalize(
+        rot + 0.5 * m.quat_mul(
+            jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), rot
+        )
+    )
+
+
+def solve_positions(pos, rot, contacts, inv_mass, inv_inertia, mu_s,
+                    prev_pos, prev_rot, response_dynamic, relaxation=1.0,
+                    max_visible_depth=0.05):
+    """One Jacobi XPBD positional pass over the dense contact grid
+    (reference solvePositions, physics.cpp:166-461).
+
+    contacts: dict from narrowphase_dense (leading [W, n, n], i=ref,
+    j=other).  Returns (new_pos, new_rot, lambda_n [W,n,n,4], bias_dpos) —
+    lambdas feed the velocity pass.
+    """
+    dynm = response_dynamic & (inv_mass > 0)
+    imA = jnp.where(dynm, inv_mass, 0.0)[:, :, None]            # [W,n,1]
+    imB = jnp.where(dynm, inv_mass, 0.0)[:, None, :]
+    iiA = jnp.where(dynm[..., None], inv_inertia, 0.0)[:, :, None]
+    iiB = jnp.where(dynm[..., None], inv_inertia, 0.0)[:, None, :]
+
+    dxA, dwA, dxB, dwB, dlam, bias_frac, pt_ok = _positional_contact_math(
+        pos[:, :, None], rot[:, :, None], imA, iiA, mu_s[:, :, None],
+        prev_pos[:, :, None],
+        pos[:, None, :], rot[:, None, :], imB, iiB, mu_s[:, None, :],
+        prev_pos[:, None, :],
+        contacts, relaxation, max_visible_depth)
+
     # ---- Jacobi accumulation: body k gets row k (as ref/A) + column k (as
     # other/B): reductions over grid axes — no scatter.
-    m4 = pt_ok[..., None]
-    dpos = (
-        jnp.sum(jnp.where(m4, dxA, 0.0), axis=(2, 3))
-        + jnp.sum(jnp.where(m4, dxB, 0.0), axis=(1, 3))
-    )  # [W, n, 3]
-    dw = (
-        jnp.sum(jnp.where(m4, dwA, 0.0), axis=(2, 3))
-        + jnp.sum(jnp.where(m4, dwB, 0.0), axis=(1, 3))
-    )
+    dpos = jnp.sum(dxA, axis=(2, 3)) + jnp.sum(dxB, axis=(1, 3))  # [W,n,3]
+    dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))
 
     # linear bias displacement (per body): the deep-depenetration share of
     # the normal correction, excluded from velocity recovery
     bias4 = bias_frac[..., None]
     bias_dpos = (
-        jnp.sum(jnp.where(m4, dxA * bias4, 0.0), axis=(2, 3))
-        + jnp.sum(jnp.where(m4, dxB * bias4, 0.0), axis=(1, 3))
+        jnp.sum(dxA * bias4, axis=(2, 3)) + jnp.sum(dxB * bias4, axis=(1, 3))
     )
 
-    new_pos = pos + dpos
-    # apply accumulated rotation vector as a quaternion delta
-    new_rot = m.quat_normalize(
-        rot + 0.5 * m.quat_mul(
-            jnp.concatenate([jnp.zeros_like(dw[..., :1]), dw], axis=-1), rot
-        )
-    )
-    return new_pos, new_rot, jnp.where(pt_ok, dlam, 0.0), bias_dpos
+    return pos + dpos, _apply_rot_delta(rot, dw), dlam, bias_dpos
 
 
 def set_velocities(pos, rot, prev_pos, prev_rot, h, bias_dpos=None):
@@ -203,40 +236,40 @@ def set_velocities(pos, rot, prev_pos, prev_rot, h, bias_dpos=None):
     return v, omega
 
 
-def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
-                     inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
-                     response_dynamic, h, restitution_threshold,
-                     relaxation=1.0):
-    """Velocity pass: dynamic friction + restitution (reference
-    solveVelocities, physics.cpp:716-1009).  Restitution uses the
-    pre-substep normal velocity with threshold 2*|g|*h; dynamic friction
-    clamps by mu_d * |lambda_n| / h."""
-    W, n = pos.shape[0], pos.shape[1]
+def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
+                           pvA_lin, pvA_ang,
+                           posB, rotB, imB, iiB, muB, vB_lin, vB_ang,
+                           pvB_lin, pvB_ang,
+                           contacts, lambda_n, h4, restitution4,
+                           relaxation=1.0):
+    """Per-contact velocity impulse math (reference solveVelocities,
+    physics.cpp:716-1009), leading-shape generic (see
+    _positional_contact_math for conventions).  h4/restitution4 broadcast
+    against [*L,4].  Restitution uses the pre-substep normal velocity with
+    threshold 2*|g|*h; dynamic friction clamps by mu_d * |lambda_n| / h.
+
+    Returns (dvA, dwA, dvB, dwB [*L,4,3], masked to zero on dead points).
+    """
     ok = contacts["ok"]
     nrm = contacts["normal"]
     pts = contacts["points"]
     pt_ok = ok[..., None] & (contacts["depth"] > 0) & (
-        jnp.arange(4)[None, None, None] < contacts["num_points"][..., None]
+        jnp.arange(4) < contacts["num_points"][..., None]
     )
-    n4 = nrm[..., None, :]
 
-    dynA = (response_dynamic & (inv_mass > 0))[:, :, None, None]
-    dynB = (response_dynamic & (inv_mass > 0))[:, None, :, None]
-    imA = jnp.where(dynA, inv_mass[:, :, None, None], 0.0)
-    imB = jnp.where(dynB, inv_mass[:, None, :, None], 0.0)
-    iiA = jnp.where(dynA[..., None], inv_inertia[:, :, None, None, :], 0.0)
-    iiB = jnp.where(dynB[..., None], inv_inertia[:, None, :, None, :], 0.0)
-    rotA = jnp.broadcast_to(rot[:, :, None, None, :], (W, n, n, 4, 4))
-    rotB = jnp.broadcast_to(rot[:, None, :, None, :], (W, n, n, 4, 4))
+    imA4, imB4 = imA[..., None], imB[..., None]
+    iiA4, iiB4 = iiA[..., None, :], iiB[..., None, :]
+    rotA4, rotB4 = rotA[..., None, :], rotB[..., None, :]
 
-    rA = pts - pos[:, :, None, None, :]
-    rB = pts - pos[:, None, :, None, :]
+    rA = pts - posA[..., None, :]
+    rB = pts - posB[..., None, :]
+    n4 = jnp.broadcast_to(nrm[..., None, :], rA.shape)
 
     def point_vel(v, w, r):
-        return v + jnp.cross(w, r)
+        return v[..., None, :] + jnp.cross(w[..., None, :], r)
 
-    vA = point_vel(vel_lin[:, :, None, None, :], vel_ang[:, :, None, None, :], rA)
-    vB = point_vel(vel_lin[:, None, :, None, :], vel_ang[:, None, :, None, :], rB)
+    vA = point_vel(vA_lin, vA_ang, rA)
+    vB = point_vel(vB_lin, vB_ang, rB)
     rel = vB - vA
     vn = jnp.sum(rel * n4, axis=-1)
     vt = rel - vn[..., None] * n4
@@ -244,48 +277,157 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
     that = vt / jnp.maximum(vt_len[..., None], 1e-12)
 
     # dynamic friction impulse magnitude: min(mu_d*|lambda_n|/h, |vt|/wsum)
-    wA_t = _generalized_inv_mass(rA, jnp.broadcast_to(that, rA.shape), imA, iiA, rotA)
-    wB_t = _generalized_inv_mass(rB, jnp.broadcast_to(that, rB.shape), imB, iiB, rotB)
+    wA_t = _generalized_inv_mass(rA, that, imA4, iiA4, rotA4)
+    wB_t = _generalized_inv_mass(rB, that, imB4, iiB4, rotB4)
     wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
-    mu_pair = 0.5 * (mu_d[:, :, None, None] + mu_d[:, None, :, None])
-    h4 = jnp.reshape(h, (h.shape[0], 1, 1, 1))
+    mu_pair = (0.5 * (muA + muB))[..., None]
     fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h4, vt_len / wsum_t)
     # friction opposes the relative tangential motion of B w.r.t. A: the
     # impulse on B points along -that (imp is applied +imp to B below)
     fimp = -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0)[..., None] * that
 
     # restitution: pre-substep normal velocity
-    pvA = point_vel(pre_v[:, :, None, None, :], pre_omega[:, :, None, None, :], rA)
-    pvB = point_vel(pre_v[:, None, :, None, :], pre_omega[:, None, :, None, :], rB)
+    pvA = point_vel(pvA_lin, pvA_ang, rA)
+    pvB = point_vel(pvB_lin, pvB_ang, rB)
     vn_pre = jnp.sum((pvB - pvA) * n4, axis=-1)
-    e = jnp.where(jnp.abs(vn_pre) <= restitution_threshold[..., None, None, None], 0.0, 0.0)
+    e = jnp.where(jnp.abs(vn_pre) <= restitution4, 0.0, 0.0)
     # (reference uses e=0 default restitution w/ threshold; restitution
     # target velocity = -e*vn_pre)
-    wA_n = _generalized_inv_mass(rA, jnp.broadcast_to(n4, rA.shape), imA, iiA, rotA)
-    wB_n = _generalized_inv_mass(rB, jnp.broadcast_to(n4, rB.shape), imB, iiB, rotB)
+    wA_n = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
+    wB_n = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
     wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
     dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0))
     nimp = jnp.where(pt_ok & (vn < 0), dv_n / wsum_n, 0.0)[..., None] * n4
 
     imp = (fimp + nimp) * relaxation
 
-    dvA = -imp * imA[..., None]
-    dvB = imp * imB[..., None]
-    dwA_b = m.quat_inv_rotate(rotA, jnp.cross(rA, -imp))
-    dwB_b = m.quat_inv_rotate(rotB, jnp.cross(rB, imp))
-    dwA = m.quat_rotate(rotA, iiA * dwA_b)
-    dwB = m.quat_rotate(rotB, iiB * dwB_b)
+    dvA = -imp * imA4[..., None]
+    dvB = imp * imB4[..., None]
+    dwA_b = m.quat_inv_rotate(rotA4, jnp.cross(rA, -imp))
+    dwB_b = m.quat_inv_rotate(rotB4, jnp.cross(rB, imp))
+    dwA = m.quat_rotate(rotA4, iiA4 * dwA_b)
+    dwB = m.quat_rotate(rotB4, iiB4 * dwB_b)
 
     m4 = pt_ok[..., None]
-    dv = (
-        jnp.sum(jnp.where(m4, dvA, 0.0), axis=(2, 3))
-        + jnp.sum(jnp.where(m4, dvB, 0.0), axis=(1, 3))
-    )
-    dw = (
-        jnp.sum(jnp.where(m4, dwA, 0.0), axis=(2, 3))
-        + jnp.sum(jnp.where(m4, dwB, 0.0), axis=(1, 3))
-    )
+    return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
+            jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
+
+
+def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
+                     inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
+                     response_dynamic, h, restitution_threshold,
+                     relaxation=1.0):
+    """Velocity pass over the dense contact grid (reference solveVelocities,
+    physics.cpp:716-1009)."""
+    dynm = response_dynamic & (inv_mass > 0)
+    im = jnp.where(dynm, inv_mass, 0.0)
+    ii = jnp.where(dynm[..., None], inv_inertia, 0.0)
+    h4 = jnp.reshape(h, (h.shape[0], 1, 1, 1))
+    rest4 = restitution_threshold[..., None, None, None]
+
+    dvA, dwA, dvB, dwB = _velocity_contact_math(
+        pos[:, :, None], rot[:, :, None], im[:, :, None], ii[:, :, None],
+        mu_d[:, :, None], vel_lin[:, :, None], vel_ang[:, :, None],
+        pre_v[:, :, None], pre_omega[:, :, None],
+        pos[:, None, :], rot[:, None, :], im[:, None, :], ii[:, None, :],
+        mu_d[:, None, :], vel_lin[:, None, :], vel_ang[:, None, :],
+        pre_v[:, None, :], pre_omega[:, None, :],
+        contacts, lambda_n, h4, rest4, relaxation)
+
+    dv = jnp.sum(dvA, axis=(2, 3)) + jnp.sum(dvB, axis=(1, 3))
+    dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))
     return vel_lin + dv, vel_ang + dw
+
+
+# ---------------------------------------------------------------------------
+# Compacted-pairs drivers (contacts [W, K] with body-row indices)
+# ---------------------------------------------------------------------------
+
+
+def onehot_rows(rows, valid, n):
+    """One-hot row matrix [W, K, n] f32 for pair gather/segment-sum matmuls.
+
+    rows [W,K] int32 body rows (may be garbage where ~valid); valid [W,K].
+    XLA CSEs identical calls, so repeated use across substeps costs one
+    materialization.
+    """
+    oh = (jnp.clip(rows, 0, n - 1)[..., None]
+          == jnp.arange(n, dtype=rows.dtype)) & valid[..., None]
+    return oh.astype(jnp.float32)
+
+
+def pair_gather(oh, packed):
+    """Gather packed body channels per pair: [W,K,n] @ [W,n,D] -> [W,K,D].
+
+    The one-hot matmul rides the MXU; XLA's TPU gather lowering would
+    serialize (see core/state.py batched_gather notes).
+    """
+    return jax.lax.dot_general(
+        oh, packed, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def accumulate_pairs(oh, vals):
+    """Segment-sum per-pair values to bodies: [W,K,n], [W,K,C] -> [W,n,C].
+
+    The transpose contraction of pair_gather — the scatter-add replacement
+    (TPU scatters serialize; this is one MXU matmul).  vals must already be
+    zero on invalid pairs.
+    """
+    return jax.lax.dot_general(
+        oh, vals, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def solve_positions_pairs(sideA, sideB, contacts, oh_i, oh_j,
+                          relaxation=1.0, max_visible_depth=0.05):
+    """Positional pass over compacted contact pairs.
+
+    sideA/sideB: dicts of gathered per-pair body data [W,K,...]:
+      pos, rot, im, ii, mu, prev_pos (im/ii already zeroed for non-dynamic).
+    contacts: dict with leading [W,K]; oh_i/oh_j: one-hot row matrices
+    [W,K,n] (from onehot_rows; invalid pairs all-zero).
+
+    Returns (dpos [W,n,3], dw_vec [W,n,3], lambda_n [W,K,4],
+    bias_dpos [W,n,3]) — the caller applies dpos/dw to the body columns.
+    """
+    dxA, dwA, dxB, dwB, dlam, bias_frac, pt_ok = _positional_contact_math(
+        sideA["pos"], sideA["rot"], sideA["im"], sideA["ii"], sideA["mu"],
+        sideA["prev_pos"],
+        sideB["pos"], sideB["rot"], sideB["im"], sideB["ii"], sideB["mu"],
+        sideB["prev_pos"],
+        contacts, relaxation, max_visible_depth)
+
+    bias4 = bias_frac[..., None]
+    # pack (dx, dw, bias_dx) into one [W,K,9] accumulation per side
+    packA = jnp.concatenate(
+        [jnp.sum(dxA, -2), jnp.sum(dwA, -2), jnp.sum(dxA * bias4, -2)], axis=-1)
+    packB = jnp.concatenate(
+        [jnp.sum(dxB, -2), jnp.sum(dwB, -2), jnp.sum(dxB * bias4, -2)], axis=-1)
+    acc = accumulate_pairs(oh_i, packA) + accumulate_pairs(oh_j, packB)
+    return acc[..., 0:3], acc[..., 3:6], dlam, acc[..., 6:9]
+
+
+def solve_velocities_pairs(sideA, sideB, contacts, lambda_n, oh_i, oh_j,
+                           h, restitution_threshold, relaxation=1.0):
+    """Velocity pass over compacted contact pairs.
+
+    sideA/sideB additionally carry v, w (current) and pre_v, pre_w
+    (pre-substep) [W,K,3].  Returns (dv [W,n,3], dw [W,n,3]).
+    """
+    h4 = jnp.reshape(h, (h.shape[0], 1, 1))
+    rest4 = restitution_threshold[..., None, None]
+    dvA, dwA, dvB, dwB = _velocity_contact_math(
+        sideA["pos"], sideA["rot"], sideA["im"], sideA["ii"], sideA["mu"],
+        sideA["v"], sideA["w"], sideA["pre_v"], sideA["pre_w"],
+        sideB["pos"], sideB["rot"], sideB["im"], sideB["ii"], sideB["mu"],
+        sideB["v"], sideB["w"], sideB["pre_v"], sideB["pre_w"],
+        contacts, lambda_n, h4, rest4, relaxation)
+
+    packA = jnp.concatenate([jnp.sum(dvA, -2), jnp.sum(dwA, -2)], axis=-1)
+    packB = jnp.concatenate([jnp.sum(dvB, -2), jnp.sum(dwB, -2)], axis=-1)
+    acc = accumulate_pairs(oh_i, packA) + accumulate_pairs(oh_j, packB)
+    return acc[..., 0:3], acc[..., 3:6]
 
 
 def solve_joints(pos, rot, inv_mass, inv_inertia, joints, rows1, rows2,

@@ -20,3 +20,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 assert jax.default_backend() == "cpu", jax.default_backend()
+
+# Persistent compile cache: repeat test runs skip XLA compilation (the same
+# cache the executor uses on TPU — SURVEY.md §5.4 kernel-cache analog).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)

@@ -44,7 +44,8 @@ loader.load_objects([
 OBJMGR = loader.get_object_manager()
 
 
-def make_world(num_worlds, bodies, num_substeps=4, dt=1 / 60):
+def make_world(num_worlds, bodies, num_substeps=4, dt=1 / 60,
+               contact_mode="auto"):
     """bodies: list of (obj_id, pos, response_type)."""
 
     class PhysWorld:
@@ -87,7 +88,8 @@ def make_world(num_worlds, bodies, num_substeps=4, dt=1 / 60):
             bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
                 builder, [], Body, OBJMGR)
             ss = RigidBodyPhysicsSystem.setup_substep_tasks(
-                builder, [bp], num_substeps, Body, OBJMGR, relaxation=0.7)
+                builder, [bp], num_substeps, Body, OBJMGR, relaxation=0.7,
+                contact_mode=contact_mode)
             RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
     return TaskGraphExecutor(
@@ -275,3 +277,73 @@ def test_raycast():
     # ray 1 offset -> hits the ground plane (row 0) at t=10
     assert (row[:, 1] == 0).all()
     np.testing.assert_allclose(t[:, 1], 10.0, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Compacted-pairs contact mode (physics at scale: setup_substep_tasks
+# contact_mode="pairs") — same golden behaviors as the dense grid, plus a
+# dense-vs-pairs trajectory consistency check.
+# ---------------------------------------------------------------------------
+
+
+def test_pairs_box_settles_on_plane():
+    sim = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.5), RESPONSE_DYNAMIC),
+    ], contact_mode="pairs")
+    sim.run(120)
+    pos, _ = sim.get_exported(0)
+    z = np.asarray(pos)[:, 1, 2]
+    assert (np.abs(z - 1.0) < 0.15).all(), z
+
+
+def test_pairs_box_box_stack():
+    sim = make_world(1, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.0), RESPONSE_DYNAMIC),
+        (OBJ_BOX, (0.1, 0.0, 3.2), RESPONSE_DYNAMIC),
+    ], contact_mode="pairs")
+    sim.run(180)
+    pos, _ = sim.get_exported(0)
+    p = np.asarray(pos)[0]
+    assert np.isfinite(p).all()
+    assert abs(p[1, 2] - 1.0) < 0.3, p
+    assert 2.5 < p[2, 2] < 3.6, p
+
+
+def test_pairs_matches_dense_trajectory():
+    """Dense grid and compacted pairs run the same contact math; with
+    candidate capacity >= all overlapping pairs the trajectories must agree
+    to fp-reassociation tolerance."""
+    bodies = [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.4), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 3.0), RESPONSE_DYNAMIC),
+        (OBJ_BOX, (-0.5, 0.2, 5.0), RESPONSE_DYNAMIC),
+    ]
+    a = make_world(2, bodies, contact_mode="dense")
+    b = make_world(2, bodies, contact_mode="pairs")
+    a.run(60)
+    b.run(60)
+    pa, _ = a.get_exported(0)
+    pb, _ = b.get_exported(0)
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-4, atol=2e-3)
+
+
+def test_pairs_determinism():
+    a = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 2.0), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 4.0), RESPONSE_DYNAMIC),
+    ], contact_mode="pairs")
+    b = make_world(2, [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 2.0), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 4.0), RESPONSE_DYNAMIC),
+    ], contact_mode="pairs")
+    a.run(50)
+    b.run(50)
+    pa, _ = a.get_exported(0)
+    pb, _ = b.get_exported(0)
+    assert np.array_equal(np.asarray(pa), np.asarray(pb))
