@@ -37,6 +37,11 @@ class Context:
     def state(self) -> SimState:
         return self._state
 
+    def set_state(self, state: SimState):
+        """Replace the underlying state wholesale (used by whole-state
+        transforms like TaskGraphBuilder.reset_node)."""
+        self._state = dict(state)
+
     @property
     def mgr(self) -> StateManager:
         return self._mgr

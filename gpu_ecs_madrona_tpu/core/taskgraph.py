@@ -201,6 +201,45 @@ class TaskGraphBuilder:
 
         return self.add_node(clear, deps, name=f"clear_{arch.name}")
 
+    def reset_node(
+        self,
+        condition_fn: Callable[[Context], jax.Array],
+        init_fn: Callable[[Context], None],
+        deps: Sequence[NodeID] = (),
+        name: str = "episode_reset",
+    ) -> NodeID:
+        """Per-world episode auto-reset — the RL pattern the reference
+        leaves to user code (its examples run fixed-length loops; RL users
+        reset worlds out-of-band via exported flags).  Here reset is a
+        framework node: worlds where ``condition_fn(ctx) -> [W] bool`` is
+        True are rebuilt in place by running ``init_fn`` (normally the
+        world class's ``init``) on a pristine state.
+
+        Reset worlds draw fresh per-world RNG keys from the running stream,
+        so episodes differ across resets yet the whole trajectory stays
+        deterministic.  Non-reset worlds are untouched (per-leaf masked
+        select — no host round-trip, stays inside the jit step).  Reset
+        worlds restart at tick 0.
+        """
+        mgr = self.mgr
+
+        def run(ctx: Context):
+            done = condition_fn(ctx)
+            fresh = mgr.make_initial_state(seed=0)
+            fresh["rng"] = ctx.rng_one()   # fresh stream for reset worlds
+            fctx = Context(mgr, fresh)
+            init_fn(fctx)
+            ini = fctx.state
+            cur = ctx.state
+
+            def merge(c, i):
+                d = done.reshape((done.shape[0],) + (1,) * (c.ndim - 1))
+                return jnp.where(d, i, c)
+
+            ctx.set_state(jax.tree_util.tree_map(merge, cur, ini))
+
+        return self.add_node(run, deps, name=name)
+
     def reset_tmp_alloc_node(self, deps: Sequence[NodeID] = ()) -> NodeID:
         """reference ResetTmpAllocNode (taskgraph.hpp:115-123) — no TPU
         analog needed (no bump allocator); kept as explicit no-op."""

@@ -62,7 +62,7 @@ class RigidBenchConfig:
     num_bodies: int = 64          # dynamic bodies per world (plus 1 plane)
     num_substeps: int = 4
     delta_t: float = 1 / 60
-    max_candidates: int = 0       # 0 = 8 * num_bodies
+    max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
@@ -71,7 +71,9 @@ class RigidBenchConfig:
     seed: int = 0
 
     def candidates(self) -> int:
-        return self.max_candidates or 8 * self.num_bodies
+        # a settled pile averages ~3 overlap pairs per body; 4x covers the
+        # in-flight transient (overflow drops excess candidates gracefully)
+        return self.max_candidates or 4 * self.num_bodies
 
 
 class RigidBenchWorld:

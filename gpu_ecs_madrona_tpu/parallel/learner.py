@@ -13,6 +13,16 @@ Env adapter protocol (duck-typed):
   inject_fn(state, actions)  -> state with actions written (pure)
   reward_fn(prev_state, state) -> reward [W]
   step_fn(state)             -> state (the taskgraph step)
+  done_fn(state)             -> done [W] bool (optional; pairs naturally
+                                with TaskGraphBuilder.reset_node so
+                                episodes terminate on-device)
+
+Training features (standard PPO, all inside the one jit program):
+  * GAE with episode-boundary masking (done_fn)
+  * running observation normalization (parallel-Welford update per rollout;
+    stats frozen during each rollout so actions/logp stay consistent)
+  * minibatched multi-epoch clipped updates (permutation reshuffle per
+    epoch, lax.scan over minibatches)
 """
 
 from __future__ import annotations
@@ -37,6 +47,9 @@ class PPOConfig:
     value_coef: float = 0.5
     entropy_coef: float = 0.01
     epochs: int = 1
+    num_minibatches: int = 1
+    normalize_obs: bool = False
+    obs_clip: float = 10.0
 
 
 def init_params(cfg: PPOConfig, key) -> dict:
@@ -86,20 +99,41 @@ def sample_action(params, obs, key):
     return act, logp, value
 
 
-def gae(rewards, values, last_value, gamma, lam):
-    """rewards/values [T, W]; returns (advantages, returns) [T, W]."""
+def gae(rewards, values, dones, last_value, gamma, lam):
+    """rewards/values/dones [T, W]; returns (advantages, returns) [T, W].
+    dones mask bootstrapping across episode boundaries (auto-reset worlds:
+    the value after a reset belongs to the next episode)."""
 
     def body(carry, x):
         adv_next, v_next = carry
-        r, v = x
-        delta = r + gamma * v_next - v
-        adv = delta + gamma * lam * adv_next
+        r, v, d = x
+        nonterm = 1.0 - d
+        delta = r + gamma * v_next * nonterm - v
+        adv = delta + gamma * lam * adv_next * nonterm
         return (adv, v), adv
 
     (_, _), advs = jax.lax.scan(
         body, (jnp.zeros_like(last_value), last_value),
-        (rewards, values), reverse=True)
+        (rewards, values, dones), reverse=True)
     return advs, advs + values
+
+
+def normalize_obs(obs, norm, clip):
+    return jnp.clip((obs - norm["mean"]) / jnp.sqrt(norm["var"] + 1e-8),
+                    -clip, clip)
+
+
+def update_norm(norm, batch_obs):
+    """Parallel-Welford merge of a [N, obs_dim] batch into running stats."""
+    n_b = jnp.float32(batch_obs.shape[0])
+    mean_b = jnp.mean(batch_obs, axis=0)
+    var_b = jnp.var(batch_obs, axis=0)
+    delta = mean_b - norm["mean"]
+    tot = norm["count"] + n_b
+    new_mean = norm["mean"] + delta * n_b / tot
+    m2 = (norm["var"] * norm["count"] + var_b * n_b
+          + delta ** 2 * norm["count"] * n_b / tot)
+    return {"mean": new_mean, "var": m2 / tot, "count": tot}
 
 
 class PPOLearner:
@@ -108,28 +142,42 @@ class PPOLearner:
     the whole program from the state's shardings."""
 
     def __init__(self, cfg: PPOConfig, step_fn, obs_fn, inject_fn, reward_fn,
-                 seed: int = 0):
+                 done_fn=None, seed: int = 0):
         self.cfg = cfg
         self.params = init_params(cfg, jax.random.PRNGKey(seed))
         self.opt_m = jax.tree_util.tree_map(jnp.zeros_like, self.params)
         self.opt_v = jax.tree_util.tree_map(jnp.zeros_like, self.params)
         self.opt_t = jnp.zeros((), jnp.int32)
         self.key = jax.random.PRNGKey(seed + 1)
+        self.norm = {
+            "mean": jnp.zeros(cfg.obs_dim),
+            "var": jnp.ones(cfg.obs_dim),
+            "count": jnp.float32(1e-4),
+        }
 
-        def rollout(state, params, key):
+        def rollout(state, params, norm, key):
             def body(carry, _):
                 st, k = carry
                 obs = obs_fn(st)
+                if cfg.normalize_obs:
+                    obs_n = normalize_obs(obs, norm, cfg.obs_clip)
+                else:
+                    obs_n = obs
                 k, sub = jax.random.split(k)
-                act, logp, value = sample_action(params, obs, sub)
+                act, logp, value = sample_action(params, obs_n, sub)
                 st2 = inject_fn(st, act)
                 st3 = step_fn(st2)
                 rew = reward_fn(st, st3)
-                return (st3, k), (obs, act, logp, value, rew)
+                done = (done_fn(st3).astype(jnp.float32) if done_fn is not None
+                        else jnp.zeros_like(rew))
+                return (st3, k), (obs, obs_n, act, logp, value, rew, done)
 
             (state, key), traj = jax.lax.scan(
                 body, (state, key), None, length=cfg.rollout_len)
-            last_value = policy_apply(params, obs_fn(state))[2]
+            final_obs = obs_fn(state)
+            if cfg.normalize_obs:
+                final_obs = normalize_obs(final_obs, norm, cfg.obs_clip)
+            last_value = policy_apply(params, final_obs)[2]
             return state, key, traj, last_value
 
         def loss_fn(params, obs, act, old_logp, adv, ret):
@@ -148,35 +196,67 @@ class PPOLearner:
             entropy = jnp.sum(log_std + 0.5 * jnp.log(2 * jnp.pi * jnp.e))
             return pg + cfg.value_coef * v_loss - cfg.entropy_coef * entropy
 
-        def update(params, opt_m, opt_v, opt_t, state, key):
-            state, key, traj, last_value = rollout(state, params, key)
-            obs, act, logp, value, rew = traj
-            adv, ret = gae(rew, value, last_value, cfg.gamma, cfg.gae_lambda)
-            T, W = rew.shape
-            flat = lambda x: x.reshape((T * W,) + x.shape[2:])
-            loss, grads = jax.value_and_grad(loss_fn)(
-                params, flat(obs), flat(act), flat(logp), flat(adv), flat(ret))
-            # Adam (grads are already globally averaged: the loss means over
-            # the full sharded batch, so XLA inserts the ICI all-reduce)
+        def adam(params, opt_m, opt_v, opt_t, grads):
             opt_t = opt_t + 1
             b1, b2, eps = 0.9, 0.999, 1e-8
             opt_m = jax.tree_util.tree_map(
-                lambda m, g: b1 * m + (1 - b1) * g, opt_m, grads)
+                lambda m_, g: b1 * m_ + (1 - b1) * g, opt_m, grads)
             opt_v = jax.tree_util.tree_map(
-                lambda v, g: b2 * v + (1 - b2) * g * g, opt_v, grads)
+                lambda v_, g: b2 * v_ + (1 - b2) * g * g, opt_v, grads)
             tf = opt_t.astype(jnp.float32)
             params = jax.tree_util.tree_map(
-                lambda p, m, v: p - cfg.lr * (m / (1 - b1 ** tf))
-                / (jnp.sqrt(v / (1 - b2 ** tf)) + eps),
+                lambda p, m_, v_: p - cfg.lr * (m_ / (1 - b1 ** tf))
+                / (jnp.sqrt(v_ / (1 - b2 ** tf)) + eps),
                 params, opt_m, opt_v)
-            mean_rew = rew.mean()
-            return params, opt_m, opt_v, opt_t, state, key, loss, mean_rew
+            return params, opt_m, opt_v, opt_t
 
-        self._update = jax.jit(update, donate_argnums=(4,))
+        def update(params, opt_m, opt_v, opt_t, norm, state, key):
+            state, key, traj, last_value = rollout(state, params, norm, key)
+            obs_raw, obs_n, act, logp, value, rew, done = traj
+            adv, ret = gae(rew, value, done, last_value, cfg.gamma,
+                           cfg.gae_lambda)
+            T, W = rew.shape
+            N = T * W
+            flat = lambda x: x.reshape((N,) + x.shape[2:])
+            batch = (flat(obs_n), flat(act), flat(logp), flat(adv), flat(ret))
+
+            n_mb = max(1, cfg.num_minibatches)
+            mb = N // n_mb
+            loss_total = jnp.float32(0.0)
+            for _ in range(max(1, cfg.epochs)):
+                if n_mb > 1:
+                    key, pk_ = jax.random.split(key)
+                    perm = jax.random.permutation(pk_, N)
+                    shuf = tuple(x[perm] for x in batch)
+                else:
+                    shuf = batch
+                mbs = tuple(
+                    x[: n_mb * mb].reshape((n_mb, mb) + x.shape[1:])
+                    for x in shuf)
+
+                def mb_step(carry, xs):
+                    params, opt_m, opt_v, opt_t = carry
+                    loss, grads = jax.value_and_grad(loss_fn)(params, *xs)
+                    params, opt_m, opt_v, opt_t = adam(
+                        params, opt_m, opt_v, opt_t, grads)
+                    return (params, opt_m, opt_v, opt_t), loss
+
+                (params, opt_m, opt_v, opt_t), losses = jax.lax.scan(
+                    mb_step, (params, opt_m, opt_v, opt_t), mbs)
+                loss_total = loss_total + losses.mean()
+
+            if cfg.normalize_obs:
+                norm = update_norm(norm, flat(obs_raw))
+            mean_rew = rew.mean()
+            return (params, opt_m, opt_v, opt_t, norm, state, key,
+                    loss_total / max(1, cfg.epochs), mean_rew)
+
+        self._update = jax.jit(update, donate_argnums=(5,))
 
     def train_step(self, state):
         """One rollout + PPO update.  Returns (state, loss, mean_reward)."""
-        (self.params, self.opt_m, self.opt_v, self.opt_t, state,
+        (self.params, self.opt_m, self.opt_v, self.opt_t, self.norm, state,
          self.key, loss, mean_rew) = self._update(
-            self.params, self.opt_m, self.opt_v, self.opt_t, state, self.key)
+            self.params, self.opt_m, self.opt_v, self.opt_t, self.norm,
+            state, self.key)
         return state, loss, mean_rew

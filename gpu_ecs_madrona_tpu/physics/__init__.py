@@ -35,7 +35,12 @@ from gpu_ecs_madrona_tpu.core.context import Context
 from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
 from gpu_ecs_madrona_tpu.core.taskgraph import NodeID, TaskGraphBuilder
 from gpu_ecs_madrona_tpu.core import base
-from gpu_ecs_madrona_tpu.physics import assets, narrowphase as np_mod, solver as solver_mod
+from gpu_ecs_madrona_tpu.physics import (
+    assets,
+    narrowphase as np_mod,
+    pairs as pk,
+    solver as solver_mod,
+)
 from gpu_ecs_madrona_tpu.physics.components import (
     CandidateCollision,
     CandidatePairRows,
@@ -275,6 +280,8 @@ class RigidBodyPhysicsSystem:
             contact_mode = "pairs" if cap_n > 48 else "dense"
         if contact_mode not in ("dense", "pairs"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
+        if contact_mode == "pairs":
+            obj_tables = pk.ObjTables(object_manager)
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -417,56 +424,70 @@ class RigidBodyPhysicsSystem:
                             lam.reshape(W, n * n, 4), n * n)
                     return
 
-                # ---- pairs mode: compacted broadphase candidates ---------
+                # ---- pairs mode: compacted broadphase candidates ----------
+                # All per-pair math runs pair-major (K-minor layouts) in
+                # physics/pairs.py — see its module doc for why.
                 rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
                 kmask = ctx.row_mask(CandidateRowsTemporary)
                 rows_i, rows_j = rowsc["i"], rowsc["j"]
                 n = mask.shape[1]
-                oh_i = solver_mod.onehot_rows(rows_i, kmask, n)
-                oh_j = solver_mod.onehot_rows(rows_j, kmask, n)
+                oh_i = pk.onehot_rows(rows_i, kmask, n)    # [W,n,K]
+                oh_j = pk.onehot_rows(rows_j, kmask, n)
 
                 im_eff = jnp.where(dyn, inv_mass, 0.0)
                 ii_eff = jnp.where(dyn[..., None], inv_inertia, 0.0)
+
+                def T(x):  # [W,n,c] -> [W,c,n]
+                    return jnp.swapaxes(x, 1, 2)
+
+                def T1(x):  # [W,n] -> [W,1,n]
+                    return x[:, None, :]
+
                 # one packed gather per side for all per-body channels
                 # (single one-hot matmul each; XLA CSEs oh across substeps)
-                packed = jnp.concatenate([
-                    new_pos,                               # 0:3
-                    new_rot,                               # 3:7
-                    prev_pos,                              # 7:10
-                    v,                                     # 10:13 pre-solve vel
-                    w,                                     # 13:16
-                    im_eff[..., None],                     # 16
-                    ii_eff,                                # 17:20
-                    mu_s[..., None],                       # 20
-                    mu_d[..., None],                       # 21
-                    obj.astype(jnp.float32)[..., None],    # 22 (small ints)
-                    aabb["lo"], aabb["hi"],                # 23:26, 26:29
-                ], axis=-1)
-                gA = solver_mod.pair_gather(oh_i, packed)
-                gB = solver_mod.pair_gather(oh_j, packed)
-
-                ident_q = jnp.array([1.0, 0.0, 0.0, 0.0])
+                packed_T = jnp.concatenate([
+                    T(new_pos),                            # 0:3
+                    T(new_rot),                            # 3:7
+                    T(prev_pos),                           # 7:10
+                    T(v),                                  # 10:13 pre-solve
+                    T(w),                                  # 13:16
+                    T1(im_eff),                            # 16
+                    T(ii_eff),                             # 17:20
+                    T1(mu_s),                              # 20
+                    T1(mu_d),                              # 21
+                    T1(obj.astype(jnp.float32)),           # 22 (small ints)
+                    T(aabb["lo"]), T(aabb["hi"]),          # 23:26, 26:29
+                ], axis=1)                                 # [W, 29, n]
+                gA = pk.gather_channels(packed_T, oh_i)    # [W, 29, K]
+                gB = pk.gather_channels(packed_T, oh_j)
 
                 def unpack(g):
+                    # vec3/quat = component TUPLES of [W,K] rows (see
+                    # physics/pairs.py module doc for the layout rationale).
+                    # Invalid pairs gather all-zeros; give them an identity
+                    # quat so downstream quat math stays tame.
                     return {
-                        "pos": g[..., 0:3],
-                        # invalid pairs gather all-zeros; give them an
-                        # identity quat so downstream quat math stays tame
-                        "rot": jnp.where(kmask[..., None], g[..., 3:7], ident_q),
-                        "prev_pos": g[..., 7:10],
-                        "v": g[..., 10:13], "w": g[..., 13:16],
-                        "im": g[..., 16], "ii": g[..., 17:20],
-                        "mu_s": g[..., 20], "mu_d": g[..., 21],
-                        "obj": jnp.round(g[..., 22]).astype(jnp.int32),
-                        "lo": g[..., 23:26], "hi": g[..., 26:29],
+                        "pos": (g[:, 0], g[:, 1], g[:, 2]),
+                        "rot": (jnp.where(kmask, g[:, 3], 1.0),
+                                jnp.where(kmask, g[:, 4], 0.0),
+                                jnp.where(kmask, g[:, 5], 0.0),
+                                jnp.where(kmask, g[:, 6], 0.0)),
+                        "prev_pos": (g[:, 7], g[:, 8], g[:, 9]),
+                        "v": (g[:, 10], g[:, 11], g[:, 12]),
+                        "w": (g[:, 13], g[:, 14], g[:, 15]),
+                        "im": g[:, 16], "ii": (g[:, 17], g[:, 18], g[:, 19]),
+                        "mu_s": g[:, 20], "mu_d": g[:, 21],
+                        "obj": jnp.round(g[:, 22]).astype(jnp.int32),
+                        "lo": (g[:, 23], g[:, 24], g[:, 25]),
+                        "hi": (g[:, 26], g[:, 27], g[:, 28]),
                     }
 
                 SA, SB = unpack(gA), unpack(gB)
-                pair_ok = kmask & m.aabb_overlaps(
+                pair_ok = kmask & pk.aabb_overlap(
                     SA["lo"], SA["hi"], SB["lo"], SB["hi"])
-                FA = np_mod.body_fields(SA["pos"], SA["rot"], SA["obj"], objmgr)
-                FB = np_mod.body_fields(SB["pos"], SB["rot"], SB["obj"], objmgr)
-                contacts = np_mod.pair_contacts(FA, FB, pair_ok)
+                FA = pk.body_fields(SA["pos"], SA["rot"], SA["obj"], obj_tables)
+                FB = pk.body_fields(SB["pos"], SB["rot"], SB["obj"], obj_tables)
+                contacts = pk.pair_contacts(FA, FB, pair_ok)
 
                 sideA = {"pos": SA["pos"], "rot": SA["rot"], "im": SA["im"],
                          "ii": SA["ii"], "mu": SA["mu_s"],
@@ -474,43 +495,77 @@ class RigidBodyPhysicsSystem:
                 sideB = {"pos": SB["pos"], "rot": SB["rot"], "im": SB["im"],
                          "ii": SB["ii"], "mu": SB["mu_s"],
                          "prev_pos": SB["prev_pos"]}
-                dpos, dwv, lam, bias_dpos = solver_mod.solve_positions_pairs(
-                    sideA, sideB, contacts, oh_i, oh_j, relaxation=relaxation)
-                p2 = new_pos + dpos
-                r2 = solver_mod._apply_rot_delta(new_rot, dwv)
+                packA, packB, lam = pk.positional_pass(
+                    sideA, sideB, contacts, relaxation=relaxation)
+                acc = (pk.accumulate_channels(oh_i, packA)
+                       + pk.accumulate_channels(oh_j, packB))   # [W,n,9]
+                p2 = new_pos + acc[..., 0:3]
+                r2 = solver_mod._apply_rot_delta(new_rot, acc[..., 3:6])
+                bias_dpos = acc[..., 6:9]
                 p2, r2 = solve_joints_at(p2, r2)
 
                 v2, w2 = solver_mod.set_velocities(
                     p2, r2, prev_pos, prev_rot, h_s, bias_dpos)
 
                 # velocity pass at post-solve poses: re-gather p2/r2/v2/w2
-                packed2 = jnp.concatenate([p2, r2, v2, w2], axis=-1)
-                gA2 = solver_mod.pair_gather(oh_i, packed2)
-                gB2 = solver_mod.pair_gather(oh_j, packed2)
+                packed2_T = jnp.concatenate(
+                    [T(p2), T(r2), T(v2), T(w2)], axis=1)       # [W,14,n]
+                gA2 = pk.gather_channels(packed2_T, oh_i)
+                gB2 = pk.gather_channels(packed2_T, oh_j)
 
-                def unpack2(g2, S):
+                def side2(g2, S):
                     return {
-                        "pos": g2[..., 0:3],
-                        "rot": jnp.where(kmask[..., None], g2[..., 3:7], ident_q),
+                        "pos": (g2[:, 0], g2[:, 1], g2[:, 2]),
+                        "rot": (jnp.where(kmask, g2[:, 3], 1.0),
+                                jnp.where(kmask, g2[:, 4], 0.0),
+                                jnp.where(kmask, g2[:, 5], 0.0),
+                                jnp.where(kmask, g2[:, 6], 0.0)),
                         "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
-                        "v": g2[..., 7:10], "w": g2[..., 10:13],
+                        "v": (g2[:, 7], g2[:, 8], g2[:, 9]),
+                        "w": (g2[:, 10], g2[:, 11], g2[:, 12]),
                         "pre_v": S["v"], "pre_w": S["w"],
                     }
 
-                dv, dwv2 = solver_mod.solve_velocities_pairs(
-                    unpack2(gA2, SA), unpack2(gB2, SB), contacts, lam,
-                    oh_i, oh_j, h_s, phys["restitution_threshold"],
-                    relaxation=relaxation)
-                writeback(p2, r2, v2 + dv, w2 + dwv2)
+                vpA, vpB = pk.velocity_pass(
+                    side2(gA2, SA), side2(gB2, SB), contacts, lam, h_s,
+                    phys["restitution_threshold"], relaxation=relaxation)
+                accv = (pk.accumulate_channels(oh_i, vpA)
+                        + pk.accumulate_channels(oh_j, vpB))    # [W,n,6]
+                writeback(p2, r2, v2 + accv[..., 0:3], w2 + accv[..., 3:6])
 
                 if idx == num_substeps - 1:
                     from gpu_ecs_madrona_tpu.core.state import batched_gather
                     ents = ctx.entity_column(arch)
                     a_ent = batched_gather(ents, jnp.where(kmask, rows_i, 0))
                     b_ent = batched_gather(ents, jnp.where(kmask, rows_j, 0))
+                    okk = contacts["ok"] & kmask
+                    # deepest-4 manifold selection for the observable
+                    # contact tables (this path is DCE'd when nothing reads
+                    # the temporaries, so the selection cost is observed-only)
+                    dep = contacts["depth"]                     # [W,P,K]
+                    P = dep.shape[1]
+                    cur = dep
+                    sel_p, sel_d, sel_l = [], [], []
+                    for _ in range(4):
+                        di = jnp.argmax(cur, axis=1)
+                        ohp = (jnp.arange(P)[None, :, None]
+                               == di[:, None, :])
+                        sel_d.append(jnp.max(cur, axis=1))       # [W,K]
+                        sel_p.append(jnp.stack([
+                            jnp.sum(jnp.where(ohp, c, 0.0), axis=1)
+                            for c in contacts["points"]], axis=-1))  # [W,K,3]
+                        sel_l.append(jnp.sum(jnp.where(ohp, lam, 0.0), axis=1))
+                        cur = jnp.where(ohp, -1e9, cur)
+                    c_aos = {
+                        "points": jnp.stack(sel_p, axis=2),      # [W,K,4,3]
+                        "depth": jnp.stack(sel_d, axis=2),       # [W,K,4]
+                        "num_points": jnp.minimum(contacts["num_points"], 4),
+                        "normal": jnp.stack(contacts["normal"], axis=-1),
+                        "ok": okk,
+                    }
                     emit_observables(
-                        contacts["ok"] & kmask, a_ent, b_ent, contacts, lam,
-                        kmask.shape[1])
+                        okk, a_ent, b_ent, c_aos,
+                        jnp.stack(sel_l, axis=2), kmask.shape[1])
 
             substep.__name__ = f"physics_substep_{idx}"
             return substep
@@ -573,7 +628,8 @@ def raycast(pos, rot, scale, obj_id, row_mask, object_manager,
             origins, directions, t_max=1e9):
     """Batched ray cast against all bodies (reference broadphase::BVH::
     traceRay, physics.hpp:316-320 / broadphase.cpp ray path) — analytic
-    sphere/OBB/plane intersections over the dense body list, no tree.
+    sphere/convex-hull/plane intersections over the dense body list, no
+    tree (hulls are exact: slab test over face planes).
 
     pos/rot/scale/obj_id/row_mask: body columns [W, n, ...];
     origins/directions: [W, R, 3].
@@ -585,15 +641,19 @@ def raycast(pos, rot, scale, obj_id, row_mask, object_manager,
     objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
     ptype = objmgr["prim_type"][obj_id]                       # [W, n]
     radius = objmgr["sphere_radius"][obj_id] * scale[..., 0]
-    half = (objmgr["local_aabb_hi"][obj_id]
-            - objmgr["local_aabb_lo"][obj_id]) * 0.5 * scale
 
     ro = origins[:, :, None, :]       # [W, R, 1, 3]
     rd = directions[:, :, None, :]
     c = pos[:, None, :, :]            # [W, 1, n, 3]
     q = rot[:, None, :, :]
     ts = BatchRenderer._ray_sphere_t(ro, rd, c, radius[:, None, :])
-    tb = BatchRenderer._ray_obb_t(ro, rd, c, q, half[:, None, :, :])
+    fnorm = objmgr["face_normals"][obj_id]                    # [W, n, F, 3]
+    face_d = objmgr["face_d"][obj_id]
+    fmask = jnp.arange(face_d.shape[-1])[None, None] < (
+        objmgr["num_faces"][obj_id][..., None])
+    tb = BatchRenderer._ray_convex_t(
+        ro, rd, c, q, scale[:, None], fnorm[:, None], face_d[:, None],
+        fmask[:, None])
     tp = BatchRenderer._ray_plane_t(ro, rd, c, q)
     pt = ptype[:, None, :]
     t = jnp.where(pt == PRIM_SPHERE, ts,

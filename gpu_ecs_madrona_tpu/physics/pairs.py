@@ -1,0 +1,676 @@
+"""Pair-major, component-scalarized physics pipeline for compacted pairs.
+
+THE layout module for physics at scale.  Two TPU facts shape everything:
+
+1. Arrays tile the last two dims to (8 sublanes, 128 lanes).  Any
+   materialized tensor with a size-3 component axis in the last two dims
+   pads 3 -> 8 or 3 -> 128 (2.7x..42x HBM waste) — measured 7 GB of
+   temporaries at 512 worlds x 512 pairs for the component-minor (AoS)
+   narrowphase.
+2. jnp.stack/slice on a component axis compiles to concatenates and
+   strided slices that break XLA elementwise fusion — measured 9 ms for a
+   single quat-rotate on [8192, 8, 3, 256] with a stacked component axis.
+
+So there is NO component axis at all here: every vec3/quat is a Python
+tuple of scalar-field arrays shaped [..., K] (pair axis minor, always a
+full 128-lane dimension).  All math is plain elementwise ops that XLA
+fuses into long chains; per-object asset constants are folded in with
+unrolled (obj == o) select chains (O is small) instead of gathers.  This
+is the XLA-level analog of the reference's warp-cooperative narrowphase
+(narrowphase.cpp:1730-1781, 32 threads per candidate): lanes = pairs,
+components live in "registers" (separate arrays).
+
+Body-row gather/scatter is the only matmul surface: one-hot row matrices
+[W, n, K] feed dot_generals (gather = [W,D,n] @ [W,n,K], segment-sum =
+[W,n,K] x [W,C,K] -> [W,n,C]) — the MXU replacement for TPU-hostile
+scatters (core/state.py notes).
+
+Manifolds keep ALL hull vertices as candidate contact points with depth
+masks (P = Vm) instead of selecting the deepest 4: selection (top_k /
+take_along_axis) forces padded materialization, the solver is linear in
+points, and the masked all-verts form is discontinuity-free.
+
+Reference mapping: narrowphase src/physics/narrowphase.cpp (doSAT
+:663-727, type dispatch :98-108), solver src/physics/physics.cpp
+(solvePositions :166-461, solveVelocities :716-1009).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHERE
+
+NEG_BIG = -1e9
+BIG = 1e9
+
+# ---------------------------------------------------------------------------
+# Component-tuple vec3/quat math (each component an [..., K] array)
+# ---------------------------------------------------------------------------
+
+
+def v3(*comps):
+    assert len(comps) == 3
+    return tuple(comps)
+
+
+def vmap3(f, *vs):
+    return tuple(f(*[v[i] for v in vs]) for i in range(3))
+
+
+def v3add(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def v3sub(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def v3scale(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+
+def cross3(a, b):
+    return (a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0])
+
+
+def norm3(a, eps=1e-30):
+    return jnp.sqrt(jnp.maximum(dot3(a, a), eps))
+
+
+def v3where(c, a, b):
+    return (jnp.where(c, a[0], b[0]), jnp.where(c, a[1], b[1]),
+            jnp.where(c, a[2], b[2]))
+
+
+def qrot(q, v):
+    """Rotate vec3 tuple by quat tuple (w,x,y,z)."""
+    qw, qv = q[0], (q[1], q[2], q[3])
+    t = v3scale(cross3(qv, v), 2.0)
+    return v3add(v3add(v, v3scale(t, qw)), cross3(qv, t))
+
+
+def qrot_inv(q, v):
+    qw, qv = q[0], (-q[1], -q[2], -q[3])
+    t = v3scale(cross3(qv, v), 2.0)
+    return v3add(v3add(v, v3scale(t, qw)), cross3(qv, t))
+
+
+def expand(x, axis=1):
+    """Insert a broadcast axis (e.g. per-pair scalar -> per-vert scalar)."""
+    return jnp.expand_dims(x, axis)
+
+
+def vexpand(v, axis=1):
+    return tuple(jnp.expand_dims(c, axis) for c in v)
+
+
+# ---------------------------------------------------------------------------
+# One-hot gather / segment-sum over body rows (K-minor)
+# ---------------------------------------------------------------------------
+
+
+def onehot_rows(rows, valid, n):
+    """[W,K] rows -> one-hot [W, n, K] f32 (all-zero column when ~valid)."""
+    oh = (jnp.arange(n, dtype=rows.dtype)[None, :, None] == rows[:, None, :])
+    return (oh & valid[:, None, :]).astype(jnp.float32)
+
+
+def gather_channels(packed_T, oh):
+    """[W, D, n] @ [W, n, K] -> [W, D, K] per-pair channel rows (MXU)."""
+    return jax.lax.dot_general(
+        packed_T, oh, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+def accumulate_channels(oh, vals):
+    """Segment-sum pairs -> bodies: [W,n,K] x [W,C,K] -> [W,n,C] (MXU).
+    vals must be zero on invalid pairs."""
+    return jax.lax.dot_general(
+        oh, vals, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Per-object asset constants, folded in by unrolled (obj == o) selects
+# ---------------------------------------------------------------------------
+
+
+class ObjTables:
+    """Numpy-side snapshot of the padded object manager, exposed as
+    per-pair virtual tensors via unrolled select chains (no gathers —
+    O is small, and selects fuse into every consumer)."""
+
+    def __init__(self, objmgr):
+        om = {k: np.asarray(v) for k, v in objmgr.items()}
+        self.O = om["prim_type"].shape[0]
+        self.Vm = om["verts"].shape[1]
+        self.Fm = om["face_normals"].shape[1]
+        self.Em = om["edge_dirs"].shape[1]
+        self.om = om
+
+    def masks(self, obj):
+        """(is_sphere, is_hull, is_plane) [W,K] bool."""
+        pt = self.om["prim_type"]
+        zero = jnp.zeros_like(obj, bool)
+        out = [zero, zero, zero]
+        for o in range(self.O):
+            m = obj == o
+            out[int(pt[o])] = out[int(pt[o])] | m
+        return out[PRIM_SPHERE], out[PRIM_HULL], out[PRIM_PLANE]
+
+    def scalar(self, obj, key):
+        """Per-pair scalar const [W,K] (e.g. sphere_radius)."""
+        tab = self.om[key]
+        acc = jnp.zeros(obj.shape, jnp.float32)
+        for o in range(self.O):
+            acc = acc + jnp.where(obj == o, float(tab[o]), 0.0)
+        return acc
+
+    def vec(self, obj, key):
+        """Per-pair vec3 const tuple of [W,K] (e.g. local_aabb_lo)."""
+        tab = self.om[key]
+        comps = []
+        for c in range(3):
+            acc = jnp.zeros(obj.shape, jnp.float32)
+            for o in range(self.O):
+                acc = acc + jnp.where(obj == o, float(tab[o, c]), 0.0)
+            comps.append(acc)
+        return tuple(comps)
+
+    def rows_vec(self, obj, key, count_key):
+        """Per-pair padded row-list const: vec3 comps [W, R, K] + mask.
+        key: [O, R, 3] table (verts / face_normals / edge_dirs)."""
+        tab = self.om[key]
+        R = tab.shape[1]
+        counts = self.om[count_key]
+        sel = [(obj == o) for o in range(self.O)]
+        comps = []
+        for c in range(3):
+            acc = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], jnp.float32)
+            for o in range(self.O):
+                col = jnp.asarray(tab[o, :, c], jnp.float32)[None, :, None]
+                acc = acc + jnp.where(sel[o][:, None, :], col, 0.0)
+            comps.append(acc)
+        mask = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], bool)
+        for o in range(self.O):
+            valid = (jnp.arange(R) < int(counts[o]))[None, :, None]
+            mask = mask | (sel[o][:, None, :] & valid)
+        return tuple(comps), mask
+
+    def rows_scalar(self, obj, key):
+        """Per-pair padded scalar row-list const [W, R, K] (face_d)."""
+        tab = self.om[key]
+        R = tab.shape[1]
+        acc = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], jnp.float32)
+        for o in range(self.O):
+            col = jnp.asarray(tab[o], jnp.float32)[None, :, None]
+            acc = acc + jnp.where((obj == o)[:, None, :], col, 0.0)
+        return acc
+
+
+def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
+    """World-space per-pair-side fields.  pos: vec3 tuple [W,K]; rot: quat
+    tuple [W,K]; obj [W,K] int.  The data a reference CollisionPrimitive
+    carries (physics.hpp:245-264) pushed to world space per pair."""
+    is_s, is_h, is_p = tables.masks(obj)
+    verts_l, vmask = tables.rows_vec(obj, "verts", "num_verts")
+    fnorm_l, fmask = tables.rows_vec(obj, "face_normals", "num_faces")
+    face_d = tables.rows_scalar(obj, "face_d")
+    edir_l, emask = tables.rows_vec(obj, "edge_dirs", "num_edges")
+
+    rq = tuple(expand(c) for c in rot)            # [W,1,K]
+    pe = tuple(expand(c) for c in pos)
+    verts_w = v3add(qrot(rq, verts_l), pe)        # comps [W,Vm,K]
+    fnorm_w = qrot(rq, fnorm_l)
+    face_dw = face_d + dot3(fnorm_w, pe)          # [W,Fm,K]
+    edir_w = qrot(rq, edir_l)
+    zero = jnp.zeros_like(pos[0])
+    plane_n = qrot(rot, (zero, zero, jnp.ones_like(zero)))
+    plane_d = dot3(plane_n, pos)
+    return {
+        "pos": pos, "rot": rot,
+        "is_sphere": is_s, "is_hull": is_h, "is_plane": is_p,
+        "radius": tables.scalar(obj, "sphere_radius"),
+        "verts_w": verts_w, "vmask": vmask,
+        "fnorm_w": fnorm_w, "face_dw": face_dw, "fmask": fmask,
+        "edir_w": edir_w, "emask": emask,
+        "plane_n": plane_n, "plane_d": plane_d,
+        "lo_l": tables.vec(obj, "local_aabb_lo"),
+        "hi_l": tables.vec(obj, "local_aabb_hi"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Narrowphase
+# ---------------------------------------------------------------------------
+
+
+def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
+                  pair_live: jax.Array,
+                  stages: str = "sphere,plane,hull,sat") -> Dict[str, Any]:
+    """Contacts for compacted pairs; A/B from body_fields, pair_live [W,K].
+
+    Same pair-kind semantics as narrowphase.pair_contacts (the dense-grid
+    core); manifold = all incident-hull verts with depth masks (P = Vm).
+    Output: ok [W,K], normal vec3 tuple [W,K], points vec3 tuple [W,P,K],
+    depth [W,P,K], num_points [W,K].
+
+    Structure notes (all perf-motivated, measured at 8192 worlds x 256
+    pairs):
+      * single-point pair kinds (sphere-*, *-plane point) carry only [W,K]
+        slot-0 fields through the merge chain; the [W,P,K] manifold tensors
+        exist only for the hull paths and the final assembly — one [W,P,K]
+        select instead of one per kind.
+      * hull-hull manifold selects the INCIDENT side first (one clip chain
+        instead of clipping both hulls).
+
+    stages: comma list subsetting the pair-kind families (profiling aid)."""
+    W, K = pair_live.shape
+    Vm = A["vmask"].shape[1]
+    Fm = A["fmask"].shape[1]
+    Em = A["emask"].shape[1]
+    P = Vm
+    stage_set = set(stages.split(","))
+
+    zeroK = jnp.zeros((W, K))
+    out_ok = jnp.zeros((W, K), bool)
+    out_normal = (zeroK, zeroK, zeroK)
+    out_np = jnp.zeros((W, K), jnp.int32)
+    # single-point channel (slot 0 only)
+    pt0 = (zeroK, zeroK, zeroK)
+    dep0 = jnp.full((W, K), -BIG)
+    is_single = jnp.zeros((W, K), bool)
+    # multi-point (hull manifold) channel
+    zeroPK = jnp.zeros((W, P, K))
+    mpts = (zeroPK, zeroPK, zeroPK)
+    mdep = jnp.full((W, P, K), -BIG)
+    is_multi = jnp.zeros((W, K), bool)
+
+    def merge1(sel, ok, normal, point, pen, num_points):
+        """Merge a single-point pair kind ([W,K] fields only)."""
+        nonlocal out_ok, out_normal, out_np, pt0, dep0, is_single, is_multi
+        sel = sel & pair_live
+        out_ok = jnp.where(sel, sel & ok, out_ok)
+        out_normal = v3where(sel, normal, out_normal)
+        out_np = jnp.where(sel, num_points, out_np)
+        pt0 = v3where(sel, point, pt0)
+        dep0 = jnp.where(sel, pen, dep0)
+        is_single = is_single | sel
+        is_multi = is_multi & ~sel
+
+    def mergeP(sel, ok, normal, points, depth, num_points):
+        """Merge a multi-point (hull-manifold) pair kind."""
+        nonlocal out_ok, out_normal, out_np, mpts, mdep, is_multi, is_single
+        sel = sel & pair_live
+        selP = sel[:, None, :]
+        out_ok = jnp.where(sel, sel & ok, out_ok)
+        out_normal = v3where(sel, normal, out_normal)
+        out_np = jnp.where(sel, num_points, out_np)
+        mpts = v3where(selP, points, mpts)
+        mdep = jnp.where(selP, depth, mdep)
+        is_multi = is_multi | sel
+        is_single = is_single & ~sel
+
+    posA, posB = A["pos"], B["pos"]
+    radA, radB = A["radius"], B["radius"]
+    ones_np = jnp.ones((W, K), jnp.int32)
+
+    # ---- sphere-sphere ----------------------------------------------------
+    if "sphere" in stage_set:
+        d = v3sub(posB, posA)
+        dist = norm3(d, 1e-18)
+        nrm = v3scale(d, 1.0 / dist)
+        pen = (radA + radB) - dist
+        mid = v3add(posA, v3scale(nrm, radA - 0.5 * pen))
+        merge1(A["is_sphere"] & B["is_sphere"], pen > 0, nrm, mid, pen,
+               ones_np)
+
+        # ---- sphere-plane (either order) -----------------------------------
+        def sphere_plane(s_pos, s_rad, p_n, p_d, flip):
+            c_dist = dot3(s_pos, p_n) - p_d
+            pen = s_rad - c_dist
+            contact = v3sub(s_pos, v3scale(p_n, c_dist))
+            nrm_sp = p_n if flip else v3scale(p_n, -1.0)
+            return pen > 0, nrm_sp, contact, pen
+
+        o1, n1, c1, d1 = sphere_plane(posA, radA, B["plane_n"], B["plane_d"],
+                                      False)
+        merge1(A["is_sphere"] & B["is_plane"], o1, n1, c1, d1, ones_np)
+        o2, n2, c2, d2 = sphere_plane(posB, radB, A["plane_n"], A["plane_d"],
+                                      True)
+        merge1(A["is_plane"] & B["is_sphere"], o2, n2, c2, d2, ones_np)
+
+    # ---- hull-plane (either order): all verts, depth-masked ---------------
+    if "plane" in stage_set:
+        def hull_plane(h_verts_w, h_vmask, p_n, p_d, flip):
+            vd = dot3(h_verts_w, vexpand(p_n)) - expand(p_d)     # [W,Vm,K]
+            pen_v = jnp.where(h_vmask, -vd, -BIG)
+            num = jnp.sum((pen_v > 0).astype(jnp.int32), axis=1)
+            nrm_hp = p_n if flip else v3scale(p_n, -1.0)
+            return num > 0, nrm_hp, h_verts_w, pen_v, num
+
+        o3, n3, p3, d3, c3 = hull_plane(A["verts_w"], A["vmask"],
+                                        B["plane_n"], B["plane_d"], False)
+        mergeP(A["is_hull"] & B["is_plane"], o3, n3, p3, d3, c3)
+        o4, n4_, p4, d4, c4 = hull_plane(B["verts_w"], B["vmask"],
+                                         A["plane_n"], A["plane_d"], True)
+        mergeP(A["is_plane"] & B["is_hull"], o4, n4_, p4, d4, c4)
+
+    def onehot_axis1(values_tuple_or_arr, idx, size):
+        """Select row idx along axis 1 via one-hot masked sum (no gather)."""
+        oh = (jnp.arange(size)[None, :, None] == idx[:, None, :])
+
+        def pick(v):
+            return jnp.sum(jnp.where(oh, v, 0.0), axis=1)
+
+        if isinstance(values_tuple_or_arr, tuple):
+            return tuple(pick(v) for v in values_tuple_or_arr)
+        return pick(values_tuple_or_arr)
+
+    # ---- sphere-hull (either order) ---------------------------------------
+    if "hull" in stage_set:
+        def sphere_hull(s_pos, s_rad, h_fn_w, h_fd_w, h_fmask, flip):
+            cd = dot3(h_fn_w, vexpand(s_pos)) - h_fd_w           # [W,Fm,K]
+            cd = jnp.where(h_fmask, cd, NEG_BIG)
+            fdist = jnp.max(cd, axis=1)
+            fn = onehot_axis1(h_fn_w, jnp.argmax(cd, axis=1), Fm)
+            pen = s_rad - fdist
+            contact = v3sub(s_pos, v3scale(fn, fdist))
+            nrm_sh = fn if flip else v3scale(fn, -1.0)
+            return pen > 0, nrm_sh, contact, pen
+
+        o5, n5, c5, d5 = sphere_hull(posA, radA, B["fnorm_w"], B["face_dw"],
+                                     B["fmask"], False)
+        merge1(A["is_sphere"] & B["is_hull"], o5, n5, c5, d5, ones_np)
+        o6, n6, c6, d6 = sphere_hull(posB, radB, A["fnorm_w"], A["face_dw"],
+                                     A["fmask"], True)
+        merge1(A["is_hull"] & B["is_sphere"], o6, n6, c6, d6, ones_np)
+
+    # ---- hull-hull SAT -----------------------------------------------------
+    if "sat" in stage_set:
+        both_hull = A["is_hull"] & B["is_hull"] & pair_live
+
+        def axis_pen(axes_w, valid):
+            """axes_w: vec3 comps [W,ax,K]; supports = masked extrema of
+            vert projections (the masked-min-reduction restructuring of the
+            reference's support fns).  Returns pen [W,ax,K] (+BIG invalid)."""
+            projA = (axes_w[0][:, :, None] * A["verts_w"][0][:, None]
+                     + axes_w[1][:, :, None] * A["verts_w"][1][:, None]
+                     + axes_w[2][:, :, None] * A["verts_w"][2][:, None])
+            projB = (axes_w[0][:, :, None] * B["verts_w"][0][:, None]
+                     + axes_w[1][:, :, None] * B["verts_w"][1][:, None]
+                     + axes_w[2][:, :, None] * B["verts_w"][2][:, None])
+            vmA = A["vmask"][:, None]
+            vmB = B["vmask"][:, None]
+            maxA = jnp.max(jnp.where(vmA, projA, NEG_BIG), axis=2)
+            minA = jnp.min(jnp.where(vmA, projA, BIG), axis=2)
+            maxB = jnp.max(jnp.where(vmB, projB, NEG_BIG), axis=2)
+            minB = jnp.min(jnp.where(vmB, projB, BIG), axis=2)
+            pen = jnp.minimum(maxA - minB, maxB - minA)
+            return jnp.where(valid, pen, BIG)
+
+        eA = tuple(c[:, :, None] for c in A["edir_w"])   # [W,Em,1,K]
+        eB = tuple(c[:, None, :] for c in B["edir_w"])   # [W,1,Em,K]
+        cr = cross3(eA, eB)                              # comps [W,Em,Em,K]
+        cr = tuple(c.reshape(W, Em * Em, K) for c in cr)
+        clen = norm3(cr)
+        cvalid = (clen > 1e-6) & (
+            A["emask"][:, :, None] & B["emask"][:, None, :]
+        ).reshape(W, Em * Em, K)
+        cr = v3scale(cr, 1.0 / jnp.maximum(clen, 1e-12))
+
+        penA = axis_pen(A["fnorm_w"], A["fmask"])
+        penB = axis_pen(B["fnorm_w"], B["fmask"])
+        penE = axis_pen(cr, cvalid)
+
+        minA_, idxA_ = jnp.min(penA, 1), jnp.argmin(penA, 1)
+        minB_, idxB_ = jnp.min(penB, 1), jnp.argmin(penB, 1)
+        minE_, idxE_ = jnp.min(penE, 1), jnp.argmin(penE, 1)
+
+        sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
+        hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
+
+        FACE_BIAS = 1.001
+        use_faceA = minA_ <= jnp.minimum(minB_, minE_) * FACE_BIAS + 1e-6
+        use_faceB = (~use_faceA) & (minB_ <= minE_ * FACE_BIAS + 1e-6)
+        use_edge = ~(use_faceA | use_faceB)
+
+        fA = onehot_axis1(A["fnorm_w"], idxA_, Fm)
+        fB = onehot_axis1(B["fnorm_w"], idxB_, Fm)
+        fE = onehot_axis1(cr, idxE_, Em * Em)
+        ab = v3sub(posB, posA)
+
+        def orient(v):
+            sg = jnp.where(dot3(v, ab) >= 0, 1.0, -1.0)
+            return v3scale(v, sg)
+
+        sat_normal = v3where(use_faceA, orient(fA),
+                             v3where(use_faceB, orient(fB), orient(fE)))
+
+        # manifold: the INCIDENT hull is selected first, then processed once
+        # (one projection + one clip chain instead of two).
+        ufB = use_faceB[:, None, :]
+        verts_inc = v3where(ufB, A["verts_w"], B["verts_w"])
+        vmask_inc = jnp.where(ufB, A["vmask"], B["vmask"])
+        # axis pointing from the reference face INTO the incident hull
+        nrm_inc = v3where(use_faceB, v3scale(sat_normal, -1.0), sat_normal)
+        proj = dot3(verts_inc, vexpand(nrm_inc))
+        proj = jnp.where(vmask_inc, proj, BIG)
+        pmin = jnp.min(proj, axis=1)
+        # deepest vert has depth sat_pen; shallower offset by proj delta
+        dep_sat = sat_pen[:, None, :] - (proj - pmin[:, None, :])
+        dep_sat = jnp.where(vmask_inc, dep_sat, -BIG)
+
+        # clamp incident points into the reference hull local AABB —
+        # stand-in for incident-face clipping (exact for boxes)
+        ref_pos = v3where(use_faceB, posB, posA)
+        ref_rot = tuple(jnp.where(use_faceB, b, a)
+                        for a, b in zip(A["rot"], B["rot"]))
+        ref_lo = v3where(use_faceB, B["lo_l"], A["lo_l"])
+        ref_hi = v3where(use_faceB, B["hi_l"], A["hi_l"])
+        rq = tuple(expand(c) for c in ref_rot)
+        rp = vexpand(ref_pos)
+        local = qrot_inv(rq, v3sub(verts_inc, rp))
+        local = tuple(jnp.clip(c, expand(lo), expand(hi))
+                      for c, lo, hi in zip(local, ref_lo, ref_hi))
+        pts_sat = v3add(qrot(rq, local), rp)
+
+        # edge-edge: single deepest incident vert only
+        deep_idx = jnp.argmin(proj, axis=1)
+        is_deepest = (jnp.arange(Vm)[None, :, None] == deep_idx[:, None, :])
+        dep_sat = jnp.where(use_edge[:, None, :] & ~is_deepest, -BIG, dep_sat)
+
+        num_sat = jnp.sum((dep_sat > 0).astype(jnp.int32), axis=1)
+        mergeP(both_hull, hit, sat_normal, pts_sat, dep_sat, num_sat)
+
+    # ---- final assembly: embed the single-point channel in slot 0 ----------
+    slot0 = (jnp.arange(P) == 0)[None, :, None]
+    sing = is_single[:, None, :]
+    points = tuple(
+        jnp.where(sing, jnp.where(slot0, expand(c0), 0.0), mc)
+        for c0, mc in zip(pt0, mpts))
+    depth = jnp.where(sing, jnp.where(slot0, expand(dep0), -BIG), mdep)
+    return {
+        "ok": out_ok,
+        "normal": out_normal,
+        "points": points,
+        "depth": depth,
+        "num_points": out_np,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Solver passes — math mirrors solver._positional_contact_math /
+# _velocity_contact_math (reference physics.cpp:166-461, 716-1009)
+# ---------------------------------------------------------------------------
+
+
+def _gen_inv_mass(r, nrm, im, ii, rot):
+    """w = 1/m + (r x n)^T I^-1 (r x n); r/nrm vec3 [W,P,K]; im [W,K];
+    ii vec3 [W,K]; rot quat [W,K] (physics.cpp:215-231)."""
+    rxn_b = qrot_inv(tuple(expand(c) for c in rot), cross3(r, nrm))
+    return expand(im) + (rxn_b[0] ** 2 * expand(ii[0])
+                         + rxn_b[1] ** 2 * expand(ii[1])
+                         + rxn_b[2] ** 2 * expand(ii[2]))
+
+
+def _apply_impulse(p, r, im, ii, rot):
+    """positional impulse p at offset r -> (dx, dw) vec3 [W,P,K]
+    (physics.cpp:247-268)."""
+    rq = tuple(expand(c) for c in rot)
+    dx = v3scale(p, expand(im))
+    rxp_b = qrot_inv(rq, cross3(r, p))
+    iie = (expand(ii[0]), expand(ii[1]), expand(ii[2]))
+    dw = qrot(rq, vmap3(lambda a, b: a * b, iie, rxp_b))
+    return dx, dw
+
+
+def _side_vecs(g, lo, n):
+    """Slice n consecutive channel rows of [W,D,K] into a component tuple."""
+    return tuple(g[:, lo + i] for i in range(n))
+
+
+def positional_pass(sideA, sideB, contacts, relaxation=1.0,
+                    max_visible_depth=0.05):
+    """Per-pair positional corrections.  sides: dicts with vec3/quat tuples
+    (pos/rot/prev_pos) + scalars (im/mu) + vec3 ii.  Returns
+    (packA [W,9,K], packB [W,9,K], lam [W,P,K]) — pack = (dx, dw, bias_dx)
+    summed over points, zeroed on dead points (safe for segment-sum)."""
+    pts = contacts["points"]                 # vec3 [W,P,K]
+    depth = contacts["depth"]                # [W,P,K]
+    pt_ok = contacts["ok"][:, None, :] & (depth > 0)
+
+    posA, rotA = sideA["pos"], sideA["rot"]
+    posB, rotB = sideB["pos"], sideB["rot"]
+    rA = v3sub(pts, vexpand(posA))
+    rB = v3sub(pts, vexpand(posB))
+    n4 = vexpand(contacts["normal"])         # [W,1,K]
+
+    wA = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
+    wB = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
+    wsum = wA + wB
+    depth_vis = jnp.minimum(depth, max_visible_depth)
+    ok_w = pt_ok & (wsum > 1e-12)
+    inv_w = 1.0 / jnp.maximum(wsum, 1e-12)
+    dlam = jnp.where(ok_w, depth * inv_w, 0.0) * relaxation
+    dlam_vis = jnp.where(ok_w, depth_vis * inv_w, 0.0) * relaxation
+    bias_frac = jnp.where(dlam > 1e-12,
+                          (dlam - dlam_vis) / jnp.maximum(dlam, 1e-12), 0.0)
+    p = v3scale(n4, dlam)
+    dxA, dwA = _apply_impulse(v3scale(p, -1.0), rA, sideA["im"], sideA["ii"], rotA)
+    dxB, dwB = _apply_impulse(p, rB, sideB["im"], sideB["ii"], rotB)
+
+    # static friction (physics.cpp:369-441)
+    drift = vexpand(v3sub(v3sub(posB, sideB["prev_pos"]),
+                          v3sub(posA, sideA["prev_pos"])))
+    tang = v3sub(drift, v3scale(n4, dot3(drift, n4)))
+    tlen = norm3(tang)
+    that = v3scale(tang, 1.0 / jnp.maximum(tlen, 1e-12))
+    wA_t = _gen_inv_mass(rA, that, sideA["im"], sideA["ii"], rotA)
+    wB_t = _gen_inv_mass(rB, that, sideB["im"], sideB["ii"], rotB)
+    wsum_t = wA_t + wB_t
+    mu_pair = (0.5 * (sideA["mu"] + sideB["mu"]))[:, None, :]
+    dlam_t = jnp.where(
+        pt_ok & (wsum_t > 1e-12) & (tlen < mu_pair * dlam),
+        tlen / jnp.maximum(wsum_t, 1e-12), 0.0) * relaxation
+    pt_i = v3scale(that, dlam_t)
+    fxA, fwA = _apply_impulse(pt_i, rA, sideA["im"], sideA["ii"], rotA)
+    fxB, fwB = _apply_impulse(v3scale(pt_i, -1.0), rB, sideB["im"],
+                              sideB["ii"], rotB)
+    dxA, dwA = v3add(dxA, fxA), v3add(dwA, fwA)
+    dxB, dwB = v3add(dxB, fxB), v3add(dwB, fwB)
+
+    def pack(dx, dw):
+        def s(c):
+            return jnp.sum(jnp.where(pt_ok, c, 0.0), axis=1)
+
+        return jnp.stack(
+            [s(dx[0]), s(dx[1]), s(dx[2]),
+             s(dw[0]), s(dw[1]), s(dw[2]),
+             s(dx[0] * bias_frac), s(dx[1] * bias_frac),
+             s(dx[2] * bias_frac)], axis=1)     # [W,9,K]
+
+    return pack(dxA, dwA), pack(dxB, dwB), jnp.where(pt_ok, dlam, 0.0)
+
+
+def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
+                  relaxation=1.0):
+    """Per-pair velocity corrections (dynamic friction + restitution).
+    sides additionally carry v/w/pre_v/pre_w vec3 tuples [W,K].  h [W].
+    Returns (packA [W,6,K], packB [W,6,K])."""
+    pts = contacts["points"]
+    pt_ok = contacts["ok"][:, None, :] & (contacts["depth"] > 0)
+    n4 = vexpand(contacts["normal"])
+
+    posA, rotA = sideA["pos"], sideA["rot"]
+    posB, rotB = sideB["pos"], sideB["rot"]
+    rA = v3sub(pts, vexpand(posA))
+    rB = v3sub(pts, vexpand(posB))
+
+    def point_vel(v, w, r):
+        return v3add(vexpand(v), cross3(vexpand(w), r))
+
+    rel = v3sub(point_vel(sideB["v"], sideB["w"], rB),
+                point_vel(sideA["v"], sideA["w"], rA))
+    vn = dot3(rel, n4)                       # [W,P,K]
+    vt = v3sub(rel, v3scale(n4, vn))
+    vt_len = norm3(vt)
+    that = v3scale(vt, 1.0 / jnp.maximum(vt_len, 1e-12))
+
+    wA_t = _gen_inv_mass(rA, that, sideA["im"], sideA["ii"], rotA)
+    wB_t = _gen_inv_mass(rB, that, sideB["im"], sideB["ii"], rotB)
+    wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
+    mu_pair = (0.5 * (sideA["mu"] + sideB["mu"]))[:, None, :]
+    h3 = h[:, None, None]
+    fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h3, vt_len / wsum_t)
+    fimp = v3scale(that, -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0))
+
+    vn_pre = dot3(v3sub(point_vel(sideB["pre_v"], sideB["pre_w"], rB),
+                        point_vel(sideA["pre_v"], sideA["pre_w"], rA)), n4)
+    e = jnp.where(jnp.abs(vn_pre) <= restitution_threshold[:, None, None],
+                  0.0, 0.0)
+    wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
+    wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
+    wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
+    dv_n = -vn + jnp.maximum(-e * vn_pre, 0.0)
+    nimp = v3scale(n4, jnp.where(pt_ok & (vn < 0), dv_n / wsum_n, 0.0))
+
+    imp = vmap3(lambda a, b: (a + b) * relaxation, fimp, nimp)
+    dvA = v3scale(imp, -expand(sideA["im"]))
+    dvB = v3scale(imp, expand(sideB["im"]))
+    rqA = tuple(expand(c) for c in rotA)
+    rqB = tuple(expand(c) for c in rotB)
+    iiA = tuple(expand(c) for c in sideA["ii"])
+    iiB = tuple(expand(c) for c in sideB["ii"])
+    dwA = qrot(rqA, vmap3(lambda a, b: a * b, iiA,
+                          qrot_inv(rqA, cross3(rA, v3scale(imp, -1.0)))))
+    dwB = qrot(rqB, vmap3(lambda a, b: a * b, iiB,
+                          qrot_inv(rqB, cross3(rB, imp))))
+
+    def pack(dv, dw):
+        def s(c):
+            return jnp.sum(jnp.where(pt_ok, c, 0.0), axis=1)
+
+        return jnp.stack([s(dv[0]), s(dv[1]), s(dv[2]),
+                          s(dw[0]), s(dw[1]), s(dw[2])], axis=1)  # [W,6,K]
+
+    return pack(dvA, dwA), pack(dvB, dwB)
+
+
+def aabb_overlap(loA, hiA, loB, hiB):
+    """vec3 tuples [W,K] -> [W,K] overlap."""
+    ok = jnp.ones_like(loA[0], bool)
+    for c in range(3):
+        ok = ok & (loA[c] <= hiB[c]) & (hiA[c] >= loB[c])
+    return ok

@@ -20,8 +20,8 @@ accumulation drivers:
   * dense grid [W, n, n]: per-body sums are reductions along the two grid
     axes (body i collects row i as ref and column i as other) — zero
     gathers/scatters.  Right for small body counts.
-  * compacted pairs [W, K]: contacts carry body-row indices; per-body sums
-    are one-hot matmul segment sums (`accumulate_pairs`) — the MXU-friendly
+  * compacted pairs [W, K]: physics/pairs.py — the same math restructured
+    pair-major (K-minor layouts), with one-hot matmul segment sums as the
     scatter-add replacement.  Right at scale, where the n^2 grid would
     dominate.
 
@@ -337,97 +337,6 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
     dv = jnp.sum(dvA, axis=(2, 3)) + jnp.sum(dvB, axis=(1, 3))
     dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))
     return vel_lin + dv, vel_ang + dw
-
-
-# ---------------------------------------------------------------------------
-# Compacted-pairs drivers (contacts [W, K] with body-row indices)
-# ---------------------------------------------------------------------------
-
-
-def onehot_rows(rows, valid, n):
-    """One-hot row matrix [W, K, n] f32 for pair gather/segment-sum matmuls.
-
-    rows [W,K] int32 body rows (may be garbage where ~valid); valid [W,K].
-    XLA CSEs identical calls, so repeated use across substeps costs one
-    materialization.
-    """
-    oh = (jnp.clip(rows, 0, n - 1)[..., None]
-          == jnp.arange(n, dtype=rows.dtype)) & valid[..., None]
-    return oh.astype(jnp.float32)
-
-
-def pair_gather(oh, packed):
-    """Gather packed body channels per pair: [W,K,n] @ [W,n,D] -> [W,K,D].
-
-    The one-hot matmul rides the MXU; XLA's TPU gather lowering would
-    serialize (see core/state.py batched_gather notes).
-    """
-    return jax.lax.dot_general(
-        oh, packed, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-
-def accumulate_pairs(oh, vals):
-    """Segment-sum per-pair values to bodies: [W,K,n], [W,K,C] -> [W,n,C].
-
-    The transpose contraction of pair_gather — the scatter-add replacement
-    (TPU scatters serialize; this is one MXU matmul).  vals must already be
-    zero on invalid pairs.
-    """
-    return jax.lax.dot_general(
-        oh, vals, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-
-
-def solve_positions_pairs(sideA, sideB, contacts, oh_i, oh_j,
-                          relaxation=1.0, max_visible_depth=0.05):
-    """Positional pass over compacted contact pairs.
-
-    sideA/sideB: dicts of gathered per-pair body data [W,K,...]:
-      pos, rot, im, ii, mu, prev_pos (im/ii already zeroed for non-dynamic).
-    contacts: dict with leading [W,K]; oh_i/oh_j: one-hot row matrices
-    [W,K,n] (from onehot_rows; invalid pairs all-zero).
-
-    Returns (dpos [W,n,3], dw_vec [W,n,3], lambda_n [W,K,4],
-    bias_dpos [W,n,3]) — the caller applies dpos/dw to the body columns.
-    """
-    dxA, dwA, dxB, dwB, dlam, bias_frac, pt_ok = _positional_contact_math(
-        sideA["pos"], sideA["rot"], sideA["im"], sideA["ii"], sideA["mu"],
-        sideA["prev_pos"],
-        sideB["pos"], sideB["rot"], sideB["im"], sideB["ii"], sideB["mu"],
-        sideB["prev_pos"],
-        contacts, relaxation, max_visible_depth)
-
-    bias4 = bias_frac[..., None]
-    # pack (dx, dw, bias_dx) into one [W,K,9] accumulation per side
-    packA = jnp.concatenate(
-        [jnp.sum(dxA, -2), jnp.sum(dwA, -2), jnp.sum(dxA * bias4, -2)], axis=-1)
-    packB = jnp.concatenate(
-        [jnp.sum(dxB, -2), jnp.sum(dwB, -2), jnp.sum(dxB * bias4, -2)], axis=-1)
-    acc = accumulate_pairs(oh_i, packA) + accumulate_pairs(oh_j, packB)
-    return acc[..., 0:3], acc[..., 3:6], dlam, acc[..., 6:9]
-
-
-def solve_velocities_pairs(sideA, sideB, contacts, lambda_n, oh_i, oh_j,
-                           h, restitution_threshold, relaxation=1.0):
-    """Velocity pass over compacted contact pairs.
-
-    sideA/sideB additionally carry v, w (current) and pre_v, pre_w
-    (pre-substep) [W,K,3].  Returns (dv [W,n,3], dw [W,n,3]).
-    """
-    h4 = jnp.reshape(h, (h.shape[0], 1, 1))
-    rest4 = restitution_threshold[..., None, None]
-    dvA, dwA, dvB, dwB = _velocity_contact_math(
-        sideA["pos"], sideA["rot"], sideA["im"], sideA["ii"], sideA["mu"],
-        sideA["v"], sideA["w"], sideA["pre_v"], sideA["pre_w"],
-        sideB["pos"], sideB["rot"], sideB["im"], sideB["ii"], sideB["mu"],
-        sideB["v"], sideB["w"], sideB["pre_v"], sideB["pre_w"],
-        contacts, lambda_n, h4, rest4, relaxation)
-
-    packA = jnp.concatenate([jnp.sum(dvA, -2), jnp.sum(dwA, -2)], axis=-1)
-    packB = jnp.concatenate([jnp.sum(dvB, -2), jnp.sum(dwB, -2)], axis=-1)
-    acc = accumulate_pairs(oh_i, packA) + accumulate_pairs(oh_j, packB)
-    return acc[..., 0:3], acc[..., 3:6]
 
 
 def solve_joints(pos, rot, inv_mass, inv_inertia, joints, rows1, rows2,

@@ -132,11 +132,26 @@ class RenderingSystem:
                 vpos = ctx.column(view_archetype, base.Position)
                 vrot = ctx.column(view_archetype, base.Rotation)
                 av = ctx.column(view_archetype, ActiveView)
+                vmask = ctx.row_mask(view_archetype)
+                # route each view row into its view_idx slot (reference
+                # updateViewData writes viewData[view_idx], interop.cpp:
+                # 62-93) — masked sum over rows, slot counts are tiny
+                cap = vpos.shape[1]
+                slots = jnp.arange(cap, dtype=jnp.int32)
+                sel = ((av["view_idx"][:, :, None] == slots[None, None, :])
+                       & vmask[:, :, None])
+                self_f = sel.astype(jnp.float32)
+
+                def packv(x):
+                    if x.ndim == 2:
+                        return jnp.einsum("wrs,wr->ws", self_f, x)
+                    return jnp.einsum("wrs,wrc->wsc", self_f, x)
+
                 render["__views__"] = {
-                    "eye": vpos + av["eye_offset"],
-                    "rot": vrot,
-                    "tan_fov": av["tan_fov"],
-                    "mask": ctx.row_mask(view_archetype),
+                    "eye": packv(vpos + av["eye_offset"]),
+                    "rot": packv(vrot),
+                    "tan_fov": packv(av["tan_fov"]),
+                    "mask": jnp.any(sel, axis=1),
                 }
             user = dict(ctx.data)
             user["render"] = render

@@ -8,10 +8,10 @@ buffers (vk/batch_renderer.cpp:465-683, shader_common.h:7-9).
 
 On TPU, acceleration structures are pointer-chasing and anti-idiomatic
 (SURVEY.md §7.1): instead each pixel's camera ray analytically intersects
-every instance (sphere / oriented box / ground plane — the same primitive
-set the physics assets define), a dense [pixels x instances] reduction that
-vectorizes perfectly at the O(100) instances/world the reference's examples
-use.  Shading is Lambertian with a per-object albedo, matching the
+every instance (sphere / convex hull via exact face-plane slab test /
+ground plane — the same primitive set the physics assets define), a dense
+[pixels x instances] reduction that vectorizes perfectly at the O(100)
+instances/world the reference's examples use.  Shading is Lambertian with a per-object albedo, matching the
 reference shader's simple output.  Rendering is a taskgraph node, so it
 fuses into the jit step and observations are zero-copy exports
 (rgb [W, views, H, Wpx, 4] uint8, depth [W, views, H, Wpx] f32 — the
@@ -46,6 +46,10 @@ class RendererConfig:
     # simple directional light
     light_dir: tuple = (0.3, 0.3, -1.0)
     ambient: float = 0.2
+    # exact convex-hull intersection (slab test over face planes) — the
+    # ray-query-accurate path.  False falls back to the cheaper OBB proxy
+    # (exact for boxes only); cost scales with max_faces.
+    exact_hulls: bool = True
 
 
 class BatchRenderer:
@@ -124,6 +128,54 @@ class BatchRenderer:
             jnp.abs(denom) < 1e-9, 1e-9, denom)
         hit = (t > 1e-4) & (jnp.abs(denom) > 1e-6)
         return jnp.where(hit, t, BIG), jnp.broadcast_to(n, rd.shape)
+
+    # -- exact convex hull: slab test over face planes ----------------------
+    # (the ray-query analog of the reference BLAS hit, exact for any convex
+    # mesh; the OBB variant below remains as the cheap proxy path)
+
+    @staticmethod
+    def _ray_convex_core(ro, rd, center, rot, scale, fnorm_l, face_d, fmask):
+        """Shared slab math.  fnorm_l [..., F, 3] local face normals,
+        face_d [..., F], fmask [..., F]; nonuniform scale supported by
+        unscaling the ray (t is preserved: scaling is linear)."""
+        ro_l = m.quat_inv_rotate(rot, ro - center) / scale
+        rd_l = m.quat_inv_rotate(rot, rd) / scale
+        denom = jnp.sum(fnorm_l * rd_l[..., None, :], axis=-1)    # [..., F]
+        dist = face_d - jnp.sum(fnorm_l * ro_l[..., None, :], axis=-1)
+        safe = jnp.where(jnp.abs(denom) < 1e-9,
+                         jnp.where(denom >= 0, 1e-9, -1e-9), denom)
+        t_f = dist / safe
+        entering = denom < 0
+        t_enter = jnp.max(jnp.where(entering & fmask, t_f, -BIG), axis=-1)
+        t_exit = jnp.min(jnp.where((~entering) & fmask, t_f, BIG), axis=-1)
+        # ray parallel to a face plane and outside it: no intersection
+        parallel_out = jnp.any(
+            fmask & (jnp.abs(denom) < 1e-9) & (dist < 0), axis=-1)
+        hit = (t_enter <= t_exit) & (t_exit > 1e-4) & ~parallel_out
+        t = jnp.where(t_enter > 1e-4, t_enter, t_exit)
+        return jnp.where(hit, t, BIG), t_f, entering
+
+    @staticmethod
+    def _ray_convex_t(ro, rd, center, rot, scale, fnorm_l, face_d, fmask):
+        t, _, _ = BatchRenderer._ray_convex_core(
+            ro, rd, center, rot, scale, fnorm_l, face_d, fmask)
+        return t
+
+    @staticmethod
+    def _ray_convex(ro, rd, center, rot, scale, fnorm_l, face_d, fmask):
+        """t + world-space normal of the entry face (one-hot select)."""
+        t, t_f, entering = BatchRenderer._ray_convex_core(
+            ro, rd, center, rot, scale, fnorm_l, face_d, fmask)
+        score = jnp.where(entering & fmask, t_f, -BIG)
+        fidx = jnp.argmax(score, axis=-1)
+        F = fmask.shape[-1]
+        oh = fidx[..., None] == jnp.arange(F)
+        n_l = jnp.sum(jnp.where(oh[..., None], fnorm_l, 0.0), axis=-2)
+        # normals transform by the inverse-transpose: n / scale, renormalized
+        n_w = m.quat_rotate(rot, n_l / scale)
+        n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True),
+                                1e-9)
+        return t, n_w
 
     # t-only variants for the all-instances pass (no normal computation)
 
@@ -227,7 +279,17 @@ class BatchRenderer:
                 return x[:, None, None, None]
 
             ts = self._ray_sphere_t(ro5, d5, inst5(pos), inst5(radius))
-            tb = self._ray_obb_t(ro5, d5, inst5(pos), inst5(rot), inst5(half))
+            if cfg.exact_hulls:
+                fnorm_i = objmgr["face_normals"][obj]      # [W, N, F, 3]
+                fd_i = objmgr["face_d"][obj]               # [W, N, F]
+                fm_i = (jnp.arange(fd_i.shape[-1])[None, None]
+                        < objmgr["num_faces"][obj][..., None])
+                tb = self._ray_convex_t(
+                    ro5, d5, inst5(pos), inst5(rot), inst5(scale),
+                    inst5(fnorm_i), inst5(fd_i), inst5(fm_i))
+            else:
+                tb = self._ray_obb_t(ro5, d5, inst5(pos), inst5(rot),
+                                     inst5(half))
             tp = self._ray_plane_t(ro5, d5, inst5(pos), inst5(rot))
             pt5 = inst5(ptype)
             t_all = jnp.where(pt5 == PRIM_SPHERE, ts,
@@ -250,7 +312,16 @@ class BatchRenderer:
             wtype = gw(ptype)
             best_alb = gw(alb)
             _, n_s = self._ray_sphere(ro, d, wpos, wrad)
-            _, n_b = self._ray_obb(ro, d, wpos, wrot, whalf)
+            if cfg.exact_hulls:
+                wobj = gw(obj)
+                wfn = objmgr["face_normals"][wobj]         # [W,V,H,Wpx,F,3]
+                wfd = objmgr["face_d"][wobj]
+                wfm = (jnp.arange(wfd.shape[-1])
+                       < objmgr["num_faces"][wobj][..., None])
+                _, n_b = self._ray_convex(ro, d, wpos, wrot, gw(scale),
+                                          wfn, wfd, wfm)
+            else:
+                _, n_b = self._ray_obb(ro, d, wpos, wrot, whalf)
             _, n_p = self._ray_plane(ro, d, wpos, wrot)
             best_n = jnp.where((wtype == PRIM_SPHERE)[..., None], n_s,
                                jnp.where((wtype == PRIM_HULL)[..., None], n_b, n_p))

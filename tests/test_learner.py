@@ -59,3 +59,26 @@ def test_reward_reflects_damage():
     # knights shoot on tick 1 -> positive damage reward somewhere
     assert (np.asarray(r) >= 0).all()
     assert np.asarray(r).max() > 0
+
+
+def test_minibatch_multiepoch_normalized():
+    """Minibatched multi-epoch PPO with observation normalization + done
+    masking (the standard PPO loop, all inside one jit program)."""
+    sim, obs_fn, inject_fn, reward_fn, obs_dim, act_dim = make_env()
+
+    def done_fn(state):
+        # arbitrary on-device done signal: every 3rd tick
+        return (state["tick"] % 3) == 0
+
+    learner = PPOLearner(
+        PPOConfig(obs_dim=obs_dim, act_dim=act_dim, hidden=32, rollout_len=4,
+                  epochs=2, num_minibatches=4, normalize_obs=True),
+        sim.graph.step, obs_fn, inject_fn, reward_fn, done_fn=done_fn)
+    state = sim.state
+    state, loss, rew = learner.train_step(state)
+    assert np.isfinite(float(loss))
+    # normalization stats updated from the rollout
+    assert float(learner.norm["count"]) > 1.0
+    assert np.isfinite(np.asarray(learner.norm["mean"])).all()
+    state, loss2, _ = learner.train_step(state)
+    assert np.isfinite(float(loss2))

@@ -1,0 +1,197 @@
+"""Renderer intersection tests — exact convex hulls + multi-view.
+
+The reference renders via Vulkan ray queries against BLAS meshes
+(src/render/vk/shaders/basic.comp); here convex hulls intersect exactly via
+the face-plane slab test.  An octahedron distinguishes exact-hull from the
+OBB proxy (its local AABB is the unit cube, so the proxy over-covers)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gpu_ecs_madrona_tpu.physics import assets
+from gpu_ecs_madrona_tpu.render.renderer import BatchRenderer
+
+OCTA_VERTS = np.array([
+    [1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1],
+], np.float32)
+OCTA_FACES = [
+    np.array([0, 2, 4]), np.array([2, 1, 4]), np.array([1, 3, 4]),
+    np.array([3, 0, 4]), np.array([2, 0, 5]), np.array([1, 2, 5]),
+    np.array([3, 1, 5]), np.array([0, 3, 5]),
+]
+
+
+def octa_objmgr():
+    loader = assets.PhysicsLoader(max_verts=8, max_faces=8, max_edges=16,
+                                  max_face_verts=4, max_full_edges=16)
+    loader.load_objects([
+        assets.convex_hull_from_mesh(OCTA_VERTS, OCTA_FACES),
+    ])
+    return {k: jnp.asarray(v) for k, v in loader.get_object_manager().items()}
+
+
+def _hull_args(objmgr, shape_prefix):
+    fnorm = jnp.broadcast_to(objmgr["face_normals"][0],
+                             shape_prefix + objmgr["face_normals"].shape[1:])
+    fd = jnp.broadcast_to(objmgr["face_d"][0],
+                          shape_prefix + objmgr["face_d"].shape[1:])
+    fmask = jnp.broadcast_to(
+        jnp.arange(fd.shape[-1]) < objmgr["num_faces"][0],
+        shape_prefix + (fd.shape[-1],))
+    return fnorm, fd, fmask
+
+
+def test_convex_octahedron_analytic():
+    """Ray straight down at offset (u, v): the octahedron |x|+|y|+|z| = 1
+    surface is z = 1 - |u| - |v|, so t = z0 - (1 - |u| - |v|); the entry
+    face in the +x+y+z octant has normal (1,1,1)/sqrt(3)."""
+    objmgr = octa_objmgr()
+    u = np.array([0.1, 0.25, 0.5, 0.6], np.float32)
+    v = np.array([0.1, 0.15, 0.2, 0.1], np.float32)
+    ro = jnp.stack([jnp.asarray(u), jnp.asarray(v), jnp.full((4,), 10.0)],
+                   axis=-1)
+    rd = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (4, 3))
+    center = jnp.zeros((4, 3))
+    rot = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (4, 4))
+    scale = jnp.ones((4, 3))
+    fnorm, fd, fmask = _hull_args(objmgr, (4,))
+    t, n = BatchRenderer._ray_convex(ro, rd, center, rot, scale, fnorm, fd,
+                                     fmask)
+    expected = 10.0 - (1.0 - u - v)
+    np.testing.assert_allclose(np.asarray(t), expected, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(n), 1 / np.sqrt(3), atol=1e-5)
+
+
+def test_convex_miss_and_inside():
+    objmgr = octa_objmgr()
+    # miss: ray down at x = 1.5 (outside)
+    ro = jnp.array([[1.5, 0.0, 10.0], [0.0, 0.0, 0.0]])
+    rd = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (2, 3))
+    center = jnp.zeros((2, 3))
+    rot = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (2, 4))
+    scale = jnp.ones((2, 3))
+    fnorm, fd, fmask = _hull_args(objmgr, (2,))
+    t = BatchRenderer._ray_convex_t(ro, rd, center, rot, scale, fnorm, fd,
+                                    fmask)
+    t = np.asarray(t)
+    assert t[0] >= 1e8                      # miss
+    np.testing.assert_allclose(t[1], 1.0, atol=1e-5)  # inside: exit at -z
+
+
+def test_convex_scaled_rotated():
+    """Nonuniform scale (2,1,1) + 90° rotation about z: the scaled x-extent
+    rotates onto y; a down-ray at y = 1.0 hits z = 1 - |y|/2 = 0.5."""
+    objmgr = octa_objmgr()
+    ro = jnp.array([[0.0, 1.0, 10.0]])
+    rd = jnp.array([[0.0, 0.0, -1.0]])
+    center = jnp.zeros((1, 3))
+    s2 = 1 / np.sqrt(2)
+    rot = jnp.array([[s2, 0.0, 0.0, s2]])   # 90 deg about z
+    scale = jnp.array([[2.0, 1.0, 1.0]])
+    fnorm, fd, fmask = _hull_args(objmgr, (1,))
+    t = BatchRenderer._ray_convex_t(ro, rd, center, rot, scale, fnorm, fd,
+                                    fmask)
+    np.testing.assert_allclose(np.asarray(t)[0], 10.0 - 0.5, atol=1e-4)
+
+
+def test_raycast_exact_hull():
+    """physics.raycast against the octahedron: off-center ray reports the
+    slanted-face depth the OBB proxy would get wrong."""
+    import gpu_ecs_madrona_tpu.physics as phys
+
+    objmgr = octa_objmgr()
+    W = 2
+    pos = jnp.zeros((W, 1, 3))
+    rot = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, 1, 4))
+    scale = jnp.ones((W, 1, 3))
+    obj = jnp.zeros((W, 1), jnp.int32)
+    mask = jnp.ones((W, 1), bool)
+    origins = jnp.broadcast_to(jnp.array([0.5, 0.0, 10.0]), (W, 1, 3))
+    dirs = jnp.broadcast_to(jnp.array([0.0, 0.0, -1.0]), (W, 1, 3))
+    row, t = phys.raycast(pos, rot, scale, obj, mask, objmgr, origins, dirs)
+    assert (np.asarray(row) == 0).all()
+    np.testing.assert_allclose(np.asarray(t), 9.5, atol=1e-5)
+
+
+def test_multi_view_rendering():
+    """Two views per world routed into their view_idx slots (reference
+    updateViewData writes viewData[view_idx]); depth differs per view."""
+    import jax
+    from gpu_ecs_madrona_tpu import (Archetype, ExecutorConfig,
+                                     TaskGraphExecutor)
+    from gpu_ecs_madrona_tpu.core import base
+    from gpu_ecs_madrona_tpu.render.interop import ActiveView, RenderingSystem
+    from gpu_ecs_madrona_tpu.render.renderer import BatchRenderer, RendererConfig
+
+    sphere_loader = assets.PhysicsLoader()
+    sphere_loader.load_objects([assets.make_sphere(1.0)])
+    objmgr = sphere_loader.get_object_manager()
+
+    Ball = Archetype("MVBall", [base.Position, base.Rotation, base.Scale,
+                                base.ObjectID])
+    Cam = Archetype("MVCam", [base.Position, base.Rotation, ActiveView])
+    renderer = BatchRenderer(RendererConfig(width=16, height=16, max_views=2),
+                             objmgr)
+
+    class MVWorld:
+        @staticmethod
+        def register_types(registry):
+            base.register_types(registry)
+            RenderingSystem.register_types(registry)
+            registry.register_archetype(Ball, capacity=2)
+            registry.register_archetype(Cam, capacity=2)
+
+        @staticmethod
+        def init(ctx, init_data=None):
+            W = ctx.num_worlds
+            ctx.data = {}
+            RenderingSystem.init(ctx, renderable_archetypes=[Ball],
+                                 view_archetype=Cam, max_views=2)
+            renderer.init_buffers(ctx)
+            ctx.make_entities(Ball, counts=1, max_new=1, values={
+                base.Position: jnp.broadcast_to(
+                    jnp.array([0.0, 0.0, 1.0]), (W, 1, 3)),
+                base.Rotation: jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0]), (W, 1, 4)),
+                base.Scale: jnp.ones((W, 1, 3)),
+                base.ObjectID: jnp.zeros((W, 1), jnp.int32),
+            })
+            # create view 1 FIRST (row 0), then view 0 — slot routing must
+            # reorder them
+            v1 = RenderingSystem.setup_view(ctx, 90.0, view_idx=1)
+            ctx.make_entities(Cam, counts=1, max_new=1, values={
+                base.Position: jnp.broadcast_to(
+                    jnp.array([0.0, 9.0, 1.0]), (W, 1, 3)),
+                # 180 deg about z: camera looks -y
+                base.Rotation: jnp.broadcast_to(
+                    jnp.array([0.0, 0, 0, 1.0]), (W, 1, 4)),
+                ActiveView: v1,
+            })
+            v0 = RenderingSystem.setup_view(ctx, 90.0, view_idx=0)
+            ctx.make_entities(Cam, counts=1, max_new=1, values={
+                base.Position: jnp.broadcast_to(
+                    jnp.array([0.0, -5.0, 1.0]), (W, 1, 3)),
+                base.Rotation: jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0]), (W, 1, 4)),  # looks +y
+                ActiveView: v0,
+            })
+
+        @staticmethod
+        def setup_tasks(builder):
+            pack = RenderingSystem.setup_tasks(builder, [], [Ball], Cam)
+            renderer.setup_tasks(builder, [pack], [Ball])
+
+    sim = TaskGraphExecutor(MVWorld, ExecutorConfig(num_worlds=2,
+                                                    max_entities_per_world=8,
+                                                    seed=0))
+    sim.run(2)
+    depth = np.asarray(sim.depth_observations())   # [W, 2, H, Wpx]
+    assert depth.shape == (2, 2, 16, 16)
+    # frontmost hit: view 0 at y=-5 -> distance 5 - radius = 4;
+    # view 1 at y=+9 -> 9 - 1 = 8 (slot routing, not row order)
+    d0 = depth[:, 0].reshape(2, -1).min(axis=1)
+    d1 = depth[:, 1].reshape(2, -1).min(axis=1)
+    # 16x16 pixel grid: the nearest ray is ~0.09 NDC off-axis, so the
+    # frontmost depth overshoots slightly (more at longer range)
+    np.testing.assert_allclose(d0, 4.0, atol=0.15)
+    np.testing.assert_allclose(d1, 8.0, atol=0.5)
