@@ -31,6 +31,7 @@ from gpu_ecs_madrona_tpu.core.state import StateManager, SimState
 from gpu_ecs_madrona_tpu.core.context import Context
 from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraph, TaskGraphBuilder, NodeID
 from gpu_ecs_madrona_tpu.core.executor import TaskGraphExecutor, ExecutorConfig
+from gpu_ecs_madrona_tpu.core.world import World, system
 from gpu_ecs_madrona_tpu.core import base
 
 __version__ = "0.1.0"

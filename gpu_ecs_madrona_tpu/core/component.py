@@ -37,7 +37,16 @@ import numpy as np
 #   bits [ENTITY_ID_BITS, 31)  : generation counter (wraps)
 # -1 is the null entity (all bits set → gen/id patterns never collide since
 # we mask on unpack and validate generation on lookup).
-ENTITY_ID_BITS = 20
+#
+# The split is configurable via GEM_TPU_ENTITY_ID_BITS (read at import):
+# the default 20/11 gives 1M ids/world and 2048 generations per slot.
+# Long-running churn-heavy sims that recycle the same slot >2048 times can
+# alias a stale handle (reference IDMap has 32-bit gens, id_map.hpp) —
+# trade id space for generation headroom (e.g. 16 -> 32K gens) if so.
+import os as _os
+
+ENTITY_ID_BITS = int(_os.environ.get("GEM_TPU_ENTITY_ID_BITS", 20))
+assert 4 <= ENTITY_ID_BITS <= 27, ENTITY_ID_BITS
 ENTITY_ID_MASK = (1 << ENTITY_ID_BITS) - 1
 ENTITY_GEN_BITS = 31 - ENTITY_ID_BITS
 ENTITY_GEN_MASK = (1 << ENTITY_GEN_BITS) - 1

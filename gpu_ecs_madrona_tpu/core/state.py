@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpu_ecs_madrona_tpu.core.component import (
+    ENTITY_GEN_MASK,
     Archetype,
     Component,
     Entity,
@@ -299,7 +300,7 @@ class StateManager:
         cur_gen = batched_gather(eid_state["gen"], eids)
         loc_arch = batched_gather(eid_state["loc_arch"], eids)
         loc_row = batched_gather(eid_state["loc_row"], eids)
-        ok = ok & ((cur_gen & ((1 << 11) - 1)) == gens) & (loc_arch >= 0)
+        ok = ok & ((cur_gen & ENTITY_GEN_MASK) == gens) & (loc_arch >= 0)
 
         new_arch = dict(state["arch"])
         for name, info in self.registry.archetypes.items():
@@ -465,7 +466,7 @@ class StateManager:
         loc_arch = batched_gather(eid_state["loc_arch"], eids)
         loc_row = batched_gather(eid_state["loc_row"], eids)
         live = (~Entity.is_null(ents)) & (loc_arch >= 0) & (
-            (cur_gen & ((1 << 11) - 1)) == gens
+            (cur_gen & ENTITY_GEN_MASK) == gens
         )
         return loc_arch, loc_row, live
 

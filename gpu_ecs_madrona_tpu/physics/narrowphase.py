@@ -82,12 +82,21 @@ def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
     plane_n = m.quat_rotate(rot, jnp.array([0.0, 0.0, 1.0]))
     plane_d = jnp.sum(plane_n * pos, axis=-1)
 
+    # full-edge endpoints (supporting-edge lookup for edge-edge contacts);
+    # DCE'd when unused
+    ep0_l = objmgr["edge_p0"][obj_id]                # [*L,Ef,3]
+    ep1_l = objmgr["edge_p1"][obj_id]
+    nef = objmgr["num_full_edges"][obj_id]
+    efmask = jnp.arange(ep0_l.shape[-2]) < nef[..., None]
+
     fields = {
         "pos": pos, "rot": rot,
         "ptype": ptype, "radius": radius,
         "verts_w": verts_w, "vmask": vmask,
         "fnorm_w": fnorm_w, "face_dw": face_dw, "fmask": fmask,
         "edir_w": edir_w, "emask": emask,
+        "edge_p0_w": m.quat_rotate(rot_e, ep0_l) + pos_e, "efmask": efmask,
+        "edge_p1_w": m.quat_rotate(rot_e, ep1_l) + pos_e,
         "plane_n": plane_n, "plane_d": plane_d,
         "lo_l": objmgr["local_aabb_lo"][obj_id],
         "hi_l": objmgr["local_aabb_hi"][obj_id],
@@ -353,10 +362,46 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     # convert relative projections to true depths: deepest point has depth
     # sat_pen; shallower manifold points offset by projection delta.
     depth_sat = sat_pen[..., None] - (pen_rel[..., 0:1] - pen_rel)
+
+    # edge-edge: single contact at the closest point between the supporting
+    # edges (reference narrowphase edge contact path) — supporting edge =
+    # the full edge whose least-projecting endpoint is maximal along the
+    # support direction.
+    def support_edge(F, n_dir):
+        p0, p1 = F["edge_p0_w"], F["edge_p1_w"]
+        s0 = jnp.sum(p0 * n_dir[..., None, :], axis=-1)      # [*L,Ef]
+        s1 = jnp.sum(p1 * n_dir[..., None, :], axis=-1)
+        score = jnp.where(F["efmask"], jnp.minimum(s0, s1), NEG_BIG)
+        idx = jnp.argmax(score, axis=-1)
+        oh = (jnp.arange(score.shape[-1]) == idx[..., None])[..., None]
+        pick = lambda v: jnp.sum(jnp.where(oh, v, 0.0), axis=-2)
+        return pick(bc(p0, 2)), pick(bc(p1, 2))
+
+    a0, a1 = support_edge(A, sat_normal)
+    b0, b1 = support_edge(B, -sat_normal)
+    d1v, d2v, rv = a1 - a0, b1 - b0, a0 - b0
+    a_ = jnp.sum(d1v * d1v, -1)
+    e_ = jnp.sum(d2v * d2v, -1)
+    f_ = jnp.sum(d2v * rv, -1)
+    c_ = jnp.sum(d1v * rv, -1)
+    b_ = jnp.sum(d1v * d2v, -1)
+    denom = a_ * e_ - b_ * b_
+    s_ = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12,
+                            (b_ * f_ - c_ * e_)
+                            / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                            0.0), 0.0, 1.0)
+    t_ = jnp.clip((b_ * s_ + f_) / jnp.maximum(e_, 1e-12), 0.0, 1.0)
+    s_ = jnp.clip((b_ * t_ - c_) / jnp.maximum(a_, 1e-12), 0.0, 1.0)
+    edge_pt = 0.5 * ((a0 + d1v * s_[..., None]) + (b0 + d2v * t_[..., None]))
+
+    ue = use_edge[..., None]
+    slot0 = jnp.arange(4) == 0
+    depth_sat = jnp.where(ue, jnp.where(slot0, sat_pen[..., None], -BIG),
+                          depth_sat)
+    pts_sat = jnp.where(ue[..., None],
+                        jnp.where(slot0[..., None], edge_pt[..., None, :], 0.0),
+                        pts_sat)
     num_sat = jnp.sum((depth_sat > 0).astype(jnp.int32), axis=-1)
-    num_sat = jnp.where(use_edge, jnp.minimum(num_sat, 1), num_sat)
-    depth_sat = jnp.where(
-        use_edge[..., None] & (jnp.arange(4) > 0), -BIG, depth_sat)
 
     merge(both_hull, hit, sat_normal, pts_sat, depth_sat, num_sat)
 

@@ -229,6 +229,11 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
     face_d = tables.rows_scalar(obj, "face_d")
     edir_l, emask = tables.rows_vec(obj, "edge_dirs", "num_edges")
 
+    # full-edge endpoints (supporting-edge lookup for edge-edge contacts);
+    # XLA DCEs these when the consumer graph never reads them
+    ep0_l, efmask = tables.rows_vec(obj, "edge_p0", "num_full_edges")
+    ep1_l, _ = tables.rows_vec(obj, "edge_p1", "num_full_edges")
+
     rq = tuple(expand(c) for c in rot)            # [W,1,K]
     pe = tuple(expand(c) for c in pos)
     verts_w = v3add(qrot(rq, verts_l), pe)        # comps [W,Vm,K]
@@ -245,6 +250,8 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
         "verts_w": verts_w, "vmask": vmask,
         "fnorm_w": fnorm_w, "face_dw": face_dw, "fmask": fmask,
         "edir_w": edir_w, "emask": emask,
+        "edge_p0_w": v3add(qrot(rq, ep0_l), pe), "efmask": efmask,
+        "edge_p1_w": v3add(qrot(rq, ep1_l), pe),
         "plane_n": plane_n, "plane_d": plane_d,
         "lo_l": tables.vec(obj, "local_aabb_lo"),
         "hi_l": tables.vec(obj, "local_aabb_hi"),
@@ -486,10 +493,54 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
                       for c, lo, hi in zip(local, ref_lo, ref_hi))
         pts_sat = v3add(qrot(rq, local), rp)
 
-        # edge-edge: single deepest incident vert only
-        deep_idx = jnp.argmin(proj, axis=1)
-        is_deepest = (jnp.arange(Vm)[None, :, None] == deep_idx[:, None, :])
-        dep_sat = jnp.where(use_edge[:, None, :] & ~is_deepest, -BIG, dep_sat)
+        # edge-edge: single contact at the closest point between the
+        # supporting edges (reference narrowphase edge contact path) —
+        # supporting edge = the full edge whose least-projecting endpoint
+        # is maximal along the support direction.
+        def support_edge(F, n_dir):
+            p0, p1 = F["edge_p0_w"], F["edge_p1_w"]
+            s0 = dot3(p0, vexpand(n_dir))                 # [W,EF,K]
+            s1 = dot3(p1, vexpand(n_dir))
+            score = jnp.where(F["efmask"], jnp.minimum(s0, s1), NEG_BIG)
+            idx = jnp.argmax(score, axis=1)
+            oh = (jnp.arange(score.shape[1])[None, :, None]
+                  == idx[:, None, :])
+
+            def pick(v):
+                return tuple(jnp.sum(jnp.where(oh, c, 0.0), axis=1)
+                             for c in v)
+
+            return pick(p0), pick(p1)
+
+        a0, a1 = support_edge(A, sat_normal)
+        b0, b1 = support_edge(B, v3scale(sat_normal, -1.0))
+        # closest points between segments (standard clamped form)
+        d1v = v3sub(a1, a0)
+        d2v = v3sub(b1, b0)
+        rv = v3sub(a0, b0)
+        a_ = dot3(d1v, d1v)
+        e_ = dot3(d2v, d2v)
+        f_ = dot3(d2v, rv)
+        c_ = dot3(d1v, rv)
+        b_ = dot3(d1v, d2v)
+        denom = a_ * e_ - b_ * b_
+        s_ = jnp.clip(jnp.where(jnp.abs(denom) > 1e-12,
+                                (b_ * f_ - c_ * e_)
+                                / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0),
+                                0.0), 0.0, 1.0)
+        t_ = jnp.clip((b_ * s_ + f_) / jnp.maximum(e_, 1e-12), 0.0, 1.0)
+        s_ = jnp.clip((b_ * t_ - c_) / jnp.maximum(a_, 1e-12), 0.0, 1.0)
+        cA = v3add(a0, v3scale(d1v, s_))
+        cB = v3add(b0, v3scale(d2v, t_))
+        edge_pt = v3scale(v3add(cA, cB), 0.5)
+
+        ue = use_edge[:, None, :]
+        slot0 = (jnp.arange(P) == 0)[None, :, None]
+        dep_sat = jnp.where(
+            ue, jnp.where(slot0, sat_pen[:, None, :], -BIG), dep_sat)
+        pts_sat = tuple(
+            jnp.where(ue, jnp.where(slot0, expand(ec), 0.0), pc)
+            for ec, pc in zip(edge_pt, pts_sat))
 
         num_sat = jnp.sum((dep_sat > 0).astype(jnp.int32), axis=1)
         mergeP(both_hull, hit, sat_normal, pts_sat, dep_sat, num_sat)

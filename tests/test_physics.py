@@ -347,3 +347,59 @@ def test_pairs_determinism():
     pa, _ = a.get_exported(0)
     pb, _ = b.get_exported(0)
     assert np.array_equal(np.asarray(pa), np.asarray(pb))
+
+
+def test_edge_edge_contact_point():
+    """Two boxes crossed like an X meet edge-on-edge: the contact must sit
+    at the closest point between the supporting edges (x=y=0), not at an
+    edge endpoint (reference narrowphase edge-contact path)."""
+    import math
+    from gpu_ecs_madrona_tpu.physics import narrowphase as nph
+    from gpu_ecs_madrona_tpu.physics import pairs as pk
+
+    s2 = math.sqrt(0.5)
+    root2 = math.sqrt(2.0)
+    delta = 0.1
+    # A rotated 45 deg about x (top edge along x at z=sqrt(2));
+    # B rotated 45 deg about y above it (bottom edge along y)
+    posA = np.array([0.0, 0.0, 0.0], np.float32)
+    posB = np.array([0.0, 0.0, 2 * root2 - delta], np.float32)
+    qA = np.array([s2, s2, 0.0, 0.0], np.float32)   # 90?? no: 45 deg about x
+    qA = np.array([math.cos(math.pi / 8), math.sin(math.pi / 8), 0, 0],
+                  np.float32)
+    qB = np.array([math.cos(math.pi / 8), 0, math.sin(math.pi / 8), 0],
+                  np.float32)
+
+    objmgr = {k: jnp.asarray(v) for k, v in OBJMGR.items()}
+
+    # ---- dense core ----
+    pos = jnp.asarray(np.stack([posA, posB])[None])          # [1,2,3]
+    rot = jnp.asarray(np.stack([qA, qB])[None])
+    obj = jnp.zeros((1, 2), jnp.int32)                       # OBJ_BOX
+    mask = jnp.ones((1, 2), bool)
+    c = nph.narrowphase_dense(pos, rot, obj, mask, objmgr)
+    ok = np.asarray(c["ok"])[0, 0, 1]
+    assert ok
+    pt = np.asarray(c["points"])[0, 0, 1, 0]
+    dep = np.asarray(c["depth"])[0, 0, 1, 0]
+    nrm = np.asarray(c["normal"])[0, 0, 1]
+    assert abs(pt[0]) < 1e-4 and abs(pt[1]) < 1e-4, pt
+    np.testing.assert_allclose(pt[2], root2 - delta / 2, atol=0.02)
+    np.testing.assert_allclose(dep, delta, atol=1e-4)
+    np.testing.assert_allclose(abs(nrm[2]), 1.0, atol=1e-5)
+    assert int(np.asarray(c["num_points"])[0, 0, 1]) == 1
+
+    # ---- pair-major core ----
+    tables = pk.ObjTables(OBJMGR)
+    mk = lambda v: tuple(jnp.full((1, 1), float(x)) for x in v)
+    FA = pk.body_fields(mk(posA), tuple(jnp.full((1, 1), float(x)) for x in qA),
+                        jnp.zeros((1, 1), jnp.int32), tables)
+    FB = pk.body_fields(mk(posB), tuple(jnp.full((1, 1), float(x)) for x in qB),
+                        jnp.zeros((1, 1), jnp.int32), tables)
+    ck = pk.pair_contacts(FA, FB, jnp.ones((1, 1), bool))
+    assert bool(np.asarray(ck["ok"])[0, 0])
+    ptk = np.array([np.asarray(comp)[0, 0, 0] for comp in ck["points"]])
+    assert abs(ptk[0]) < 1e-4 and abs(ptk[1]) < 1e-4, ptk
+    np.testing.assert_allclose(ptk[2], root2 - delta / 2, atol=0.02)
+    np.testing.assert_allclose(np.asarray(ck["depth"])[0, 0, 0], delta,
+                               atol=1e-4)
