@@ -90,7 +90,7 @@ class RigidBenchWorld:
         cfg = cls.config
         RigidBodyPhysicsSystem.register_types(
             registry, max_candidates=cfg.candidates(),
-            max_contacts=cfg.candidates())
+            max_contacts=cfg.candidates(), max_joints=0)
         registry.register_archetype(Body, capacity=cfg.num_bodies + 1)
         registry.export_column(Body, base.Position, 0)
         registry.export_column(Body, base.Rotation, 1)

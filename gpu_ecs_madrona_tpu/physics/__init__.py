@@ -105,7 +105,8 @@ class RigidBodyPhysicsSystem:
                                     temporary=True)
         registry.register_archetype(CollisionEventTemporary,
                                     capacity=max_contacts, temporary=True)
-        registry.register_archetype(JointArchetype, capacity=max_joints)
+        if max_joints > 0:
+            registry.register_archetype(JointArchetype, capacity=max_joints)
 
     @staticmethod
     def init(ctx: Context, delta_t: float, num_substeps: int,
@@ -265,23 +266,41 @@ class RigidBodyPhysicsSystem:
         contact_mode selects how candidate pairs flow through narrowphase
         + solve (the TPU analog of the reference running narrowphase only
         on broadphase candidates, narrowphase.cpp:1768-1783):
-          "dense": all-pairs [W, n, n] grid — zero gathers, right for small
-                   body counts where n^2 SAT work is cheap.
-          "pairs": compacted broadphase candidates [W, K] (CandidateRows
-                   temporaries); body data gathered per pair by one-hot
-                   matmuls, per-body sums via segment-sum matmuls.  O(K)
-                   instead of O(n^2) SAT work — required at scale.
-          "auto":  "pairs" when the body archetype capacity > 48.
+          "dense":  all-pairs [W, n, n] grid — zero gathers, right for small
+                    body counts where n^2 SAT work is cheap.
+          "pairs":  compacted broadphase candidates [W, K] (CandidateRows
+                    temporaries); body data gathered per pair by one-hot
+                    matmuls, per-body sums via segment-sum matmuls.  O(K)
+                    instead of O(n^2) SAT work.
+          "pallas": same pair pipeline fused into one VMEM-resident Pallas
+                    megakernel per substep (ops/substep_kernel.py) — the
+                    at-scale mode.  Contact temporaries are not emitted
+                    (nothing leaves VMEM), and joint constraints are solved
+                    AFTER the substep kernel rather than between the
+                    positional and velocity phases — use "pairs" for
+                    contact export or joint-heavy worlds.
+          "auto":   body archetype capacity <= 48 -> "dense"; above that
+                    "pallas" on TPU, "pairs" elsewhere (the Pallas kernel
+                    only runs interpreted off-TPU, which is debug-speed).
         """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         arch = body_archetype
         if contact_mode == "auto":
             cap_n = builder.mgr.registry.archetypes[arch.name].capacity
-            contact_mode = "pairs" if cap_n > 48 else "dense"
-        if contact_mode not in ("dense", "pairs"):
+            if cap_n <= 48:
+                contact_mode = "dense"
+            else:
+                contact_mode = ("pallas" if jax.default_backend() == "tpu"
+                                else "pairs")
+        if contact_mode not in ("dense", "pairs", "pallas"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
         if contact_mode == "pairs":
             obj_tables = pk.ObjTables(object_manager)
+        if contact_mode == "pallas":
+            from gpu_ecs_madrona_tpu.ops.substep_kernel import SubstepKernel
+            substep_kernel = SubstepKernel(
+                object_manager, relaxation=relaxation,
+                interpret=jax.default_backend() == "cpu")
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -381,6 +400,31 @@ class RigidBodyPhysicsSystem:
                         }})
 
                 aabb = ctx.column(arch, CollisionAABB)
+
+                if contact_mode == "pallas":
+                    # VMEM-resident fused substep (ops/substep_kernel.py);
+                    # joints solved post-hoc (see docstring)
+                    import os as _os
+                    if _os.environ.get("GEM_TPU_PHYS_ABLATE") == "nokernel":
+                        p2, r2 = solve_joints_at(new_pos, new_rot)
+                        writeback(p2, r2, v, w)
+                        return
+                    rowsc = ctx.column(CandidateRowsTemporary,
+                                       CandidatePairRows)
+                    kmask = ctx.row_mask(CandidateRowsTemporary)
+                    p2, r2, v3_, w3_ = substep_kernel(
+                        pos=new_pos, rot=new_rot, v=v, w=w,
+                        prev_pos=prev_pos, prev_rot=prev_rot,
+                        im=jnp.where(dyn, inv_mass, 0.0),
+                        ii=jnp.where(dyn[..., None], inv_inertia, 0.0),
+                        mu_s=mu_s, mu_d=mu_d, obj=obj,
+                        aabb_lo=aabb["lo"], aabb_hi=aabb["hi"], dyn=dyn,
+                        rows_i=rowsc["i"], rows_j=rowsc["j"], kvalid=kmask,
+                        h=h_s,
+                        restitution_threshold=phys["restitution_threshold"])
+                    p2, r2 = solve_joints_at(p2, r2)
+                    writeback(p2, r2, v3_, w3_)
+                    return
 
                 if contact_mode == "dense":
                     # narrowphase at post-integration poses, gated by the

@@ -100,6 +100,48 @@ def qrot(q, v):
     return v3add(v3add(v, v3scale(t, qw)), cross3(qv, t))
 
 
+def qmul(a, b):
+    """Quat product of (w,x,y,z) component tuples."""
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return (aw * bw - ax * bx - ay * by - az * bz,
+            aw * bx + ax * bw + ay * bz - az * by,
+            aw * by - ax * bz + ay * bw + az * bx,
+            aw * bz + ax * by - ay * bx + az * bw)
+
+
+def qnormalize(q, eps=1e-30):
+    inv = jax.lax.rsqrt(jnp.maximum(
+        q[0] * q[0] + q[1] * q[1] + q[2] * q[2] + q[3] * q[3], eps))
+    return (q[0] * inv, q[1] * inv, q[2] * inv, q[3] * inv)
+
+
+def iota1(size, ndim, axis, dtype=jnp.int32):
+    """Kernel-safe iota along `axis` of an ndim-rank broadcastable shape
+    (TPU Mosaic rejects 1D iota; jnp.arange + reshape is not guaranteed)."""
+    shape = tuple(size if i == axis else 1 for i in range(ndim))
+    return jax.lax.broadcasted_iota(dtype, shape, axis)
+
+
+def falses(shape):
+    """All-False predicate WITHOUT a bool constant (Mosaic lowers bool
+    constants as i8 + an unsupported i8->i1 truncation)."""
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0) < 0
+
+
+def trues(shape):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, 0) >= 0
+
+
+def bexp(m, axis, shape):
+    """Expand + broadcast a bool mask to `shape`, relayouting in f32 —
+    Mosaic cannot reshape/broadcast i1 vectors (it lowers them through an
+    i8 round-trip with an unsupported i8->i1 truncation).  Row-list masks
+    (vmask/fmask/emask/efmask) are f32 0/1 weights for the same reason."""
+    mf = jnp.expand_dims(m.astype(jnp.float32), axis)
+    return jnp.broadcast_to(mf, shape) > 0.5
+
+
 def qrot_inv(q, v):
     qw, qv = q[0], (-q[1], -q[2], -q[3])
     t = v3scale(cross3(qv, v), 2.0)
@@ -122,8 +164,31 @@ def vexpand(v, axis=1):
 
 def onehot_rows(rows, valid, n):
     """[W,K] rows -> one-hot [W, n, K] f32 (all-zero column when ~valid)."""
-    oh = (jnp.arange(n, dtype=rows.dtype)[None, :, None] == rows[:, None, :])
+    oh = iota1(n, 3, 1, rows.dtype) == rows[:, None, :]
     return (oh & valid[:, None, :]).astype(jnp.float32)
+
+
+def extreme_onehot(score, mode):
+    """score [W,R,K] -> (extreme [W,K], one-hot [W,R,K] bool at the FIRST
+    (lowest index) occurrence of the extreme along axis 1).  The kernel-safe
+    replacement for argmax/argmin + onehot select (TPU Mosaic has no
+    argmin/argmax reduce; compare + min-index matches their first-occurrence
+    tie-break exactly)."""
+    ext = (jnp.max if mode == "max" else jnp.min)(score, axis=1)
+    at = score == ext[:, None, :]
+    R = score.shape[1]
+    idx = jnp.broadcast_to(iota1(R, 3, 1), score.shape)
+    first = jnp.min(jnp.where(at, idx, R), axis=1)
+    oh = at & (idx == first[:, None, :])
+    return ext, oh
+
+
+def pick_rows(oh, values):
+    """One-hot [W,R,K] select of row-list values ([W,R,K] array or vec3
+    tuple) -> [W,K] (tuple)."""
+    if isinstance(values, tuple):
+        return tuple(jnp.sum(jnp.where(oh, c, 0.0), axis=1) for c in values)
+    return jnp.sum(jnp.where(oh, values, 0.0), axis=1)
 
 
 def gather_channels(packed_T, oh):
@@ -162,7 +227,7 @@ class ObjTables:
     def masks(self, obj):
         """(is_sphere, is_hull, is_plane) [W,K] bool."""
         pt = self.om["prim_type"]
-        zero = jnp.zeros_like(obj, bool)
+        zero = falses(obj.shape)
         out = [zero, zero, zero]
         for o in range(self.O):
             m = obj == o
@@ -190,33 +255,54 @@ class ObjTables:
 
     def rows_vec(self, obj, key, count_key):
         """Per-pair padded row-list const: vec3 comps [W, R, K] + mask.
-        key: [O, R, 3] table (verts / face_normals / edge_dirs)."""
+        key: [O, R, 3] table (verts / face_normals / edge_dirs).
+
+        Built row-plane-wise from PYTHON scalar constants stacked along
+        axis 1 (never from captured jnp arrays — Pallas kernels reject
+        non-scalar closure constants, and scalar selects fold to the same
+        thing under XLA)."""
         tab = self.om[key]
         R = tab.shape[1]
         counts = self.om[count_key]
         sel = [(obj == o) for o in range(self.O)]
+        zero = jnp.zeros(obj.shape, jnp.float32)
         comps = []
         for c in range(3):
-            acc = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], jnp.float32)
-            for o in range(self.O):
-                col = jnp.asarray(tab[o, :, c], jnp.float32)[None, :, None]
-                acc = acc + jnp.where(sel[o][:, None, :], col, 0.0)
-            comps.append(acc)
-        mask = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], bool)
+            planes = []
+            for r in range(R):
+                plane = zero
+                for o in range(self.O):
+                    val = float(tab[o, r, c])
+                    if val != 0.0:
+                        plane = plane + jnp.where(sel[o], val, 0.0)
+                planes.append(plane)
+            comps.append(jnp.stack(planes, axis=1))
+        # f32 0/1 row mask (see bexp) — built with f32 broadcasts only
+        maskf = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], jnp.float32)
         for o in range(self.O):
-            valid = (jnp.arange(R) < int(counts[o]))[None, :, None]
-            mask = mask | (sel[o][:, None, :] & valid)
-        return tuple(comps), mask
+            cnt = int(counts[o])
+            if cnt <= 0:
+                continue
+            validf = jnp.where(iota1(R, 3, 1) < cnt, 1.0, 0.0)   # [1,R,1]
+            self_f = jnp.where(sel[o], 1.0, 0.0)[:, None, :]
+            maskf = maskf + self_f * validf
+        return tuple(comps), maskf
 
     def rows_scalar(self, obj, key):
         """Per-pair padded scalar row-list const [W, R, K] (face_d)."""
         tab = self.om[key]
         R = tab.shape[1]
-        acc = jnp.zeros(obj.shape[:1] + (R,) + obj.shape[1:], jnp.float32)
-        for o in range(self.O):
-            col = jnp.asarray(tab[o], jnp.float32)[None, :, None]
-            acc = acc + jnp.where((obj == o)[:, None, :], col, 0.0)
-        return acc
+        sel = [(obj == o) for o in range(self.O)]
+        zero = jnp.zeros(obj.shape, jnp.float32)
+        planes = []
+        for r in range(R):
+            plane = zero
+            for o in range(self.O):
+                val = float(tab[o, r])
+                if val != 0.0:
+                    plane = plane + jnp.where(sel[o], val, 0.0)
+            planes.append(plane)
+        return jnp.stack(planes, axis=1)
 
 
 def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
@@ -291,24 +377,25 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     stage_set = set(stages.split(","))
 
     zeroK = jnp.zeros((W, K))
-    out_ok = jnp.zeros((W, K), bool)
+    out_ok = falses((W, K))
     out_normal = (zeroK, zeroK, zeroK)
     out_np = jnp.zeros((W, K), jnp.int32)
     # single-point channel (slot 0 only)
     pt0 = (zeroK, zeroK, zeroK)
     dep0 = jnp.full((W, K), -BIG)
-    is_single = jnp.zeros((W, K), bool)
+    is_single = falses((W, K))
     # multi-point (hull manifold) channel
     zeroPK = jnp.zeros((W, P, K))
     mpts = (zeroPK, zeroPK, zeroPK)
     mdep = jnp.full((W, P, K), -BIG)
-    is_multi = jnp.zeros((W, K), bool)
+    is_multi = falses((W, K))
 
     def merge1(sel, ok, normal, point, pen, num_points):
         """Merge a single-point pair kind ([W,K] fields only)."""
         nonlocal out_ok, out_normal, out_np, pt0, dep0, is_single, is_multi
         sel = sel & pair_live
-        out_ok = jnp.where(sel, sel & ok, out_ok)
+        # boolean algebra, not select: Mosaic can't select_n on i1 vectors
+        out_ok = (sel & ok) | (out_ok & ~sel)
         out_normal = v3where(sel, normal, out_normal)
         out_np = jnp.where(sel, num_points, out_np)
         pt0 = v3where(sel, point, pt0)
@@ -320,8 +407,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         """Merge a multi-point (hull-manifold) pair kind."""
         nonlocal out_ok, out_normal, out_np, mpts, mdep, is_multi, is_single
         sel = sel & pair_live
-        selP = sel[:, None, :]
-        out_ok = jnp.where(sel, sel & ok, out_ok)
+        selP = bexp(sel, 1, depth.shape)
+        out_ok = (sel & ok) | (out_ok & ~sel)
         out_normal = v3where(sel, normal, out_normal)
         out_np = jnp.where(sel, num_points, out_np)
         mpts = v3where(selP, points, mpts)
@@ -362,7 +449,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     if "plane" in stage_set:
         def hull_plane(h_verts_w, h_vmask, p_n, p_d, flip):
             vd = dot3(h_verts_w, vexpand(p_n)) - expand(p_d)     # [W,Vm,K]
-            pen_v = jnp.where(h_vmask, -vd, -BIG)
+            pen_v = jnp.where(h_vmask > 0.5, -vd, -BIG)
             num = jnp.sum((pen_v > 0).astype(jnp.int32), axis=1)
             nrm_hp = p_n if flip else v3scale(p_n, -1.0)
             return num > 0, nrm_hp, h_verts_w, pen_v, num
@@ -374,24 +461,13 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
                                          A["plane_n"], A["plane_d"], True)
         mergeP(A["is_plane"] & B["is_hull"], o4, n4_, p4, d4, c4)
 
-    def onehot_axis1(values_tuple_or_arr, idx, size):
-        """Select row idx along axis 1 via one-hot masked sum (no gather)."""
-        oh = (jnp.arange(size)[None, :, None] == idx[:, None, :])
-
-        def pick(v):
-            return jnp.sum(jnp.where(oh, v, 0.0), axis=1)
-
-        if isinstance(values_tuple_or_arr, tuple):
-            return tuple(pick(v) for v in values_tuple_or_arr)
-        return pick(values_tuple_or_arr)
-
     # ---- sphere-hull (either order) ---------------------------------------
     if "hull" in stage_set:
         def sphere_hull(s_pos, s_rad, h_fn_w, h_fd_w, h_fmask, flip):
             cd = dot3(h_fn_w, vexpand(s_pos)) - h_fd_w           # [W,Fm,K]
-            cd = jnp.where(h_fmask, cd, NEG_BIG)
-            fdist = jnp.max(cd, axis=1)
-            fn = onehot_axis1(h_fn_w, jnp.argmax(cd, axis=1), Fm)
+            cd = jnp.where(h_fmask > 0.5, cd, NEG_BIG)
+            fdist, oh_f = extreme_onehot(cd, "max")
+            fn = pick_rows(oh_f, h_fn_w)
             pen = s_rad - fdist
             contact = v3sub(s_pos, v3scale(fn, fdist))
             nrm_sh = fn if flip else v3scale(fn, -1.0)
@@ -418,8 +494,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             projB = (axes_w[0][:, :, None] * B["verts_w"][0][:, None]
                      + axes_w[1][:, :, None] * B["verts_w"][1][:, None]
                      + axes_w[2][:, :, None] * B["verts_w"][2][:, None])
-            vmA = A["vmask"][:, None]
-            vmB = B["vmask"][:, None]
+            vmA = jnp.broadcast_to(A["vmask"][:, None], projA.shape) > 0.5
+            vmB = jnp.broadcast_to(B["vmask"][:, None], projB.shape) > 0.5
             maxA = jnp.max(jnp.where(vmA, projA, NEG_BIG), axis=2)
             minA = jnp.min(jnp.where(vmA, projA, BIG), axis=2)
             maxB = jnp.max(jnp.where(vmB, projB, NEG_BIG), axis=2)
@@ -427,23 +503,30 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             pen = jnp.minimum(maxA - minB, maxB - minA)
             return jnp.where(valid, pen, BIG)
 
-        eA = tuple(c[:, :, None] for c in A["edir_w"])   # [W,Em,1,K]
-        eB = tuple(c[:, None, :] for c in B["edir_w"])   # [W,1,Em,K]
-        cr = cross3(eA, eB)                              # comps [W,Em,Em,K]
-        cr = tuple(c.reshape(W, Em * Em, K) for c in cr)
+        # edge-cross axes built per (i, j) edge-dir pair and stacked along
+        # axis 1 — no [W,Em,Em,K] -> [W,Em^2,K] reshape (merging a major dim
+        # into the sublane dim forces a TPU relayout; Mosaic rejects it)
+        cr_parts, cv_parts = [], []
+        for i in range(Em):
+            eAi = tuple(c[:, i] for c in A["edir_w"])     # [W,K] comps
+            emAi = A["emask"][:, i]
+            for j in range(Em):
+                eBj = tuple(c[:, j] for c in B["edir_w"])
+                cr_parts.append(cross3(eAi, eBj))
+                cv_parts.append(emAi * B["emask"][:, j])
+        cr = tuple(jnp.stack([p[c] for p in cr_parts], axis=1)
+                   for c in range(3))                     # comps [W,Em*Em,K]
         clen = norm3(cr)
-        cvalid = (clen > 1e-6) & (
-            A["emask"][:, :, None] & B["emask"][:, None, :]
-        ).reshape(W, Em * Em, K)
+        cvalid = (clen > 1e-6) & (jnp.stack(cv_parts, axis=1) > 0.5)
         cr = v3scale(cr, 1.0 / jnp.maximum(clen, 1e-12))
 
-        penA = axis_pen(A["fnorm_w"], A["fmask"])
-        penB = axis_pen(B["fnorm_w"], B["fmask"])
+        penA = axis_pen(A["fnorm_w"], A["fmask"] > 0.5)
+        penB = axis_pen(B["fnorm_w"], B["fmask"] > 0.5)
         penE = axis_pen(cr, cvalid)
 
-        minA_, idxA_ = jnp.min(penA, 1), jnp.argmin(penA, 1)
-        minB_, idxB_ = jnp.min(penB, 1), jnp.argmin(penB, 1)
-        minE_, idxE_ = jnp.min(penE, 1), jnp.argmin(penE, 1)
+        minA_, ohA_ = extreme_onehot(penA, "min")
+        minB_, ohB_ = extreme_onehot(penB, "min")
+        minE_, ohE_ = extreme_onehot(penE, "min")
 
         sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
         hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
@@ -453,9 +536,9 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         use_faceB = (~use_faceA) & (minB_ <= minE_ * FACE_BIAS + 1e-6)
         use_edge = ~(use_faceA | use_faceB)
 
-        fA = onehot_axis1(A["fnorm_w"], idxA_, Fm)
-        fB = onehot_axis1(B["fnorm_w"], idxB_, Fm)
-        fE = onehot_axis1(cr, idxE_, Em * Em)
+        fA = pick_rows(ohA_, A["fnorm_w"])
+        fB = pick_rows(ohB_, B["fnorm_w"])
+        fE = pick_rows(ohE_, cr)
         ab = v3sub(posB, posA)
 
         def orient(v):
@@ -467,9 +550,9 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
 
         # manifold: the INCIDENT hull is selected first, then processed once
         # (one projection + one clip chain instead of two).
-        ufB = use_faceB[:, None, :]
+        ufB = bexp(use_faceB, 1, A["verts_w"][0].shape)
         verts_inc = v3where(ufB, A["verts_w"], B["verts_w"])
-        vmask_inc = jnp.where(ufB, A["vmask"], B["vmask"])
+        vmask_inc = jnp.where(ufB, A["vmask"], B["vmask"]) > 0.5
         # axis pointing from the reference face INTO the incident hull
         nrm_inc = v3where(use_faceB, v3scale(sat_normal, -1.0), sat_normal)
         proj = dot3(verts_inc, vexpand(nrm_inc))
@@ -501,16 +584,10 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             p0, p1 = F["edge_p0_w"], F["edge_p1_w"]
             s0 = dot3(p0, vexpand(n_dir))                 # [W,EF,K]
             s1 = dot3(p1, vexpand(n_dir))
-            score = jnp.where(F["efmask"], jnp.minimum(s0, s1), NEG_BIG)
-            idx = jnp.argmax(score, axis=1)
-            oh = (jnp.arange(score.shape[1])[None, :, None]
-                  == idx[:, None, :])
-
-            def pick(v):
-                return tuple(jnp.sum(jnp.where(oh, c, 0.0), axis=1)
-                             for c in v)
-
-            return pick(p0), pick(p1)
+            score = jnp.where(F["efmask"] > 0.5,
+                              jnp.minimum(s0, s1), NEG_BIG)
+            _, oh = extreme_onehot(score, "max")
+            return pick_rows(oh, p0), pick_rows(oh, p1)
 
         a0, a1 = support_edge(A, sat_normal)
         b0, b1 = support_edge(B, v3scale(sat_normal, -1.0))
@@ -534,8 +611,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         cB = v3add(b0, v3scale(d2v, t_))
         edge_pt = v3scale(v3add(cA, cB), 0.5)
 
-        ue = use_edge[:, None, :]
-        slot0 = (jnp.arange(P) == 0)[None, :, None]
+        ue = bexp(use_edge, 1, dep_sat.shape)
+        slot0 = jnp.broadcast_to(iota1(P, 3, 1), dep_sat.shape) == 0
         dep_sat = jnp.where(
             ue, jnp.where(slot0, sat_pen[:, None, :], -BIG), dep_sat)
         pts_sat = tuple(
@@ -546,8 +623,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         mergeP(both_hull, hit, sat_normal, pts_sat, dep_sat, num_sat)
 
     # ---- final assembly: embed the single-point channel in slot 0 ----------
-    slot0 = (jnp.arange(P) == 0)[None, :, None]
-    sing = is_single[:, None, :]
+    slot0 = jnp.broadcast_to(iota1(P, 3, 1), mdep.shape) == 0
+    sing = bexp(is_single, 1, mdep.shape)
     points = tuple(
         jnp.where(sing, jnp.where(slot0, expand(c0), 0.0), mc)
         for c0, mc in zip(pt0, mpts))
@@ -600,7 +677,7 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
     summed over points, zeroed on dead points (safe for segment-sum)."""
     pts = contacts["points"]                 # vec3 [W,P,K]
     depth = contacts["depth"]                # [W,P,K]
-    pt_ok = contacts["ok"][:, None, :] & (depth > 0)
+    pt_ok = bexp(contacts["ok"], 1, depth.shape) & (depth > 0)
 
     posA, rotA = sideA["pos"], sideA["rot"]
     posB, rotB = sideB["pos"], sideB["rot"]
@@ -661,7 +738,8 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     sides additionally carry v/w/pre_v/pre_w vec3 tuples [W,K].  h [W].
     Returns (packA [W,6,K], packB [W,6,K])."""
     pts = contacts["points"]
-    pt_ok = contacts["ok"][:, None, :] & (contacts["depth"] > 0)
+    pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
+        contacts["depth"] > 0)
     n4 = vexpand(contacts["normal"])
 
     posA, rotA = sideA["pos"], sideA["rot"]
@@ -683,13 +761,14 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     wB_t = _gen_inv_mass(rB, that, sideB["im"], sideB["ii"], rotB)
     wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
     mu_pair = (0.5 * (sideA["mu"] + sideB["mu"]))[:, None, :]
-    h3 = h[:, None, None]
+    h3 = jnp.reshape(h, h.shape[:1] + (1, 1))
     fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h3, vt_len / wsum_t)
     fimp = v3scale(that, -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0))
 
     vn_pre = dot3(v3sub(point_vel(sideB["pre_v"], sideB["pre_w"], rB),
                         point_vel(sideA["pre_v"], sideA["pre_w"], rA)), n4)
-    e = jnp.where(jnp.abs(vn_pre) <= restitution_threshold[:, None, None],
+    e = jnp.where(jnp.abs(vn_pre) <= jnp.reshape(restitution_threshold,
+                  restitution_threshold.shape[:1] + (1, 1)),
                   0.0, 0.0)
     wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
     wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
@@ -721,7 +800,7 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
 
 def aabb_overlap(loA, hiA, loB, hiB):
     """vec3 tuples [W,K] -> [W,K] overlap."""
-    ok = jnp.ones_like(loA[0], bool)
+    ok = trues(loA[0].shape)
     for c in range(3):
         ok = ok & (loA[c] <= hiB[c]) & (hiA[c] >= loB[c])
     return ok

@@ -349,6 +349,27 @@ def test_pairs_determinism():
     assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
+def test_pallas_matches_pairs_trajectory():
+    """The Pallas substep megakernel (interpret mode on CPU) runs the same
+    pair-major contact math as contact_mode="pairs"; trajectories must agree
+    to fp-reassociation tolerance."""
+    bodies = [
+        (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
+        (OBJ_BOX, (0, 0, 1.4), RESPONSE_DYNAMIC),
+        (OBJ_SPHERE, (0.4, 0.3, 3.0), RESPONSE_DYNAMIC),
+        (OBJ_BOX, (-0.5, 0.2, 5.0), RESPONSE_DYNAMIC),
+    ]
+    a = make_world(2, bodies, contact_mode="pairs")
+    b = make_world(2, bodies, contact_mode="pallas")
+    a.run(40)
+    b.run(40)
+    pa, _ = a.get_exported(0)
+    pb, _ = b.get_exported(0)
+    assert np.isfinite(np.asarray(pb)).all()
+    np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                               rtol=1e-4, atol=2e-3)
+
+
 def test_edge_edge_contact_point():
     """Two boxes crossed like an X meet edge-on-edge: the contact must sit
     at the closest point between the supporting edges (x=y=0), not at an
