@@ -1,34 +1,45 @@
-"""Pallas physics-substep megakernel: narrowphase + XPBD solve in VMEM.
+"""Pallas physics-substep megakernels: narrowphase + XPBD solve in VMEM.
 
 The TPU analog of the reference's megakernel-resident physics substep
 (src/mw/device megakernel running narrowphase.cpp + physics.cpp solver
-nodes back to back with state in registers/smem): one `pallas_call` per
-substep that runs
+nodes back to back with state in registers/smem).  Two entry points:
 
-    gather pairs -> SAT narrowphase -> positional pass -> segment-sum ->
-    apply -> velocity recovery -> velocity pass -> segment-sum -> apply
+* SubstepKernel — ONE substep per pallas_call:
+      gather pairs -> narrowphase -> positional pass -> segment-sum ->
+      apply -> velocity recovery -> velocity pass -> segment-sum -> apply
+  Used when joint constraints must interleave between the positional and
+  velocity phases (joints are solved OUTSIDE the kernel).
 
-entirely in VMEM.  The XLA pairs pipeline (physics/pairs.py) materializes
-every [W, R, K] intermediate in HBM — measured 13.6 ms per substep at
-2048 worlds x 256 pairs; this kernel's HBM traffic is one [W, C, n] body
-read + one [W, 13, n] write per substep (~100x less).
+* FusedSubstepKernel — ALL substeps in one pallas_call: the above in a
+  static Python loop with pos/rot/v/w carried in VMEM, plus the
+  semi-implicit Euler integrate (reference substepRigidBodies,
+  physics.cpp:79-164) at the top of each iteration.  This is the default
+  path: measured at 8192 worlds x 64 bodies the per-substep XLA
+  pack/transpose + custom-call boundary costs ~7.7 ms per substep —
+  4x more than the pallas pipeline itself — so crossing it once per STEP
+  instead of once per substep is the single largest win.
 
 The pair math is SHARED with the XLA path: physics/pairs.py functions are
-written kernel-safe (component-scalarized tuples, no argmin/gather/1D
-iota) and are called directly from inside the kernel body on block shapes
-[Wt, ...].  One source of truth for the contact model.
+written kernel-safe (component-scalarized tuples, no select-on-i1, no
+argmin/1D iota) and are called directly from inside the kernel body on
+block shapes [Wt, ...].  One source of truth for the contact model.
 
 Layout per program (grid over world blocks):
-    packed  [Wt, C_IN, n]   body channels, channel-major (n = lanes)
-    rows_i/j, kvalid [Wt, K]  compacted candidate pairs (K = lanes)
-    scal    [Wt, 8]          per-world scalars (h, restitution threshold)
-    out     [Wt, C_OUT, n]   pos/rot/vel writeback
+    packed  [Wt, C, n]      body channels, channel-major (n = lanes,
+                            padded to a full 128-lane tile)
+    rows_i/j, kvalid [Wt, 1, K]  compacted candidate pairs (K = lanes)
+    scal    [Wt, 1, 8]      per-world scalars (h, restitution threshold,
+                            gravity xyz)
+    out     [Wt, C_OUT, n]  pos/rot/vel (+ final-substep stashes, fused)
 
-Gathers/segment-sums ride the MXU as per-world [C, n] @ [n, K] one-hot
-matmuls (cheap here: operands already in VMEM).
+Pair gathers ride Mosaic's native dynamic lane gather (take_along_axis,
+2D, one lane tile per chunk); segment-sums are per-world one-hot matmuls
+(scatter-add has no native lowering).  Per-object constants fold in via
+unrolled (obj == o) selects (physics/pairs.py ObjTables).
 
 Joints are NOT solved in-kernel (they interleave between the positional
-and velocity phases); worlds with joints use contact_mode="pairs".
+and velocity phases); worlds with joints use SubstepKernel + XLA joint
+solve, or contact_mode="pairs".
 """
 
 from __future__ import annotations
@@ -43,36 +54,243 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gpu_ecs_madrona_tpu.physics import pairs as pk
 
-# ---- input channel map (channel-major [W, C_IN, n]) -----------------------
+# ---- single-substep kernel input channels (channel-major [W, C_IN, n]) ----
+# The first C_G channels are the per-pair gathered block; channels past
+# C_G are only read per-body.  Broadphase AABBs are NOT carried: every
+# candidate already passed the overlap test (broadphase emits only
+# overlapping pairs), so the reference's in-narrowphase AABB recheck is
+# redundant here.
 CH_POS = 0        # 0:3   post-integrate position
 CH_ROT = 3        # 3:7   post-integrate rotation (w,x,y,z)
-CH_V = 7          # 7:10  post-integrate linear velocity
-CH_W = 10         # 10:13 post-integrate angular velocity
-CH_PREV_POS = 13  # 13:16 pre-substep position
-CH_PREV_ROT = 16  # 16:20 pre-substep rotation
-CH_IM = 20        # inverse mass (0 for static/non-dynamic)
-CH_II = 21        # 21:24 inverse inertia diagonal (body frame)
-CH_MUS = 24       # static friction
-CH_MUD = 25       # dynamic friction
-CH_OBJ = 26       # object id (small int as f32)
-CH_LO = 27        # 27:30 broadphase AABB lo
-CH_HI = 30        # 30:33 broadphase AABB hi
-CH_DYN = 33       # 1.0 = dynamic response
-C_IN = 34
+CH_PREV_POS = 7   # 7:10  pre-substep position
+CH_IM = 10        # inverse mass (0 for static/non-dynamic)
+CH_II = 11        # 11:14 inverse inertia diagonal (body frame)
+CH_MUS = 14       # static friction
+CH_MUD = 15       # dynamic friction
+CH_OBJ = 16       # object id (small int as f32)
+C_G = 17          # gathered-block size
+CH_V = 17         # 17:20 post-integrate linear velocity (body-only)
+CH_W = 20         # 20:23 post-integrate angular velocity (body-only)
+CH_PREV_ROT = 23  # 23:27 pre-substep rotation (body-only)
+CH_DYN = 27       # 1.0 = dynamic response (body-only)
+C_IN = 28
 
 C_OUT = 13        # pos3 rot4 v3 w3
+
+# ---- fused-substeps kernel input channels ----------------------------------
+F_POS = 0         # 0:3
+F_ROT = 3         # 3:7
+F_V = 7           # 7:10
+F_W = 10          # 10:13
+F_IM = 13         # static pair block starts here (contiguous, gathered once)
+F_II = 14         # 14:17
+F_MUS = 17
+F_MUD = 18
+F_OBJ = 19
+F_STATIC0 = F_IM
+FC_STATIC = 7     # im ii3 mu_s mu_d obj
+F_EXTF = 20       # 20:23 external force
+F_EXTT = 23       # 23:26 external torque
+F_DYN = 26
+FC_IN = 27
+
+# fused output: final state + last-substep stash components
+FO_POS = 0        # 0:3
+FO_ROT = 3        # 3:7
+FO_V = 7          # 7:10
+FO_W = 10         # 10:13
+FO_PREV_POS = 13  # 13:16 last substep's pre-substep position
+FO_PREV_ROT = 16  # 16:20
+FO_PS_POS = 20    # 20:23 last substep's post-integrate (pre-solve) pos
+FO_PS_ROT = 23    # 23:27
+FO_PS_V = 27      # 27:30 last substep's post-integrate velocity
+FO_PS_W = 30      # 30:33
+FC_OUT = 33
 
 
 def _c3(g, lo):
     return (g[:, lo], g[:, lo + 1], g[:, lo + 2])
 
 
+def _c4(g, lo):
+    return (g[:, lo], g[:, lo + 1], g[:, lo + 2], g[:, lo + 3])
+
+
+def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
+    """Gather/segment-sum helpers for one program block.
+
+    Gathers use Mosaic's native dynamic lane gather (2D take_along_axis,
+    one lane-tile chunk at a time); one-hot MXU matmuls remain only for
+    the segment-sums.  Returns (oh_i, oh_j, gather_i, gather_j, segsum).
+    """
+    iota_nK = jax.lax.broadcasted_iota(jnp.int32, (n, K), 0)
+
+    def onehots(rows_ref):
+        ohs = []
+        for w in range(Wt):
+            rows_row = rows_ref[w]                           # [1, K]
+            valid_row = kvalid_ref[w] > 0.5
+            ohs.append(((iota_nK == rows_row) & valid_row)
+                       .astype(jnp.float32))                 # [n, K]
+        return ohs
+
+    native = ((n == 128) and (K % n == 0)
+              and os.environ.get("GEM_TPU_SUBSTEP_NATIVE", "1") != "0")
+
+    def gather_with(rows_ref, ohs):
+        def gather(mat, C):
+            # mat [Wt, C, n] -> [Wt, C, K]
+            if not native:
+                return jnp.stack([
+                    jax.lax.dot_general(mat[w], ohs[w],
+                                        (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                    for w in range(Wt)], axis=0)
+            outs = []
+            for w in range(Wt):
+                xw = mat[w]                                  # [C, n]
+                chunks = []
+                for c0 in range(0, K, n):
+                    idx = rows_ref[w, :, c0:c0 + n]          # [1, n]
+                    chunks.append(jnp.take_along_axis(
+                        xw, jnp.broadcast_to(idx, (C, n)), axis=1))
+                outs.append(jnp.concatenate(chunks, axis=1))
+            return jnp.stack(outs, axis=0)
+        return gather
+
+    def segsum(ohs, pack):
+        # pack [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
+        return jnp.stack([
+            jax.lax.dot_general(pack[w], ohs[w], (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+            for w in range(Wt)], axis=0)
+
+    oh_i = onehots(rows_i_ref)
+    oh_j = onehots(rows_j_ref)
+    return (oh_i, oh_j, gather_with(rows_i_ref, oh_i),
+            gather_with(rows_j_ref, oh_j), segsum)
+
+
+def _substep_core(tables, relaxation, kvalid, h1, rest1,
+                  SA, SB, pos_b, rot_b, prev_pos_b, prev_rot_b,
+                  oh_i, oh_j, gather_i, gather_j, segsum):
+    """One contact substep given pair-gathered static sides SA/SB
+    (im/ii/mu_s/mu_d/obj [Wt,K]) and per-body state tuples [Wt,n].
+
+    pos/rot/prev_pos are gathered per pair HERE (they change every
+    substep); returns per-body (p2, r2, v2, w2, v3, w3): post-solve pose,
+    recovered velocities, and post-velocity-pass velocities.
+    """
+    dyn_pair = jnp.stack(list(pos_b) + list(rot_b) + list(prev_pos_b),
+                         axis=1)                             # [Wt, 10, n]
+    gA = gather_i(dyn_pair, 10)
+    gB = gather_j(dyn_pair, 10)
+
+    def side1(g, S):
+        return {
+            "pos": _c3(g, 0),
+            "rot": (jnp.where(kvalid, g[:, 3], 1.0),
+                    g[:, 4], g[:, 5], g[:, 6]),
+            "prev_pos": _c3(g, 7),
+            "im": S["im"], "ii": S["ii"], "mu": S["mu_s"],
+        }
+
+    PA, PB = side1(gA, SA), side1(gB, SB)
+
+    # ---- narrowphase + positional pass (shared pair-major math) -------
+    FA = pk.body_fields(PA["pos"], PA["rot"], SA["obj"], tables)
+    FB = pk.body_fields(PB["pos"], PB["rot"], SB["obj"], tables)
+    contacts = pk.pair_contacts(FA, FB, kvalid)
+
+    packA, packB, lam = pk.positional_pass(PA, PB, contacts,
+                                           relaxation=relaxation)
+    if os.environ.get("GEM_TPU_SUBSTEP_ABLATE") == "noseg":
+        # perf attribution: solve math live, segment-sum matmuls skipped
+        n_ = pos_b[0].shape[1]
+        live = jnp.sum(packA[:, 0] + packB[:, 0]) * 1e-30    # scalar
+        acc = jnp.zeros((packA.shape[0], 9, n_)) + live
+    else:
+        acc = segsum(oh_i, packA) + segsum(oh_j, packB)      # [Wt, 9, n]
+
+    # ---- apply positional + recover velocities (per-body, in VMEM) ----
+    p2 = pk.v3add(pos_b, _c3(acc, 0))
+    dw_acc = _c3(acc, 3)
+    zero_n = jnp.zeros_like(dw_acc[0])
+    dq = pk.qmul((zero_n,) + dw_acc, rot_b)
+    r2 = pk.qnormalize(tuple(q + 0.5 * d for q, d in zip(rot_b, dq)))
+
+    # set_velocities (physics.cpp:673-714), bias excluded
+    bias = _c3(acc, 6)
+    v2 = tuple((p - pp - b) / h1
+               for p, pp, b in zip(p2, prev_pos_b, bias))
+    dqv = pk.qmul(r2, (prev_rot_b[0], -prev_rot_b[1],
+                       -prev_rot_b[2], -prev_rot_b[3]))
+    w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * c / h1, -2.0 * c / h1)
+               for c in dqv[1:4])
+
+    # ---- velocity pass at post-solve poses -----------------------------
+    packed2 = jnp.stack(list(p2) + list(r2) + list(v2) + list(w2),
+                        axis=1)                              # [Wt, 13, n]
+    gA2 = gather_i(packed2, 13)
+    gB2 = gather_j(packed2, 13)
+
+    def side2(g2, S):
+        return {
+            "pos": _c3(g2, 0),
+            "rot": (jnp.where(kvalid, g2[:, 3], 1.0),
+                    g2[:, 4], g2[:, 5], g2[:, 6]),
+            "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
+            "v": _c3(g2, 7), "w": _c3(g2, 10),
+        }
+
+    vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
+                                contacts, lam, h1, rest1,
+                                relaxation=relaxation)
+    if os.environ.get("GEM_TPU_SUBSTEP_ABLATE") == "noseg":
+        n_ = pos_b[0].shape[1]
+        live = jnp.sum(vpA[:, 0] + vpB[:, 0]) * 1e-30        # scalar
+        accv = jnp.zeros((vpA.shape[0], 6, n_)) + live
+    else:
+        accv = segsum(oh_i, vpA) + segsum(oh_j, vpB)         # [Wt, 6, n]
+    v3_ = pk.v3add(v2, _c3(accv, 0))
+    w3_ = pk.v3add(w2, _c3(accv, 3))
+    return p2, r2, v2, w2, v3_, w3_
+
+
+def _unpack_static(g, kvalid):
+    del kvalid
+    return {"im": g[:, 0], "ii": _c3(g, 1),
+            "mu_s": g[:, 4], "mu_d": g[:, 5],
+            "obj": jnp.round(g[:, 6]).astype(jnp.int32)}
+
+
+def _integrate(pos, rot, v, w, im, ii, extf, extt, dyn, h1, g):
+    """Semi-implicit Euler substep in tuple form (solver.integrate,
+    reference substepRigidBodies physics.cpp:79-164)."""
+    live = dyn & (im > 0)
+    vn = tuple(jnp.where(live, vc + h1 * (gc + fc * im), vc)
+               for vc, gc, fc in zip(v, g, extf))
+    posn = tuple(jnp.where(live, pc + h1 * vc, pc)
+                 for pc, vc in zip(pos, vn))
+    inertia = tuple(jnp.where(iic > 0, 1.0 / jnp.maximum(iic, 1e-12), 0.0)
+                    for iic in ii)
+    om_b = pk.qrot_inv(rot, w)
+    gyro = pk.cross3(om_b, tuple(a * b for a, b in zip(inertia, om_b)))
+    tau_b = pk.qrot_inv(rot, extt)
+    om_b = tuple(o + h1 * iic * (tc - gc)
+                 for o, iic, tc, gc in zip(om_b, ii, tau_b, gyro))
+    wn = pk.qrot(rot, om_b)
+    wn = tuple(jnp.where(live, wc, w0) for wc, w0 in zip(wn, w))
+    zero = jnp.zeros_like(pos[0])
+    dq = pk.qmul((zero,) + wn, rot)
+    rotn = pk.qnormalize(tuple(q + 0.5 * h1 * d for q, d in zip(rot, dq)))
+    rotn = tuple(jnp.where(live, rc, r0) for rc, r0 in zip(rotn, rot))
+    return posn, rotn, vn, wn
+
+
 def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                  relaxation: float):
-    # perf attribution (debug only): "novel" skips the velocity pass,
-    # "nosolve" also skips the positional pass
-    ablate = os.environ.get("GEM_TPU_SUBSTEP_ABLATE", "")
-
+    """Single-substep kernel (joint-interleaved path)."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
         # pair/scalar inputs arrive [Wt, 1, K] / [Wt, 1, 8]: Mosaic block
@@ -82,127 +300,24 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         h1 = scal_ref[:, 0, 0:1]                    # [Wt, 1]
         rest1 = scal_ref[:, 0, 1:2]
 
-        # ---- one-hot pair matrices + packed gathers (per-world MXU) -----
-        iota_nK = jax.lax.broadcasted_iota(jnp.int32, (n, K), 0)
+        oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
+            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
 
-        def onehots(rows_ref):
-            ohs = []
-            for w in range(Wt):
-                rows_row = rows_ref[w]                           # [1, K]
-                valid_row = kvalid_ref[w] > 0.5
-                ohs.append(((iota_nK == rows_row) & valid_row)
-                           .astype(jnp.float32))                 # [n, K]
-            return ohs
+        gSA = gather_i(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
+        gSB = gather_j(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
+        SA = _unpack_static(gSA, kvalid)
+        SB = _unpack_static(gSB, kvalid)
 
-        def gather(ohs, mat):
-            # mat [Wt, C, n] -> [Wt, C, K]
-            return jnp.stack([
-                jax.lax.dot_general(mat[w], ohs[w], (((1,), (0,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for w in range(Wt)], axis=0)
-
-        def segsum(ohs, pack):
-            # pack [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
-            return jnp.stack([
-                jax.lax.dot_general(pack[w], ohs[w], (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for w in range(Wt)], axis=0)
-
-        oh_i = onehots(rows_i_ref)
-        oh_j = onehots(rows_j_ref)
-        gA = gather(oh_i, packed)
-        gB = gather(oh_j, packed)
-
-        def unpack(g):
-            return {
-                "pos": _c3(g, CH_POS),
-                "rot": (jnp.where(kvalid, g[:, CH_ROT], 1.0),
-                        g[:, CH_ROT + 1], g[:, CH_ROT + 2], g[:, CH_ROT + 3]),
-                "v": _c3(g, CH_V), "w": _c3(g, CH_W),
-                "prev_pos": _c3(g, CH_PREV_POS),
-                "im": g[:, CH_IM], "ii": _c3(g, CH_II),
-                "mu_s": g[:, CH_MUS], "mu_d": g[:, CH_MUD],
-                "obj": jnp.round(g[:, CH_OBJ]).astype(jnp.int32),
-                "lo": _c3(g, CH_LO), "hi": _c3(g, CH_HI),
-            }
-
-        SA, SB = unpack(gA), unpack(gB)
-        pair_ok = kvalid & pk.aabb_overlap(SA["lo"], SA["hi"],
-                                           SB["lo"], SB["hi"])
-
-        # ---- narrowphase + positional pass (shared pair-major math) -----
-        FA = pk.body_fields(SA["pos"], SA["rot"], SA["obj"], tables)
-        FB = pk.body_fields(SB["pos"], SB["rot"], SB["obj"], tables)
-        contacts = pk.pair_contacts(FA, FB, pair_ok)
-
-        sideA = {"pos": SA["pos"], "rot": SA["rot"], "im": SA["im"],
-                 "ii": SA["ii"], "mu": SA["mu_s"], "prev_pos": SA["prev_pos"]}
-        sideB = {"pos": SB["pos"], "rot": SB["rot"], "im": SB["im"],
-                 "ii": SB["ii"], "mu": SB["mu_s"], "prev_pos": SB["prev_pos"]}
-        if ablate == "nosolve":
-            acc = jnp.zeros((Wt, 9, n)) + contacts["depth"][:, 0:1, :n] * 0
-        else:
-            packA, packB, lam = pk.positional_pass(sideA, sideB, contacts,
-                                                   relaxation=relaxation)
-            acc = segsum(oh_i, packA) + segsum(oh_j, packB)  # [Wt, 9, n]
-
-        # ---- apply positional + recover velocities (per-body, in VMEM) --
         pos_b = _c3(packed, CH_POS)
-        rot_b = (packed[:, CH_ROT], packed[:, CH_ROT + 1],
-                 packed[:, CH_ROT + 2], packed[:, CH_ROT + 3])
+        rot_b = _c4(packed, CH_ROT)
         prev_pos_b = _c3(packed, CH_PREV_POS)
-        prev_rot_b = (packed[:, CH_PREV_ROT], packed[:, CH_PREV_ROT + 1],
-                      packed[:, CH_PREV_ROT + 2], packed[:, CH_PREV_ROT + 3])
+        prev_rot_b = _c4(packed, CH_PREV_ROT)
         dyn_b = packed[:, CH_DYN] > 0.5
 
-        p2 = pk.v3add(pos_b, _c3(acc, 0))
-        dw_acc = _c3(acc, 3)
-        zero_n = jnp.zeros_like(dw_acc[0])
-        dq = pk.qmul((zero_n,) + dw_acc, rot_b)
-        r2 = pk.qnormalize(tuple(q + 0.5 * d for q, d in zip(rot_b, dq)))
-
-        # set_velocities (physics.cpp:673-714), bias excluded
-        bias = _c3(acc, 6)
-        v2 = tuple((p - pp - b) / h1
-                   for p, pp, b in zip(p2, prev_pos_b, bias))
-        dqv = pk.qmul(r2, (prev_rot_b[0], -prev_rot_b[1],
-                           -prev_rot_b[2], -prev_rot_b[3]))
-        w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * c / h1, -2.0 * c / h1)
-                   for c in dqv[1:4])
-
-        # ---- velocity pass at post-solve poses ---------------------------
-        if ablate in ("novel", "nosolve"):
-            v3_, w3_ = v2, w2
-            keep = dyn_b
-            outs = (
-                [jnp.where(keep, a, b) for a, b in zip(p2, pos_b)]
-                + [jnp.where(keep, a, b) for a, b in zip(r2, rot_b)]
-                + [jnp.where(keep, a, jnp.zeros_like(a)) for a in v3_]
-                + [jnp.where(keep, a, jnp.zeros_like(a)) for a in w3_]
-            )
-            out_ref[:] = jnp.stack(outs, axis=1)
-            return
-        packed2 = jnp.stack(list(p2) + list(r2) + list(v2) + list(w2),
-                            axis=1)                          # [Wt, 13, n]
-        gA2 = gather(oh_i, packed2)
-        gB2 = gather(oh_j, packed2)
-
-        def side2(g2, S):
-            return {
-                "pos": _c3(g2, 0),
-                "rot": (jnp.where(kvalid, g2[:, 3], 1.0),
-                        g2[:, 4], g2[:, 5], g2[:, 6]),
-                "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
-                "v": _c3(g2, 7), "w": _c3(g2, 10),
-                "pre_v": S["v"], "pre_w": S["w"],
-            }
-
-        vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
-                                    contacts, lam, h1, rest1,
-                                    relaxation=relaxation)
-        accv = segsum(oh_i, vpA) + segsum(oh_j, vpB)         # [Wt, 6, n]
-        v3_ = pk.v3add(v2, _c3(accv, 0))
-        w3_ = pk.v3add(w2, _c3(accv, 3))
+        p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
+            tables, relaxation, kvalid, h1, rest1, SA, SB,
+            pos_b, rot_b, prev_pos_b, prev_rot_b,
+            oh_i, oh_j, gather_i, gather_j, segsum)
 
         # ---- writeback (static bodies keep their state) ------------------
         keep = dyn_b
@@ -217,16 +332,93 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     return kernel
 
 
+def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
+                       relaxation: float, num_substeps: int):
+    """All-substeps kernel: integrate + contact solve looped in VMEM."""
+    def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
+               out_ref):
+        packed = packed_ref[:]                      # [Wt, FC_IN, n]
+        kvalid = kvalid_ref[:, 0] > 0.5
+        h1 = scal_ref[:, 0, 0:1]                    # [Wt, 1]
+        rest1 = scal_ref[:, 0, 1:2]
+        g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4], scal_ref[:, 0, 4:5])
+
+        oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
+            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
+
+        # static pair data: gathered ONCE, reused across substeps
+        gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
+        gSB = gather_j(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
+        SA = _unpack_static(gSA, kvalid)
+        SB = _unpack_static(gSB, kvalid)
+
+        pos = _c3(packed, F_POS)
+        rot = _c4(packed, F_ROT)
+        v = _c3(packed, F_V)
+        w = _c3(packed, F_W)
+        im_b = packed[:, F_IM]
+        ii_b = _c3(packed, F_II)
+        extf = _c3(packed, F_EXTF)
+        extt = _c3(packed, F_EXTT)
+        dyn_b = packed[:, F_DYN] > 0.5
+
+        prev_pos = pos
+        prev_rot = rot
+        ps_pos, ps_rot, ps_v, ps_w = pos, rot, v, w
+        for _ in range(num_substeps):
+            prev_pos, prev_rot = pos, rot
+            pos_i, rot_i, v_i, w_i = _integrate(
+                pos, rot, v, w, im_b, ii_b, extf, extt, dyn_b, h1, g)
+            ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
+
+            p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
+                tables, relaxation, kvalid, h1, rest1, SA, SB,
+                pos_i, rot_i, prev_pos, prev_rot,
+                oh_i, oh_j, gather_i, gather_j, segsum)
+
+            keep = dyn_b
+            pos = tuple(jnp.where(keep, a, b) for a, b in zip(p2, pos))
+            rot = tuple(jnp.where(keep, a, b) for a, b in zip(r2, rot))
+            v = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in v3_)
+            w = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in w3_)
+
+        outs = (list(pos) + list(rot) + list(v) + list(w)
+                + list(prev_pos) + list(prev_rot)
+                + list(ps_pos) + list(ps_rot) + list(ps_v) + list(ps_w))
+        out_ref[:] = jnp.stack(outs, axis=1)        # [Wt, FC_OUT, n]
+
+    return kernel
+
+
 def _pick_wt(W: int, K: int) -> int:
     env = os.environ.get("GEM_TPU_SUBSTEP_WT")
     if env:
         return int(env)
-    # VMEM budget: the live pair set is ~200 [Wt, K] f32 planes plus two
-    # [Wt, n, K]-ish one-hot lists; keep Wt * K around 1k lanes
+    # Live-set pressure: measured at 8192x64 (K=256) the fused kernel runs
+    # fastest at Wt=4 (89ms) vs Wt=8 (100ms) — bigger blocks spill
     wt = max(1, 1024 // max(K, 1))
     while wt > 1 and W % wt != 0:
         wt -= 1
     return wt
+
+
+_COMPILER_PARAMS = pltpu.CompilerParams(
+    # world blocks are independent: lets megacore chips (v4/v5p) split
+    # the grid across both TensorCores
+    dimension_semantics=("parallel",),
+    # the pair working set legitimately exceeds the default 16MB
+    # scoped-vmem budget at larger world blocks; v5e/v5p have 128MB VMEM
+    vmem_limit_bytes=100 * 1024 * 1024)
+
+
+def _pallas_specs(Wt, C_in, n, K, C_out):
+    def bs(shape):
+        return pl.BlockSpec((Wt,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+    return dict(
+        in_specs=[bs((C_in, n)), bs((1, K)), bs((1, K)), bs((1, K)),
+                  bs((1, 8))],
+        out_specs=bs((C_out, n)))
 
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
@@ -236,30 +428,65 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K)
-    grid = (W // Wt,)
-
-    def bs(shape):
-        return pl.BlockSpec((Wt,) + shape, lambda i: (i,) + (0,) * len(shape),
-                            memory_space=pltpu.VMEM)
-
     return pl.pallas_call(
         _make_kernel(tables, Wt, n, K, relaxation),
-        grid=grid,
-        in_specs=[bs((C_IN, n)), bs((1, K)), bs((1, K)), bs((1, K)),
-                  bs((1, 8))],
-        out_specs=bs((C_OUT, n)),
+        grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, C_OUT, n), jnp.float32),
         interpret=interpret,
         debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
+        compiler_params=_COMPILER_PARAMS,
+        **_pallas_specs(Wt, C_IN, n, K, C_OUT),
     )(packed, rows_i, rows_j, kvalid, scal)
 
 
+@functools.partial(jax.jit, static_argnames=("tables", "relaxation",
+                                              "num_substeps", "interpret"))
+def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
+               num_substeps, interpret):
+    W, _, n = packed.shape
+    K = rows_i.shape[2]
+    Wt = _pick_wt(W, K)
+    return pl.pallas_call(
+        _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps),
+        grid=(W // Wt,),
+        out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+        interpret=interpret,
+        debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
+        compiler_params=_COMPILER_PARAMS,
+        **_pallas_specs(Wt, FC_IN, n, K, FC_OUT),
+    )(packed, rows_i, rows_j, kvalid, scal)
+
+
+def _pad_lanes(x, n0, n):
+    if n == n0:
+        return x
+    return jnp.pad(x, ((0, 0), (0, 0), (0, n - n0)))
+
+
+def _pad_pairs(rows_i, rows_j, kvalid, K0):
+    K = max(128, -(-K0 // 128) * 128)
+    if K != K0:
+        padk = ((0, 0), (0, K - K0))
+        rows_i = jnp.pad(rows_i, padk)
+        rows_j = jnp.pad(rows_j, padk)
+        kvalid = jnp.pad(kvalid, padk)
+    return rows_i, rows_j, kvalid
+
+
+def _T(x):
+    return jnp.swapaxes(x, 1, 2)
+
+
+def _T1(x):
+    return x[:, None, :]
+
+
 class SubstepKernel:
-    """Builder/driver for the substep megakernel.
+    """Single-substep kernel driver (joint-interleaved path).
 
     Construct once at taskgraph-build time with the object manager; call
-    per substep with body columns.  Handles lane padding (n -> x8 lanes
-    via the packed layout; K -> x128).
+    per substep with body columns.  Handles lane padding (n -> one full
+    128-lane tile; K -> x128).
     """
 
     def __init__(self, object_manager, relaxation: float = 1.0,
@@ -269,34 +496,23 @@ class SubstepKernel:
         self.interpret = bool(interpret)
 
     def __call__(self, *, pos, rot, v, w, prev_pos, prev_rot, im, ii,
-                 mu_s, mu_d, obj, aabb_lo, aabb_hi, dyn, rows_i, rows_j,
+                 mu_s, mu_d, obj, dyn, rows_i, rows_j,
                  kvalid, h, restitution_threshold):
         """All body args [W, n(,3/4)]; pair args [W, K]; h/rest [W].
         Returns (pos, rot, v, w) updated [W, n, ...]."""
         W, n0 = im.shape
-        K0 = rows_i.shape[1]
-
-        def T(x):
-            return jnp.swapaxes(x, 1, 2)
-
-        def T1(x):
-            return x[:, None, :]
-
         packed = jnp.concatenate([
-            T(pos), T(rot), T(v), T(w), T(prev_pos), T(prev_rot),
-            T1(im), T(ii), T1(mu_s), T1(mu_d),
-            T1(obj.astype(jnp.float32)), T(aabb_lo), T(aabb_hi),
-            T1(dyn.astype(jnp.float32)),
+            _T(pos), _T(rot), _T(prev_pos),
+            _T1(im), _T(ii), _T1(mu_s), _T1(mu_d),
+            _T1(obj.astype(jnp.float32)),
+            _T(v), _T(w), _T(prev_rot), _T1(dyn.astype(jnp.float32)),
         ], axis=1)                                    # [W, C_IN, n0]
-        n = max(8, -(-n0 // 8) * 8)
-        if n != n0:
-            packed = jnp.pad(packed, ((0, 0), (0, 0), (0, n - n0)))
-        K = max(128, -(-K0 // 128) * 128)
-        if K != K0:
-            padk = ((0, 0), (0, K - K0))
-            rows_i = jnp.pad(rows_i, padk)
-            rows_j = jnp.pad(rows_j, padk)
-            kvalid = jnp.pad(kvalid, padk)
+        # pad bodies to a full 128-lane tile: enables the native dynamic
+        # lane gather in the kernel (and K is always a multiple of 128)
+        n = 128 if n0 <= 128 else -(-n0 // 8) * 8
+        packed = _pad_lanes(packed, n0, n)
+        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                            rows_i.shape[1])
         scal = jnp.stack([h, restitution_threshold] + [jnp.zeros_like(h)] * 6,
                          axis=1)                      # [W, 8]
 
@@ -305,5 +521,60 @@ class SubstepKernel:
                    tables=self.tables, relaxation=self.relaxation,
                    interpret=self.interpret)          # [W, C_OUT, n]
         out = out[:, :, :n0]
-        return (T(out[:, 0:3]), T(out[:, 3:7]), T(out[:, 7:10]),
-                T(out[:, 10:13]))
+        return (_T(out[:, 0:3]), _T(out[:, 3:7]), _T(out[:, 7:10]),
+                _T(out[:, 10:13]))
+
+
+class FusedSubstepKernel:
+    """All-substeps kernel driver: one pallas_call per STEP.
+
+    Returns the final state plus the last substep's stash values
+    (prev pos/rot, pre-solve pose and velocities) for the PreSolve* /
+    SubstepPrevState component columns.
+    """
+
+    def __init__(self, object_manager, num_substeps: int,
+                 relaxation: float = 1.0, interpret: bool = False):
+        self.tables = pk.ObjTables(object_manager)
+        self.num_substeps = int(num_substeps)
+        self.relaxation = float(relaxation)
+        self.interpret = bool(interpret)
+
+    def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
+                 ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
+                 restitution_threshold):
+        """Body args [W, n(,3/4)]; pair args [W, K]; h/rest [W],
+        gravity [W, 3].  Returns a dict of updated columns."""
+        W, n0 = im.shape
+        packed = jnp.concatenate([
+            _T(pos), _T(rot), _T(v), _T(w),
+            _T1(im), _T(ii), _T1(mu_s), _T1(mu_d),
+            _T1(obj.astype(jnp.float32)),
+            _T(ext_f), _T(ext_t), _T1(dyn.astype(jnp.float32)),
+        ], axis=1)                                    # [W, FC_IN, n0]
+        n = 128 if n0 <= 128 else -(-n0 // 8) * 8
+        packed = _pad_lanes(packed, n0, n)
+        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                            rows_i.shape[1])
+        scal = jnp.stack(
+            [h, restitution_threshold, gravity[:, 0], gravity[:, 1],
+             gravity[:, 2]] + [jnp.zeros_like(h)] * 3, axis=1)
+
+        out = _run_fused(
+            packed, rows_i[:, None, :], rows_j[:, None, :],
+            kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
+            tables=self.tables, relaxation=self.relaxation,
+            num_substeps=self.num_substeps, interpret=self.interpret)
+        out = out[:, :, :n0]
+        return {
+            "pos": _T(out[:, FO_POS:FO_POS + 3]),
+            "rot": _T(out[:, FO_ROT:FO_ROT + 4]),
+            "v": _T(out[:, FO_V:FO_V + 3]),
+            "w": _T(out[:, FO_W:FO_W + 3]),
+            "prev_pos": _T(out[:, FO_PREV_POS:FO_PREV_POS + 3]),
+            "prev_rot": _T(out[:, FO_PREV_ROT:FO_PREV_ROT + 4]),
+            "ps_pos": _T(out[:, FO_PS_POS:FO_PS_POS + 3]),
+            "ps_rot": _T(out[:, FO_PS_ROT:FO_PS_ROT + 4]),
+            "ps_v": _T(out[:, FO_PS_V:FO_PS_V + 3]),
+            "ps_w": _T(out[:, FO_PS_W:FO_PS_W + 3]),
+        }

@@ -296,11 +296,22 @@ class RigidBodyPhysicsSystem:
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
         if contact_mode == "pairs":
             obj_tables = pk.ObjTables(object_manager)
+        jinfo = builder.mgr.registry.archetypes.get(JointArchetype.name)
+        has_joints = jinfo is not None and jinfo.capacity > 0
         if contact_mode == "pallas":
-            from gpu_ecs_madrona_tpu.ops.substep_kernel import SubstepKernel
-            substep_kernel = SubstepKernel(
-                object_manager, relaxation=relaxation,
-                interpret=jax.default_backend() == "cpu")
+            from gpu_ecs_madrona_tpu.ops.substep_kernel import (
+                FusedSubstepKernel, SubstepKernel)
+            interp = jax.default_backend() == "cpu"
+            if has_joints:
+                # joints interleave between the positional and velocity
+                # phases, so each substep is its own kernel call with the
+                # joint solve in XLA between calls
+                substep_kernel = SubstepKernel(
+                    object_manager, relaxation=relaxation, interpret=interp)
+            else:
+                fused_kernel = FusedSubstepKernel(
+                    object_manager, num_substeps=num_substeps,
+                    relaxation=relaxation, interpret=interp)
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -417,8 +428,7 @@ class RigidBodyPhysicsSystem:
                         prev_pos=prev_pos, prev_rot=prev_rot,
                         im=jnp.where(dyn, inv_mass, 0.0),
                         ii=jnp.where(dyn[..., None], inv_inertia, 0.0),
-                        mu_s=mu_s, mu_d=mu_d, obj=obj,
-                        aabb_lo=aabb["lo"], aabb_hi=aabb["hi"], dyn=dyn,
+                        mu_s=mu_s, mu_d=mu_d, obj=obj, dyn=dyn,
                         rows_i=rowsc["i"], rows_j=rowsc["j"], kvalid=kmask,
                         h=h_s,
                         restitution_threshold=phys["restitution_threshold"])
@@ -567,7 +577,6 @@ class RigidBodyPhysicsSystem:
                         "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
                         "v": (g2[:, 7], g2[:, 8], g2[:, 9]),
                         "w": (g2[:, 10], g2[:, 11], g2[:, 12]),
-                        "pre_v": S["v"], "pre_w": S["w"],
                     }
 
                 vpA, vpB = pk.velocity_pass(
@@ -613,6 +622,52 @@ class RigidBodyPhysicsSystem:
 
             substep.__name__ = f"physics_substep_{idx}"
             return substep
+
+        if contact_mode == "pallas" and not has_joints:
+            # one pallas_call for the whole substep chain: the XLA
+            # pack/transpose + custom-call boundary costs ~4x the pallas
+            # pipeline itself, so it is crossed once per STEP
+            def substeps_fused(ctx: Context):
+                phys = ctx.singleton(PhysicsState)
+                pos = ctx.column(arch, base.Position)
+                rot = ctx.column(arch, base.Rotation)
+                obj = ctx.column(arch, base.ObjectID)
+                mask = ctx.row_mask(arch)
+                vel = ctx.column(arch, Velocity)
+                resp = ctx.column(arch, ResponseType)
+                dyn = (resp == RESPONSE_DYNAMIC) & mask
+                rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
+                kmask = ctx.row_mask(CandidateRowsTemporary)
+                out = fused_kernel(
+                    pos=pos, rot=rot, v=vel["linear"], w=vel["angular"],
+                    im=jnp.where(dyn, objmgr["inv_mass"][obj], 0.0),
+                    ii=jnp.where(dyn[..., None],
+                                 objmgr["inv_inertia"][obj], 0.0),
+                    mu_s=objmgr["mu_s"][obj], mu_d=objmgr["mu_d"][obj],
+                    obj=obj,
+                    ext_f=ctx.column(arch, ExternalForce),
+                    ext_t=ctx.column(arch, ExternalTorque),
+                    dyn=dyn,
+                    rows_i=rowsc["i"], rows_j=rowsc["j"], kvalid=kmask,
+                    h=phys["h"], gravity=phys["gravity"],
+                    restitution_threshold=phys["restitution_threshold"])
+                ctx.set_column(arch, base.Position, out["pos"])
+                ctx.set_column(arch, base.Rotation, out["rot"])
+                keep = dyn[..., None]
+                ctx.set_column(arch, Velocity, {
+                    "linear": jnp.where(keep, out["v"], vel["linear"]),
+                    "angular": jnp.where(keep, out["w"], vel["angular"]),
+                })
+                ctx.set_column(arch, SubstepPrevState,
+                               {"prev_pos": out["prev_pos"],
+                                "prev_rot": out["prev_rot"]})
+                ctx.set_column(arch, PreSolvePositional,
+                               {"x": out["ps_pos"], "q": out["ps_rot"]})
+                ctx.set_column(arch, PreSolveVelocity,
+                               {"v": out["ps_v"], "omega": out["ps_w"]})
+
+            substeps_fused.__name__ = "physics_substeps_fused"
+            return builder.add_node(substeps_fused, list(deps))
 
         last = list(deps)
         for i in range(num_substeps):

@@ -53,6 +53,9 @@ class SourceObject:
     inv_inertia: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     mu_s: float = 0.5
     mu_d: float = 0.5
+    # set for axis-aligned box hulls (make_box): enables the analytic
+    # OBB SAT fast path (Gottschalk tests, no vertex-support loops)
+    box_half: Optional[Tuple[float, float, float]] = None
 
 
 def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
@@ -81,7 +84,8 @@ def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> 
     else:
         inv_inertia = (0.0, 0.0, 0.0)
     return SourceObject(PRIM_HULL, verts=verts, faces=faces, inv_mass=inv_mass,
-                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d)
+                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d,
+                        box_half=(float(hx), float(hy), float(hz)))
 
 
 def make_sphere(radius=1.0, inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
@@ -148,11 +152,18 @@ class PhysicsLoader:
             "face_nverts": np.zeros((O, Fm), np.int32),
             "edge_dirs": np.zeros((O, Em, 3), np.float32),
             "num_edges": np.zeros(O, np.int32),
+            # face normals deduped up to sign: SAT penetration along n and
+            # -n is the same min(maxA-minB, maxB-minA), so a box tests 3
+            # face axes, not 6 (the solver re-orients the winning axis)
+            "sat_axes": np.zeros((O, Fm, 3), np.float32),
+            "num_sat_axes": np.zeros(O, np.int32),
             "edge_v0": np.zeros((O, EFm), np.int32),
             "edge_v1": np.zeros((O, EFm), np.int32),
             "num_full_edges": np.zeros(O, np.int32),
             "local_aabb_lo": np.zeros((O, 3), np.float32),
             "local_aabb_hi": np.zeros((O, 3), np.float32),
+            "box_half": np.zeros((O, 3), np.float32),
+            "hull_is_box": np.zeros(O, np.int32),
             "inv_mass": np.zeros(O, np.float32),
             "inv_inertia": np.zeros((O, 3), np.float32),
             "mu_s": np.zeros(O, np.float32),
@@ -160,6 +171,9 @@ class PhysicsLoader:
         }
         for i, obj in enumerate(self.objects):
             mgr["prim_type"][i] = obj.prim_type
+            if obj.box_half is not None:
+                mgr["box_half"][i] = obj.box_half
+                mgr["hull_is_box"][i] = 1
             mgr["inv_mass"][i] = obj.inv_mass
             mgr["inv_inertia"][i] = obj.inv_inertia
             mgr["mu_s"][i] = obj.mu_s
@@ -226,6 +240,14 @@ class PhysicsLoader:
                         ):
                             edge_set.append(d)
                 mgr["num_faces"][i] = nf
+                sat = []
+                for nrm in mgr["face_normals"][i, :nf]:
+                    if not any(abs(abs(np.dot(nrm, s)) - 1.0) < 1e-6
+                               for s in sat):
+                        sat.append(nrm.copy())
+                for k, s in enumerate(sat):
+                    mgr["sat_axes"][i, k] = s
+                mgr["num_sat_axes"][i] = len(sat)
                 if len(edge_set) > Em:
                     raise ValueError(f"hull {i} has {len(edge_set)} unique edge dirs > max_edges={Em}")
                 for k, d in enumerate(edge_set):
@@ -247,4 +269,28 @@ class PhysicsLoader:
         mgr["edge_p0"] = v_all[oidx, mgr["edge_v0"]]
         mgr["edge_p1"] = v_all[oidx, mgr["edge_v1"]]
         mgr["face_verts"] = v_all[np.arange(O)[:, None, None], mgr["face_vert_idx"]]
+
+        # Trim padded row axes to the max actually used: the pair-major
+        # narrowphase computes over EVERY padded row (masked, not skipped),
+        # so table width is directly proportional to VPU work per pair.
+        def trim(key, count_key, axis=1, floor=1):
+            hi = max(int(mgr[count_key].max()), floor)
+            hi = min(hi, mgr[key].shape[axis])
+            mgr[key] = np.ascontiguousarray(
+                np.take(mgr[key], range(hi), axis=axis))
+
+        # verts floor 4: the dense narrowphase picks deepest-4 manifolds
+        # with a fixed top_k(…, 4) over the vert axis
+        trim("verts", "num_verts", floor=4)
+        trim("face_normals", "num_faces")
+        trim("face_d", "num_faces")
+        trim("face_vert_idx", "num_faces")
+        trim("face_nverts", "num_faces")
+        trim("face_verts", "num_faces")
+        trim("sat_axes", "num_sat_axes")
+        trim("edge_dirs", "num_edges")
+        trim("edge_p0", "num_full_edges")
+        trim("edge_p1", "num_full_edges")
+        trim("edge_v0", "num_full_edges")
+        trim("edge_v1", "num_full_edges")
         return mgr

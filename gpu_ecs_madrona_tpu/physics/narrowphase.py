@@ -102,6 +102,12 @@ def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
         "hi_l": objmgr["local_aabb_hi"][obj_id],
         "obj_id": obj_id,
     }
+    if "hull_is_box" in objmgr:
+        fields["is_box"] = objmgr["hull_is_box"][obj_id] > 0
+        fields["box_half"] = objmgr["box_half"][obj_id]
+    else:
+        fields["is_box"] = jnp.zeros_like(obj_id, bool)
+        fields["box_half"] = jnp.zeros(obj_id.shape + (3,), jnp.float32)
     return fields
 
 
@@ -224,11 +230,41 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         pts, dep = one_point(contact, pen)
         return pen > 0, nrm_sh, pts, dep
 
-    ok_sh, n_sh, p_sh, d_sh = sphere_hull(
-        posA, radA, B["fnorm_w"], B["face_dw"], B["fmask"], flip=False)
+    def sphere_box(s_pos, s_rad, b_pos, b_rot, b_half, flip):
+        """Analytic sphere-box: clamp center into the box frame — exact on
+        faces, edges and corners (matches pairs._obb path's sphere_box)."""
+        d_l = m.quat_inv_rotate(b_rot, s_pos - b_pos)       # [*L,3]
+        q = jnp.clip(d_l, -b_half, b_half)
+        inside = jnp.all(jnp.abs(d_l) < b_half, axis=-1)
+        closest_w = m.quat_rotate(b_rot, q) + b_pos
+        delta = s_pos - closest_w
+        dist = jnp.sqrt(jnp.sum(delta * delta, axis=-1) + 1e-18)
+        n_out = delta / dist[..., None]
+        fdist = b_half - jnp.abs(d_l)                       # [*L,3]
+        oh = jax.nn.one_hot(jnp.argmin(fdist, axis=-1), 3)
+        n_in_l = oh * jnp.where(d_l >= 0, 1.0, -1.0)
+        n_in = m.quat_rotate(b_rot, n_in_l)
+        pen_in = s_rad + jnp.min(fdist, axis=-1)
+        nrm_bs = jnp.where(inside[..., None], n_in, n_out)  # box -> sphere
+        pen = jnp.where(inside, pen_in, s_rad - dist)
+        nrm = nrm_bs if flip else -nrm_bs
+        pts, dep = one_point(jnp.broadcast_to(closest_w, L + (3,)), pen)
+        return pen > 0, nrm, pts, dep
+
+    def sphere_hull_or_box(s_pos, s_rad, H, flip):
+        ok_f, n_f, p_f, d_f = sphere_hull(
+            s_pos, s_rad, H["fnorm_w"], H["face_dw"], H["fmask"], flip)
+        ok_b, n_b, p_b, d_b = sphere_box(
+            s_pos, s_rad, H["pos"], H["rot"], H["box_half"], flip)
+        isb = jnp.broadcast_to(H["is_box"], L)
+        return (jnp.where(isb, ok_b, ok_f),
+                jnp.where(isb[..., None], bc(n_b, 1), bc(n_f, 1)),
+                jnp.where(isb[..., None, None], p_b, p_f),
+                jnp.where(isb[..., None], d_b, d_f))
+
+    ok_sh, n_sh, p_sh, d_sh = sphere_hull_or_box(posA, radA, B, flip=False)
     merge(is_sphereA & is_hullB, ok_sh, n_sh, p_sh, d_sh, ones_np)
-    ok_hs, n_hs, p_hs, d_hs = sphere_hull(
-        posB, radB, A["fnorm_w"], A["face_dw"], A["fmask"], flip=True)
+    ok_hs, n_hs, p_hs, d_hs = sphere_hull_or_box(posB, radB, A, flip=True)
     merge(is_hullA & is_sphereB, ok_hs, n_hs, p_hs, d_hs, ones_np)
 
     # ---------------- hull - hull: SAT (narrowphase.cpp doSAT) ------------

@@ -37,6 +37,7 @@ Reference mapping: narrowphase src/physics/narrowphase.cpp (doSAT
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict, Sequence, Tuple
 
 import jax
@@ -47,6 +48,12 @@ from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHER
 
 NEG_BIG = -1e9
 BIG = 1e9
+# SAT winner tie margin (see extreme_onehot docstring): absolute, in
+# world units — well above cross-backend rounding noise (~1e-7 for
+# unit-scale boxes), well below any physically meaningful pen difference
+SAT_TIE_EPS = 1e-5
+# manifold cap (reference clips hull contacts to 4 points)
+MANIFOLD_MAX_POINTS = 4
 
 # ---------------------------------------------------------------------------
 # Component-tuple vec3/quat math (each component an [..., K] array)
@@ -142,6 +149,19 @@ def bexp(m, axis, shape):
     return jnp.broadcast_to(mf, shape) > 0.5
 
 
+def quat_axes(q):
+    """Rotation-matrix columns of quat (w,x,y,z): three world-frame unit
+    axes as vec3 tuples (the box's local x/y/z in world space)."""
+    w, x, y, z = q
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    u0 = (1.0 - 2.0 * (yy + zz), 2.0 * (xy + wz), 2.0 * (xz - wy))
+    u1 = (2.0 * (xy - wz), 1.0 - 2.0 * (xx + zz), 2.0 * (yz + wx))
+    u2 = (2.0 * (xz + wy), 2.0 * (yz - wx), 1.0 - 2.0 * (xx + yy))
+    return u0, u1, u2
+
+
 def qrot_inv(q, v):
     qw, qv = q[0], (-q[1], -q[2], -q[3])
     t = v3scale(cross3(qv, v), 2.0)
@@ -168,14 +188,25 @@ def onehot_rows(rows, valid, n):
     return (oh & valid[:, None, :]).astype(jnp.float32)
 
 
-def extreme_onehot(score, mode):
+def extreme_onehot(score, mode, tie_eps=0.0):
     """score [W,R,K] -> (extreme [W,K], one-hot [W,R,K] bool at the FIRST
     (lowest index) occurrence of the extreme along axis 1).  The kernel-safe
     replacement for argmax/argmin + onehot select (TPU Mosaic has no
     argmin/argmax reduce; compare + min-index matches their first-occurrence
-    tie-break exactly)."""
+    tie-break exactly).
+
+    tie_eps > 0 treats scores within eps of the extreme as tied (first
+    index wins).  SAT axis selection needs this: face-on-face box stacks
+    produce EXACTLY tied penetrations in real arithmetic, and different
+    lowerings (XLA CPU/TPU, Mosaic, interpret) round the contenders
+    differently — without the epsilon the winning axis, and therefore the
+    contact normal, flips per backend."""
     ext = (jnp.max if mode == "max" else jnp.min)(score, axis=1)
-    at = score == ext[:, None, :]
+    if tie_eps:
+        at = ((score >= ext[:, None, :] - tie_eps) if mode == "max"
+              else (score <= ext[:, None, :] + tie_eps))
+    else:
+        at = score == ext[:, None, :]
     R = score.shape[1]
     idx = jnp.broadcast_to(iota1(R, 3, 1), score.shape)
     first = jnp.min(jnp.where(at, idx, R), axis=1)
@@ -223,6 +254,13 @@ class ObjTables:
         self.Fm = om["face_normals"].shape[1]
         self.Em = om["edge_dirs"].shape[1]
         self.om = om
+        # every hull is an axis-aligned box -> hull-hull SAT can take the
+        # analytic OBB path (Gottschalk 15-axis test, no vert loops)
+        if "hull_is_box" in om and not os.environ.get("GEM_NO_OBB"):
+            hulls = om["prim_type"] == PRIM_HULL
+            self.all_box = bool((om["hull_is_box"][hulls] == 1).all())
+        else:
+            self.all_box = False
 
     def masks(self, obj):
         """(is_sphere, is_hull, is_plane) [W,K] bool."""
@@ -314,6 +352,13 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
     fnorm_l, fmask = tables.rows_vec(obj, "face_normals", "num_faces")
     face_d = tables.rows_scalar(obj, "face_d")
     edir_l, emask = tables.rows_vec(obj, "edge_dirs", "num_edges")
+    # sign-deduped face axes for SAT (half the axis tests for boxes);
+    # fall back to full face normals for object managers built before the
+    # sat_axes table existed
+    if "sat_axes" in tables.om:
+        sat_l, smask = tables.rows_vec(obj, "sat_axes", "num_sat_axes")
+    else:
+        sat_l, smask = fnorm_l, fmask
 
     # full-edge endpoints (supporting-edge lookup for edge-edge contacts);
     # XLA DCEs these when the consumer graph never reads them
@@ -326,15 +371,23 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
     fnorm_w = qrot(rq, fnorm_l)
     face_dw = face_d + dot3(fnorm_w, pe)          # [W,Fm,K]
     edir_w = qrot(rq, edir_l)
+    sat_w = qrot(rq, sat_l) if sat_l is not fnorm_l else fnorm_w
     zero = jnp.zeros_like(pos[0])
     plane_n = qrot(rot, (zero, zero, jnp.ones_like(zero)))
     plane_d = dot3(plane_n, pos)
+    out_box = {}
+    if tables.all_box:
+        out_box = {"_all_box": True,
+                   "box_u": quat_axes(rot),
+                   "box_h": tables.vec(obj, "box_half")}
     return {
+        **out_box,
         "pos": pos, "rot": rot,
         "is_sphere": is_s, "is_hull": is_h, "is_plane": is_p,
         "radius": tables.scalar(obj, "sphere_radius"),
         "verts_w": verts_w, "vmask": vmask,
         "fnorm_w": fnorm_w, "face_dw": face_dw, "fmask": fmask,
+        "sat_w": sat_w, "smask": smask,
         "edir_w": edir_w, "emask": emask,
         "edge_p0_w": v3add(qrot(rq, ep0_l), pe), "efmask": efmask,
         "edge_p1_w": v3add(qrot(rq, ep1_l), pe),
@@ -347,6 +400,80 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
 # ---------------------------------------------------------------------------
 # Narrowphase
 # ---------------------------------------------------------------------------
+
+
+def _obb_sat(A, B):
+    """Gottschalk's 15-axis OBB separating-axis tests for box-box pairs.
+
+    The general SAT projects every hull vert onto every axis
+    ([W, ax, V, K] tensors — the VPU instruction count is what bounds the
+    substep kernel); for boxes the support radius along an axis is
+    analytic (sum of |axis . u_i| h_i), so all 15 penetration depths are
+    [W, K] expressions of the frame-dot matrix M, its |.|, and the center
+    offset in each frame.  Same contract as the general path: returns
+    (minA, minB, minE [W,K] pens, fA, fB, fE winning-axis vec3 tuples,
+    sign-agnostic — caller orients).  Reference runs the generic support
+    loops even for boxes (narrowphase.cpp SAT helpers); this is the
+    box specialization.
+    """
+    uA, uB = A["box_u"], B["box_u"]
+    hA, hB = A["box_h"], B["box_h"]
+    d = v3sub(B["pos"], A["pos"])
+    t = [dot3(u, d) for u in uA]                       # d in A frame
+    s = [dot3(u, d) for u in uB]                       # d in B frame
+    M = [[dot3(uA[i], uB[j]) for j in range(3)] for i in range(3)]
+    # Gottschalk eps: inflate |M| so near-parallel axes don't produce
+    # false separations from cancellation
+    aM = [[jnp.abs(M[i][j]) + 1e-6 for j in range(3)] for i in range(3)]
+
+    penA = [hA[i] + aM[i][0] * hB[0] + aM[i][1] * hB[1] + aM[i][2] * hB[2]
+            - jnp.abs(t[i]) for i in range(3)]
+    penB = [hB[j] + aM[0][j] * hA[0] + aM[1][j] * hA[1] + aM[2][j] * hA[2]
+            - jnp.abs(s[j]) for j in range(3)]
+
+    penE = []
+    for i in range(3):
+        i1, i2 = (i + 1) % 3, (i + 2) % 3
+        for j in range(3):
+            j1, j2 = (j + 1) % 3, (j + 2) % 3
+            rA = hA[i1] * aM[i2][j] + hA[i2] * aM[i1][j]
+            rB = hB[j1] * aM[i][j2] + hB[j2] * aM[i][j1]
+            tL = jnp.abs(t[i2] * M[i1][j] - t[i1] * M[i2][j])
+            len2 = 1.0 - M[i][j] * M[i][j]
+            pen = (rA + rB - tL) * jax.lax.rsqrt(jnp.maximum(len2, 1e-12))
+            penE.append(jnp.where(len2 > 1e-8, pen, BIG))
+
+    stkA = jnp.stack(penA, axis=1)                     # [W,3,K]
+    stkB = jnp.stack(penB, axis=1)
+    stkE = jnp.stack(penE, axis=1)                     # [W,9,K], i-major
+    minA, ohA = extreme_onehot(stkA, "min", tie_eps=SAT_TIE_EPS)
+    minB, ohB = extreme_onehot(stkB, "min", tie_eps=SAT_TIE_EPS)
+    minE, ohE = extreme_onehot(stkE, "min", tie_eps=SAT_TIE_EPS)
+
+    def pick_axis(oh, axes):
+        return tuple(
+            jnp.sum(jnp.where(oh, jnp.stack([ax[c] for ax in axes], axis=1),
+                              0.0), axis=1)
+            for c in range(3))
+
+    fA = pick_axis(ohA, list(uA))
+    fB = pick_axis(ohB, list(uB))
+    # winning cross axis: collapse the (i, j) one-hot to per-side axis
+    # selections, then one cross product
+    ohEf = ohE.astype(jnp.float32)
+    selA_w = [jnp.sum(ohEf[:, 3 * i:3 * i + 3], axis=1) for i in range(3)]
+    selB_w = [ohEf[:, 0] + ohEf[:, 3] + ohEf[:, 6],
+              ohEf[:, 1] + ohEf[:, 4] + ohEf[:, 7],
+              ohEf[:, 2] + ohEf[:, 5] + ohEf[:, 8]]
+    uA_sel = tuple(sum(selA_w[i] * uA[i][c] for i in range(3))
+                   for c in range(3))
+    uB_sel = tuple(sum(selB_w[j] * uB[j][c] for j in range(3))
+                   for c in range(3))
+    fE = cross3(uA_sel, uB_sel)
+    fE = v3scale(fE, 1.0 / jnp.maximum(norm3(fE), 1e-12))
+    extras = {"selA_w": selA_w, "selB_w": selB_w,
+              "uA_sel": uA_sel, "uB_sel": uB_sel}
+    return minA, minB, minE, fA, fB, fE, extras
 
 
 def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
@@ -419,6 +546,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     posA, posB = A["pos"], B["pos"]
     radA, radB = A["radius"], B["radius"]
     ones_np = jnp.ones((W, K), jnp.int32)
+    _finish_sat = False
 
     # ---- sphere-sphere ----------------------------------------------------
     if "sphere" in stage_set:
@@ -462,7 +590,47 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         mergeP(A["is_plane"] & B["is_hull"], o4, n4_, p4, d4, c4)
 
     # ---- sphere-hull (either order) ---------------------------------------
-    if "hull" in stage_set:
+    if "hull" in stage_set and A.get("_all_box"):
+        # analytic sphere-box: clamp the center into the box frame — exact
+        # on faces, edges AND corners (the face-plane formulation below is
+        # face-exact only), and it keeps the [W,Fm,K] world-space face
+        # tables out of the box path entirely
+        def sphere_box(s_pos, s_rad, b_pos, b_u, b_h, flip):
+            d = v3sub(s_pos, b_pos)
+            cl = tuple(dot3(b_u[k], d) for k in range(3))        # local ctr
+            q = tuple(jnp.clip(cl[k], -b_h[k], b_h[k]) for k in range(3))
+            inside = ((jnp.abs(cl[0]) < b_h[0])
+                      & (jnp.abs(cl[1]) < b_h[1])
+                      & (jnp.abs(cl[2]) < b_h[2]))
+            # outside: push along center-to-closest-point
+            q_w = tuple(sum(q[k] * b_u[k][c] for k in range(3))
+                        for c in range(3))
+            delta = v3sub(d, q_w)
+            dist = norm3(delta, 1e-18)
+            n_out = v3scale(delta, 1.0 / dist)
+            # center inside: push out through the nearest face
+            fdist = jnp.stack([b_h[k] - jnp.abs(cl[k]) for k in range(3)],
+                              axis=1)                            # [W,3,K]
+            _, oh_ax = extreme_onehot(fdist, "min")
+            sgn = [jnp.where(cl[k] >= 0, 1.0, -1.0) for k in range(3)]
+            n_in = tuple(sum(jnp.where(oh_ax[:, k], sgn[k] * b_u[k][c], 0.0)
+                             for k in range(3)) for c in range(3))
+            pen_in = s_rad + jnp.min(fdist, axis=1)
+            nrm_hs = v3where(inside, n_in, n_out)     # box -> sphere
+            pen = jnp.where(inside, pen_in, s_rad - dist)
+            contact = tuple(b_pos[c]
+                            + sum(q[k] * b_u[k][c] for k in range(3))
+                            for c in range(3))
+            nrm = nrm_hs if flip else v3scale(nrm_hs, -1.0)
+            return pen > 0, nrm, contact, pen
+
+        o5, n5, c5, d5 = sphere_box(posA, radA, posB, B["box_u"],
+                                    B["box_h"], False)
+        merge1(A["is_sphere"] & B["is_hull"], o5, n5, c5, d5, ones_np)
+        o6, n6, c6, d6 = sphere_box(posB, radB, posA, A["box_u"],
+                                    A["box_h"], True)
+        merge1(A["is_hull"] & B["is_sphere"], o6, n6, c6, d6, ones_np)
+    elif "hull" in stage_set:
         def sphere_hull(s_pos, s_rad, h_fn_w, h_fd_w, h_fmask, flip):
             cd = dot3(h_fn_w, vexpand(s_pos)) - h_fd_w           # [W,Fm,K]
             cd = jnp.where(h_fmask > 0.5, cd, NEG_BIG)
@@ -481,7 +649,15 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         merge1(A["is_hull"] & B["is_sphere"], o6, n6, c6, d6, ones_np)
 
     # ---- hull-hull SAT -----------------------------------------------------
-    if "sat" in stage_set:
+    if "sat" in stage_set and A.get("_all_box"):
+        # analytic OBB fast path: every hull in the object set is a box,
+        # so the support loops collapse to Gottschalk's 15 axis tests on
+        # the frame-dot matrix — everything [W,K], no [W,ax,V,K] tensors
+        both_hull = A["is_hull"] & B["is_hull"] & pair_live
+        minA_, minB_, minE_, fA, fB, fE, _obb_extras = _obb_sat(A, B)
+        ab = v3sub(posB, posA)
+        _finish_sat = True
+    elif "sat" in stage_set:
         both_hull = A["is_hull"] & B["is_hull"] & pair_live
 
         def axis_pen(axes_w, valid):
@@ -520,26 +696,31 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         cvalid = (clen > 1e-6) & (jnp.stack(cv_parts, axis=1) > 0.5)
         cr = v3scale(cr, 1.0 / jnp.maximum(clen, 1e-12))
 
-        penA = axis_pen(A["fnorm_w"], A["fmask"] > 0.5)
-        penB = axis_pen(B["fnorm_w"], B["fmask"] > 0.5)
+        penA = axis_pen(A["sat_w"], A["smask"] > 0.5)
+        penB = axis_pen(B["sat_w"], B["smask"] > 0.5)
         penE = axis_pen(cr, cvalid)
 
-        minA_, ohA_ = extreme_onehot(penA, "min")
-        minB_, ohB_ = extreme_onehot(penB, "min")
-        minE_, ohE_ = extreme_onehot(penE, "min")
+        minA_, ohA_ = extreme_onehot(penA, "min", tie_eps=SAT_TIE_EPS)
+        minB_, ohB_ = extreme_onehot(penB, "min", tie_eps=SAT_TIE_EPS)
+        minE_, ohE_ = extreme_onehot(penE, "min", tie_eps=SAT_TIE_EPS)
 
+        # winning axes come sign-deduped; orient() below restores the
+        # outward direction from the center separation
+        fA = pick_rows(ohA_, A["sat_w"])
+        fB = pick_rows(ohB_, B["sat_w"])
+        fE = pick_rows(ohE_, cr)
+        ab = v3sub(posB, posA)
+        _finish_sat = True
+
+    if "sat" in stage_set and _finish_sat:
         sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
         hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
 
         FACE_BIAS = 1.001
-        use_faceA = minA_ <= jnp.minimum(minB_, minE_) * FACE_BIAS + 1e-6
-        use_faceB = (~use_faceA) & (minB_ <= minE_ * FACE_BIAS + 1e-6)
+        use_faceA = (minA_ <= jnp.minimum(minB_, minE_) * FACE_BIAS
+                     + SAT_TIE_EPS)
+        use_faceB = (~use_faceA) & (minB_ <= minE_ * FACE_BIAS + SAT_TIE_EPS)
         use_edge = ~(use_faceA | use_faceB)
-
-        fA = pick_rows(ohA_, A["fnorm_w"])
-        fB = pick_rows(ohB_, B["fnorm_w"])
-        fE = pick_rows(ohE_, cr)
-        ab = v3sub(posB, posA)
 
         def orient(v):
             sg = jnp.where(dot3(v, ab) >= 0, 1.0, -1.0)
@@ -580,17 +761,41 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         # supporting edges (reference narrowphase edge contact path) —
         # supporting edge = the full edge whose least-projecting endpoint
         # is maximal along the support direction.
-        def support_edge(F, n_dir):
-            p0, p1 = F["edge_p0_w"], F["edge_p1_w"]
-            s0 = dot3(p0, vexpand(n_dir))                 # [W,EF,K]
-            s1 = dot3(p1, vexpand(n_dir))
-            score = jnp.where(F["efmask"] > 0.5,
-                              jnp.minimum(s0, s1), NEG_BIG)
-            _, oh = extreme_onehot(score, "max")
-            return pick_rows(oh, p0), pick_rows(oh, p1)
+        if A.get("_all_box"):
+            # analytic supporting edges: the edge runs along the winning
+            # cross axis' per-side direction, positioned at the corner
+            # offset whose remaining-axis signs face the other box —
+            # keeps the [W, EF, K] edge endpoint tables out of the OBB
+            # path entirely (DCE removes their world-space transforms)
+            def box_edge(pos, u, h, u_sel, sel_w, n_dir):
+                off = (jnp.zeros_like(pos[0]),) * 3
+                for k in range(3):
+                    sk = jnp.where(dot3(n_dir, u[k]) >= 0, 1.0, -1.0)
+                    wk = (1.0 - sel_w[k]) * sk * h[k]
+                    off = v3add(off, v3scale(u[k], wk))
+                h_sel = sel_w[0] * h[0] + sel_w[1] * h[1] + sel_w[2] * h[2]
+                mid = v3add(pos, off)
+                arm = v3scale(u_sel, h_sel)
+                return v3sub(mid, arm), v3add(mid, arm)
 
-        a0, a1 = support_edge(A, sat_normal)
-        b0, b1 = support_edge(B, v3scale(sat_normal, -1.0))
+            a0, a1 = box_edge(posA, A["box_u"], A["box_h"],
+                              _obb_extras["uA_sel"], _obb_extras["selA_w"],
+                              sat_normal)
+            b0, b1 = box_edge(posB, B["box_u"], B["box_h"],
+                              _obb_extras["uB_sel"], _obb_extras["selB_w"],
+                              v3scale(sat_normal, -1.0))
+        else:
+            def support_edge(F, n_dir):
+                p0, p1 = F["edge_p0_w"], F["edge_p1_w"]
+                s0 = dot3(p0, vexpand(n_dir))             # [W,EF,K]
+                s1 = dot3(p1, vexpand(n_dir))
+                score = jnp.where(F["efmask"] > 0.5,
+                                  jnp.minimum(s0, s1), NEG_BIG)
+                _, oh = extreme_onehot(score, "max")
+                return pick_rows(oh, p0), pick_rows(oh, p1)
+
+            a0, a1 = support_edge(A, sat_normal)
+            b0, b1 = support_edge(B, v3scale(sat_normal, -1.0))
         # closest points between segments (standard clamped form)
         d1v = v3sub(a1, a0)
         d2v = v3sub(b1, b0)
@@ -629,6 +834,25 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         jnp.where(sing, jnp.where(slot0, expand(c0), 0.0), mc)
         for c0, mc in zip(pt0, mpts))
     depth = jnp.where(sing, jnp.where(slot0, expand(dep0), -BIG), mdep)
+
+    # ---- deepest-N manifold compaction --------------------------------------
+    # The solver passes cost O(P) per pair; the reference caps manifolds at
+    # 4 contact points (its hull clipper emits <= 4).  Keep the deepest 4
+    # candidates — identical physics whenever <= 4 points penetrate (the
+    # steady-state case), reference-matching behavior when more do.
+    if P > MANIFOLD_MAX_POINTS:
+        rem = depth
+        sel_d, sel_p = [], []
+        for _ in range(MANIFOLD_MAX_POINTS):
+            dmax, oh = extreme_onehot(rem, "max")
+            sel_d.append(dmax)
+            sel_p.append(pick_rows(oh, points))
+            rem = jnp.where(oh, -BIG, rem)
+        depth = jnp.stack(sel_d, axis=1)
+        points = tuple(jnp.stack([p[c] for p in sel_p], axis=1)
+                       for c in range(3))
+        out_np = jnp.minimum(out_np, MANIFOLD_MAX_POINTS)
+
     return {
         "ok": out_ok,
         "normal": out_normal,
@@ -734,9 +958,16 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
 
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
                   relaxation=1.0):
-    """Per-pair velocity corrections (dynamic friction + restitution).
-    sides additionally carry v/w/pre_v/pre_w vec3 tuples [W,K].  h [W].
-    Returns (packA [W,6,K], packB [W,6,K])."""
+    """Per-pair velocity corrections (dynamic friction + normal-velocity
+    kill).  sides additionally carry v/w vec3 tuples [W,K].  h [W].
+    Returns (packA [W,6,K], packB [W,6,K]).
+
+    Restitution: every material the asset pipeline produces has coefficient
+    0 (there is no restitution table), so the reference's e*vn_pre bounce
+    term (physics.cpp:673-714) is identically zero and is omitted — this
+    also keeps pre-substep velocities out of the solver's gather set.
+    restitution_threshold is accepted for API parity and reserved for a
+    future per-material restitution table."""
     pts = contacts["points"]
     pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
         contacts["depth"] > 0)
@@ -765,16 +996,10 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h3, vt_len / wsum_t)
     fimp = v3scale(that, -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0))
 
-    vn_pre = dot3(v3sub(point_vel(sideB["pre_v"], sideB["pre_w"], rB),
-                        point_vel(sideA["pre_v"], sideA["pre_w"], rA)), n4)
-    e = jnp.where(jnp.abs(vn_pre) <= jnp.reshape(restitution_threshold,
-                  restitution_threshold.shape[:1] + (1, 1)),
-                  0.0, 0.0)
     wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
     wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
     wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
-    dv_n = -vn + jnp.maximum(-e * vn_pre, 0.0)
-    nimp = v3scale(n4, jnp.where(pt_ok & (vn < 0), dv_n / wsum_n, 0.0))
+    nimp = v3scale(n4, jnp.where(pt_ok & (vn < 0), -vn / wsum_n, 0.0))
 
     imp = vmap3(lambda a, b: (a + b) * relaxation, fimp, nimp)
     dvA = v3scale(imp, -expand(sideA["im"]))
