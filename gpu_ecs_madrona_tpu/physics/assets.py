@@ -106,14 +106,106 @@ def make_plane(mu_s=0.5, mu_d=0.5) -> SourceObject:
                         mu_s=mu_s, mu_d=mu_d)
 
 
+def merge_coplanar_faces(verts: np.ndarray, faces: List[np.ndarray],
+                         angle_eps: float = 1e-5,
+                         dist_eps: float = 1e-6) -> List[np.ndarray]:
+    """Merge adjacent coplanar faces into single polygon loops.
+
+    Triangulated meshes (the common .obj export) describe each flat hull
+    face as a fan of triangles.  SAT and incident-face clipping need the
+    true polygon: clipping against a half-face patch halves the contact
+    manifold, and duplicate coplanar normals waste SAT axis tests.  The
+    reference's half-edge construction has the same expectation
+    (physics.hpp:76-146 operates on polygon faces).
+
+    Greedy plane bucketing, then boundary-edge chaining per bucket
+    (interior edges appear in two faces of the bucket and cancel); falls
+    back to the unmerged faces for any bucket that does not chain into a
+    single loop (non-convex or inconsistently wound input).  Collinear
+    interior vertices of merged loops are dropped.  Asset-load time only.
+    """
+    verts = np.asarray(verts, np.float64)
+    planes = []                     # (normal, d) per input face
+    for loop in faces:
+        loop = np.asarray(loop)
+        p0, p1, p2 = verts[loop[0]], verts[loop[1]], verts[loop[2]]
+        n = np.cross(p1 - p0, p2 - p0)
+        ln = np.linalg.norm(n)
+        n = n / ln if ln > 1e-12 else np.zeros(3)
+        planes.append((n, float(np.dot(n, p0))))
+
+    groups: List[List[int]] = []
+    for i, (n, d) in enumerate(planes):
+        for g in groups:
+            gn, gd = planes[g[0]]
+            if np.dot(n, gn) > 1.0 - angle_eps and abs(d - gd) < dist_eps:
+                g.append(i)
+                break
+        else:
+            groups.append([i])
+
+    def chain(group: List[int]):
+        # directed boundary edges = edges whose reverse is absent in group
+        directed = []
+        for fi in group:
+            loop = list(faces[fi])
+            for a, b in zip(loop, loop[1:] + loop[:1]):
+                directed.append((int(a), int(b)))
+        dirset = set(directed)
+        boundary = [(a, b) for (a, b) in directed if (b, a) not in dirset]
+        if not boundary:
+            return None
+        nxt = {}
+        for a, b in boundary:
+            if a in nxt:            # non-manifold boundary
+                return None
+            nxt[a] = b
+        start = boundary[0][0]
+        loop, cur = [start], nxt[start]
+        while cur != start:
+            if cur in (set(loop)) or cur not in nxt:
+                return None
+            loop.append(cur)
+            cur = nxt[cur]
+        if len(loop) != len(boundary):
+            return None             # multiple loops (holes)
+        # drop collinear interior vertices
+        out = []
+        nloop = len(loop)
+        for k in range(nloop):
+            a = verts[loop[(k - 1) % nloop]]
+            b = verts[loop[k]]
+            c = verts[loop[(k + 1) % nloop]]
+            if np.linalg.norm(np.cross(b - a, c - b)) > 1e-10:
+                out.append(loop[k])
+        return np.asarray(out if len(out) >= 3 else loop)
+
+    merged: List[np.ndarray] = []
+    for g in groups:
+        if len(g) == 1:
+            merged.append(np.asarray(faces[g[0]]))
+            continue
+        loop = chain(g)
+        if loop is None:
+            merged.extend(np.asarray(faces[fi]) for fi in g)
+        else:
+            merged.append(loop)
+    return merged
+
+
 def convex_hull_from_mesh(verts: np.ndarray, faces: List[np.ndarray],
                           inv_mass=1.0, mu_s=0.5, mu_d=0.5,
-                          inv_inertia=(1.0, 1.0, 1.0)) -> SourceObject:
+                          inv_inertia=(1.0, 1.0, 1.0),
+                          merge_coplanar: bool = True) -> SourceObject:
     """Wrap an already-convex mesh (e.g. loaded from .obj via
     utils.importer) as a hull object (reference PhysicsLoader::
-    loadHullFromDisk, physics_assets.cpp)."""
+    loadHullFromDisk, physics_assets.cpp).  Coplanar triangle fans are
+    merged into polygon faces by default (see merge_coplanar_faces)."""
+    faces = [np.asarray(f) for f in faces]
+    if merge_coplanar:
+        faces = merge_coplanar_faces(verts, faces)
     return SourceObject(PRIM_HULL, verts=np.asarray(verts, np.float32),
-                        faces=[np.asarray(f) for f in faces],
+                        faces=faces,
                         inv_mass=inv_mass, inv_inertia=tuple(inv_inertia),
                         mu_s=mu_s, mu_d=mu_d)
 
@@ -270,6 +362,46 @@ class PhysicsLoader:
         mgr["edge_p1"] = v_all[oidx, mgr["edge_v1"]]
         mgr["face_verts"] = v_all[np.arange(O)[:, None, None], mgr["face_vert_idx"]]
 
+        # Incident-face clipping tables (reference narrowphase clips the
+        # incident face against the reference face's side planes,
+        # narrowphase.cpp manifold generation).  Precomputed per face edge
+        # in LOCAL space so the device never walks vertex-index loops:
+        #   face_verts_next [O, Fm, FVm, 3] — next vertex in the loop (wrap)
+        #   face_side_n     [O, Fm, FVm, 3] — outward side-plane unit normal
+        #   face_side_d     [O, Fm, FVm]    — side-plane offset (n . v0)
+        #   face_slot_valid [O, Fm, FVm]    — 1.0 while slot < face_nverts
+        mgr["face_verts_next"] = np.zeros_like(mgr["face_verts"])
+        mgr["face_side_n"] = np.zeros_like(mgr["face_verts"])
+        mgr["face_side_d"] = np.zeros(mgr["face_verts"].shape[:3], np.float32)
+        mgr["face_slot_valid"] = np.zeros(
+            mgr["face_verts"].shape[:3], np.float32)
+        FVm_t = mgr["face_verts"].shape[2]
+        for i in range(O):
+            for f in range(int(mgr["num_faces"][i])):
+                nv = int(mgr["face_nverts"][i, f])
+                poly = mgr["face_verts"][i, f, :nv]
+                n = mgr["face_normals"][i, f]
+                centroid = poly.mean(axis=0)
+                for e in range(nv):
+                    v0, v1 = poly[e], poly[(e + 1) % nv]
+                    mgr["face_verts_next"][i, f, e] = v1
+                    s = np.cross(v1 - v0, n)
+                    sl = np.linalg.norm(s)
+                    if sl < 1e-12:
+                        continue
+                    s = s / sl
+                    # orient outward of the face polygon regardless of the
+                    # loop winding (importers are not winding-consistent)
+                    if np.dot(s, v0 - centroid) < 0:
+                        s = -s
+                    mgr["face_side_n"][i, f, e] = s
+                    mgr["face_side_d"][i, f, e] = np.dot(s, v0)
+                    mgr["face_slot_valid"][i, f, e] = 1.0
+                # padded vert slots repeat the last vertex (degenerate
+                # edges, masked by face_slot_valid)
+                for e in range(nv, FVm_t):
+                    mgr["face_verts_next"][i, f, e] = poly[nv - 1]
+
         # Trim padded row axes to the max actually used: the pair-major
         # narrowphase computes over EVERY padded row (masked, not skipped),
         # so table width is directly proportional to VPU work per pair.
@@ -287,6 +419,17 @@ class PhysicsLoader:
         trim("face_vert_idx", "num_faces")
         trim("face_nverts", "num_faces")
         trim("face_verts", "num_faces")
+        trim("face_verts_next", "num_faces")
+        trim("face_side_n", "num_faces")
+        trim("face_side_d", "num_faces")
+        trim("face_slot_valid", "num_faces")
+        # trim the per-face vertex-slot axis to the max loop length used
+        fv_hi = max(int(mgr["face_nverts"].max()), 3)
+        fv_hi = min(fv_hi, mgr["face_verts"].shape[2])
+        for key in ("face_verts", "face_verts_next", "face_side_n",
+                    "face_side_d", "face_slot_valid", "face_vert_idx"):
+            mgr[key] = np.ascontiguousarray(
+                np.take(mgr[key], range(fv_hi), axis=2))
         trim("sat_axes", "num_sat_axes")
         trim("edge_dirs", "num_edges")
         trim("edge_p0", "num_full_edges")

@@ -40,10 +40,118 @@ import jax
 import jax.numpy as jnp
 
 from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHERE
+from gpu_ecs_madrona_tpu.physics.pairs import CLIP_EPS, CLIP_STRICT, CLIP_T_EPS
 from gpu_ecs_madrona_tpu.utils import math as m
 
 NEG_BIG = -1e9
 BIG = 1e9
+
+
+def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
+    """Exact incident-face clip manifold, dense/AoS layout.
+
+    Same order-free Sutherland-Hodgman candidate construction as
+    pairs._clip_face_manifold (see its docstring for the three candidate
+    sets); here face polygon / side-plane tables are gathered by flat
+    (object, face) index — the dense path is the small-n regime where
+    gathers are fine.  Returns (pts [*L,4,3], dep [*L,4])."""
+    Fm = A["fnorm_w"].shape[-2]
+    O = objmgr["face_verts"].shape[0]
+    FVe = objmgr["face_verts"].shape[2]
+    sB1 = use_faceB[..., None]
+    sB2 = use_faceB[..., None, None]
+
+    pos_ref = jnp.where(sB1, B["pos"], A["pos"])
+    pos_inc = jnp.where(sB1, A["pos"], B["pos"])
+    rot_ref = jnp.where(sB1, B["rot"], A["rot"])
+    rot_inc = jnp.where(sB1, A["rot"], B["rot"])
+    obj_ref = jnp.where(use_faceB, B["obj_id"], A["obj_id"])
+    obj_inc = jnp.where(use_faceB, A["obj_id"], B["obj_id"])
+    fnR = jnp.where(sB2, bc(B["fnorm_w"], 2), bc(A["fnorm_w"], 2))
+    fnI = jnp.where(sB2, bc(A["fnorm_w"], 2), bc(B["fnorm_w"], 2))
+    fdR = jnp.where(sB1, bc(B["face_dw"], 1), bc(A["face_dw"], 1))
+    fdI = jnp.where(sB1, bc(A["face_dw"], 1), bc(B["face_dw"], 1))
+    fmR = jnp.where(sB1, bc(B["fmask"], 1), bc(A["fmask"], 1))
+    fmI = jnp.where(sB1, bc(A["fmask"], 1), bc(B["fmask"], 1))
+
+    # reference face: most aligned with the contact axis; incident face:
+    # most anti-aligned
+    scR = jnp.where(fmR, jnp.sum(fnR * nrm_inc[..., None, :], -1), NEG_BIG)
+    idxR = jnp.argmax(scR, axis=-1)
+    scI = jnp.where(fmI, jnp.sum(fnI * nrm_inc[..., None, :], -1), BIG)
+    idxI = jnp.argmin(scI, axis=-1)
+    n_reff = jnp.take_along_axis(
+        fnR, idxR[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    d_reff = jnp.take_along_axis(fdR, idxR[..., None], axis=-1)[..., 0]
+    n_incf = jnp.take_along_axis(
+        fnI, idxI[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
+    d_incf = jnp.take_along_axis(fdI, idxI[..., None], axis=-1)[..., 0]
+
+    fvert = objmgr["face_verts"].reshape(O * Fm, FVe, 3)
+    fnext = objmgr["face_verts_next"].reshape(O * Fm, FVe, 3)
+    fsn = objmgr["face_side_n"].reshape(O * Fm, FVe, 3)
+    fsd = objmgr["face_side_d"].reshape(O * Fm, FVe)
+    fsv = objmgr["face_slot_valid"].reshape(O * Fm, FVe)
+    gR = obj_ref * Fm + idxR
+    gI = obj_inc * Fm + idxI
+
+    rotI_e = rot_inc[..., None, :]
+    rotR_e = rot_ref[..., None, :]
+    posI_e = pos_inc[..., None, :]
+    posR_e = pos_ref[..., None, :]
+    polyI = m.quat_rotate(rotI_e, fvert[gI]) + posI_e       # [*L,FVe,3]
+    polyIn = m.quat_rotate(rotI_e, fnext[gI]) + posI_e
+    polyR = m.quat_rotate(rotR_e, fvert[gR]) + posR_e
+    svalI = fsv[gI] > 0.5
+    svalR = fsv[gR] > 0.5
+    snR = m.quat_rotate(rotR_e, fsn[gR])
+    sdR = fsd[gR] + jnp.sum(snR * posR_e, -1)
+    snI = m.quat_rotate(rotI_e, fsn[gI])
+    sdI = fsd[gI] + jnp.sum(snI * posI_e, -1)
+
+    # set 1: incident edges interval-clipped against the reference side
+    # planes ([*L, v, p]) — the clipped-segment START covers verts-inside
+    # (t_lo = 0) and entering crossings; END emitted only when strictly
+    # clipped (see pairs._clip_face_manifold)
+    dI0 = jnp.einsum("...vc,...pc->...vp", polyI, snR) - sdR[..., None, :]
+    dI1 = jnp.einsum("...vc,...pc->...vp", polyIn, snR) - sdR[..., None, :]
+    pvalR = svalR[..., None, :]
+    denom = dI0 - dI1
+    crossing = jnp.abs(denom) > 1e-12
+    tc = dI0 / jnp.where(crossing, denom, 1.0)
+    ent = pvalR & crossing & (dI0 > 0) & (dI1 <= 0)
+    ext = pvalR & crossing & (dI0 <= 0) & (dI1 > 0)
+    t_lo = jnp.max(jnp.where(ent, tc, 0.0), axis=-1)
+    t_hi = jnp.min(jnp.where(ext, tc, 1.0), axis=-1)
+    empty = jnp.any(pvalR & (dI0 > CLIP_EPS) & (dI1 > CLIP_EPS), axis=-1)
+    edge_ok = svalI & ~empty & (t_lo <= t_hi + 1e-9)
+    seg = polyIn - polyI
+    pt_lo = polyI + t_lo[..., None] * seg
+    pt_hi = polyI + t_hi[..., None] * seg
+    dep_lo = d_reff[..., None] - jnp.sum(pt_lo * n_reff[..., None, :], -1)
+    dep_hi = d_reff[..., None] - jnp.sum(pt_hi * n_reff[..., None, :], -1)
+    dep_lo = jnp.where(edge_ok, dep_lo, -BIG)
+    dep_hi = jnp.where(edge_ok & (t_hi < 1.0 - CLIP_T_EPS), dep_hi, -BIG)
+
+    # set 2: reference verts strictly inside the incident side planes,
+    # projected onto the incident face along the contact axis
+    dRp = jnp.einsum("...vc,...pc->...vp", polyR, snI) - sdI[..., None, :]
+    inside3 = jnp.all((dRp <= -CLIP_STRICT) | ~svalI[..., None, :],
+                      axis=-1) & svalR
+    den = jnp.sum(n_incf * nrm_inc, -1)
+    den_ok = jnp.abs(den) > 0.1
+    s = ((d_incf[..., None]
+          - jnp.sum(polyR * n_incf[..., None, :], -1))
+         / jnp.where(den_ok, den, 1.0)[..., None])
+    q = polyR + s[..., None] * nrm_inc[..., None, :]
+    dep3 = d_reff[..., None] - jnp.sum(q * n_reff[..., None, :], -1)
+    dep3 = jnp.where(inside3 & den_ok[..., None], dep3, -BIG)
+
+    pts = jnp.concatenate([pt_lo, pt_hi, q], axis=-2)
+    dep = jnp.concatenate([dep_lo, dep_hi, dep3], axis=-1)
+    top_pen, top_idx = jax.lax.top_k(dep, 4)
+    pts4 = jnp.take_along_axis(pts, top_idx[..., None].repeat(3, -1), -2)
+    return pts4, top_pen
 
 
 def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
@@ -357,47 +465,52 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         jnp.where(use_faceB[..., None], fB * sgn(fB), fE * sgn(fE)),
     )
 
-    # manifold: deepest incident-hull verts against the separating plane.
-    # face-of-A wins -> incident hull is B (verts measured against A's
-    # plane); face-of-B wins -> incident is A; edge -> single deepest B vert.
-    def clip_to_ref(pts4, ref_pos, ref_rot, ref_lo, ref_hi):
-        """Clamp contact points into the reference hull's local AABB —
-        the cheap stand-in for full incident-face clipping (narrowphase.cpp
-        manifold clip): without it, manifold points overhanging the
-        reference face apply spurious torque.  Exact for boxes;
-        conservative for general hulls."""
-        local = m.quat_inv_rotate(ref_rot[..., None, :], pts4 - ref_pos[..., None, :])
-        local = jnp.clip(local, ref_lo[..., None, :], ref_hi[..., None, :])
-        return m.quat_rotate(ref_rot[..., None, :], local) + ref_pos[..., None, :]
+    # manifold: exact incident-face clip against the reference face's side
+    # planes (narrowphase.cpp manifold generation) when the object manager
+    # carries the clip tables; otherwise the legacy deepest-verts + AABB
+    # clamp stand-in.
+    nrm_inc = jnp.where(use_faceB[..., None], -sat_normal, sat_normal)
+    if objmgr is not None and "face_side_n" in objmgr:
+        pts_sat, depth_sat = _clip_manifold_aos(
+            objmgr, A, B, jnp.broadcast_to(use_faceB, L), nrm_inc, L, bc)
+    else:
+        def clip_to_ref(pts4, ref_pos, ref_rot, ref_lo, ref_hi):
+            """Clamp contact points into the reference hull's local AABB —
+            the cheap stand-in for incident-face clipping: without it,
+            manifold points overhanging the reference face apply spurious
+            torque."""
+            local = m.quat_inv_rotate(ref_rot[..., None, :],
+                                      pts4 - ref_pos[..., None, :])
+            local = jnp.clip(local, ref_lo[..., None, :], ref_hi[..., None, :])
+            return (m.quat_rotate(ref_rot[..., None, :], local)
+                    + ref_pos[..., None, :])
 
-    def deepest_pts(incident_w, inc_mask, nrm_to_inc):
-        # depth of incident verts along -nrm (penetration into ref hull):
-        # project onto the SAT axis; depth relative to the deepest
-        # ref-hull support point.
-        proj = jnp.sum(incident_w * nrm_to_inc[..., None, :], axis=-1)
-        proj = jnp.where(inc_mask, proj, BIG)
-        top_pen, top_idx = jax.lax.top_k(bc(proj, 1) * -1.0, 4)  # smallest projections
-        pts = jnp.take_along_axis(
-            bc(incident_w, 2), top_idx[..., None].repeat(3, -1), -2)
-        return pts, top_pen
+        def deepest_pts(incident_w, inc_mask, nrm_to_inc):
+            # depth of incident verts along -nrm (penetration into ref
+            # hull): project onto the SAT axis; depth relative to the
+            # deepest ref-hull support point.
+            proj = jnp.sum(incident_w * nrm_to_inc[..., None, :], axis=-1)
+            proj = jnp.where(inc_mask, proj, BIG)
+            top_pen, top_idx = jax.lax.top_k(bc(proj, 1) * -1.0, 4)
+            pts = jnp.take_along_axis(
+                bc(incident_w, 2), top_idx[..., None].repeat(3, -1), -2)
+            return pts, top_pen
 
-    ptsB, prB = deepest_pts(B["verts_w"], B["vmask"], sat_normal)
-    ptsA, prA = deepest_pts(A["verts_w"], A["vmask"], -sat_normal)
-    # clip incident points into the reference hull (ref=A when A's face is
-    # the separating plane, ref=B otherwise)
-    ptsB = clip_to_ref(ptsB, jnp.broadcast_to(posA, L + (3,)),
-                       jnp.broadcast_to(A["rot"], L + (4,)),
-                       jnp.broadcast_to(A["lo_l"], L + (3,)),
-                       jnp.broadcast_to(A["hi_l"], L + (3,)))
-    ptsA = clip_to_ref(ptsA, jnp.broadcast_to(posB, L + (3,)),
-                       jnp.broadcast_to(B["rot"], L + (4,)),
-                       jnp.broadcast_to(B["lo_l"], L + (3,)),
-                       jnp.broadcast_to(B["hi_l"], L + (3,)))
-    pts_sat = jnp.where(use_faceB[..., None, None], ptsA, ptsB)
-    pen_rel = jnp.where(use_faceB[..., None], prA, prB)
-    # convert relative projections to true depths: deepest point has depth
-    # sat_pen; shallower manifold points offset by projection delta.
-    depth_sat = sat_pen[..., None] - (pen_rel[..., 0:1] - pen_rel)
+        ptsB, prB = deepest_pts(B["verts_w"], B["vmask"], sat_normal)
+        ptsA, prA = deepest_pts(A["verts_w"], A["vmask"], -sat_normal)
+        ptsB = clip_to_ref(ptsB, jnp.broadcast_to(posA, L + (3,)),
+                           jnp.broadcast_to(A["rot"], L + (4,)),
+                           jnp.broadcast_to(A["lo_l"], L + (3,)),
+                           jnp.broadcast_to(A["hi_l"], L + (3,)))
+        ptsA = clip_to_ref(ptsA, jnp.broadcast_to(posB, L + (3,)),
+                           jnp.broadcast_to(B["rot"], L + (4,)),
+                           jnp.broadcast_to(B["lo_l"], L + (3,)),
+                           jnp.broadcast_to(B["hi_l"], L + (3,)))
+        pts_sat = jnp.where(use_faceB[..., None, None], ptsA, ptsB)
+        pen_rel = jnp.where(use_faceB[..., None], prA, prB)
+        # deepest point has depth sat_pen; shallower manifold points offset
+        # by projection delta.
+        depth_sat = sat_pen[..., None] - (pen_rel[..., 0:1] - pen_rel)
 
     # edge-edge: single contact at the closest point between the supporting
     # edges (reference narrowphase edge contact path) — supporting edge =
@@ -460,4 +573,4 @@ def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
     B = _expand(F, 1)
     upper = jnp.triu(jnp.ones((n, n), bool), k=1)[None]
     pair_live = row_mask[:, :, None] & row_mask[:, None, :] & upper
-    return pair_contacts(A, B, pair_live)
+    return pair_contacts(A, B, pair_live, objmgr)

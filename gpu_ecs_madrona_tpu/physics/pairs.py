@@ -342,6 +342,54 @@ class ObjTables:
             planes.append(plane)
         return jnp.stack(planes, axis=1)
 
+    def _coef2(self, sel, tab, r1, r2, c=None):
+        """Per-pair scalar const Σ_o sel_o * tab[o, r1, r2(, c)] or None."""
+        coef = None
+        for o in range(self.O):
+            val = float(tab[o, r1, r2] if c is None else tab[o, r1, r2, c])
+            if val != 0.0:
+                term = jnp.where(sel[o], val, 0.0)
+                coef = term if coef is None else coef + term
+        return coef
+
+    def rows2_vec_sel(self, obj, key, ohf):
+        """[O, R1, R2, 3] table contracted with a row one-hot ohf
+        [W, R1, K] f32 → vec3 comps [W, R2, K].  Selects one face's
+        vertex/plane rows per pair (incident-face clipping).  Unrolled
+        scalar constants + elementwise only (kernel-safe, like rows_vec)."""
+        tab = self.om[key]
+        R1, R2 = tab.shape[1], tab.shape[2]
+        sel = [(obj == o) for o in range(self.O)]
+        zero = jnp.zeros(obj.shape, jnp.float32)
+        comps = []
+        for c in range(3):
+            planes = []
+            for r2 in range(R2):
+                acc = zero
+                for r1 in range(R1):
+                    coef = self._coef2(sel, tab, r1, r2, c)
+                    if coef is not None:
+                        acc = acc + ohf[:, r1] * coef
+                planes.append(acc)
+            comps.append(jnp.stack(planes, axis=1))
+        return tuple(comps)
+
+    def rows2_scalar_sel(self, obj, key, ohf):
+        """[O, R1, R2] table contracted with ohf [W, R1, K] → [W, R2, K]."""
+        tab = self.om[key]
+        R1, R2 = tab.shape[1], tab.shape[2]
+        sel = [(obj == o) for o in range(self.O)]
+        zero = jnp.zeros(obj.shape, jnp.float32)
+        planes = []
+        for r2 in range(R2):
+            acc = zero
+            for r1 in range(R1):
+                coef = self._coef2(sel, tab, r1, r2)
+                if coef is not None:
+                    acc = acc + ohf[:, r1] * coef
+            planes.append(acc)
+        return jnp.stack(planes, axis=1)
+
 
 def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
     """World-space per-pair-side fields.  pos: vec3 tuple [W,K]; rot: quat
@@ -382,6 +430,7 @@ def body_fields(pos, rot, obj, tables: ObjTables) -> Dict[str, Any]:
                    "box_h": tables.vec(obj, "box_half")}
     return {
         **out_box,
+        "obj": obj, "_tables": tables,
         "pos": pos, "rot": rot,
         "is_sphere": is_s, "is_hull": is_h, "is_plane": is_p,
         "radius": tables.scalar(obj, "sphere_radius"),
@@ -476,6 +525,135 @@ def _obb_sat(A, B):
     return minA, minB, minE, fA, fB, fE, extras
 
 
+CLIP_EPS = 1e-6      # on-plane tolerance: boundary points count inside
+CLIP_T_EPS = 1e-4    # segment-endpoint crossings are covered by the vert set
+CLIP_STRICT = 1e-5   # ref-vert set must be STRICTLY inside (dedup vs vert set)
+
+
+def _clip_face_manifold(polyI_w, polyIn_w, vvalI, sidesR, sidesI,
+                        polyR_w, vvalR, n_reff, d_reff, n_incf, d_incf,
+                        axis_inc):
+    """Exact incident-face clip manifold — order-free Sutherland-Hodgman.
+
+    The reference generates hull-hull manifolds by clipping the incident
+    face against the reference face's side planes and keeping points below
+    the reference face (narrowphase.cpp manifold generation after doSAT).
+    Sequential SH needs ring-ordered compaction per clip plane — hostile to
+    fixed shapes — but the corners of (incident polygon ∩ side-plane
+    region) are exactly two order-free candidate sets:
+
+      1. incident edges interval-clipped against the side planes: the
+         clipped-segment START point per edge covers both "vertex inside
+         the region" (t_lo = 0) and "entering crossing" (t_lo > 0); the
+         END point is emitted only when strictly clipped (t_hi < 1 —
+         otherwise it IS the next edge's start);
+      2. reference-face verts strictly inside the incident polygon's side
+         planes, projected onto the incident face along the contact axis
+         (the "region corner inside polygon" case set 1 cannot see;
+         strictness dedups against set 1 when the faces coincide).
+
+    All sets are fixed-shape [W, FVe, K] masked computations; callers merge
+    the 3*FVe candidates into the manifold slots and the caller-level
+    deepest-MANIFOLD_MAX_POINTS compaction selects (reference caps at 4).
+
+    Args: polyI_w/polyIn_w incident-face verts + next-in-loop (vec3 comps
+    [W,FVe,K]); vvalI/vvalR f32 slot-valid; sidesR/sidesI lists of
+    (unit normal vec3 [W,K], offset [W,K], valid f32 [W,K]) side planes;
+    (n_reff, d_reff)/(n_incf, d_incf) face planes [W,K]; axis_inc unit
+    vec3 [W,K] pointing from the reference face into the incident hull.
+    Returns (pts vec3 [W,3*FVe,K], dep [W,3*FVe,K]); dep -BIG on dead
+    slots."""
+    shapeP = polyI_w[0].shape                      # [W, FVe, K]
+
+    # set 1: incident edges interval-clipped against the side planes
+    t_lo = jnp.zeros(shapeP)
+    t_hi = jnp.ones(shapeP)
+    empty = falses(shapeP)
+    for sn, sd, pv in sidesR:
+        d0 = dot3(polyI_w, vexpand(sn)) - expand(sd)
+        d1 = dot3(polyIn_w, vexpand(sn)) - expand(sd)
+        pvb = bexp(pv > 0.5, 1, shapeP)
+        denom = d0 - d1
+        tc = d0 / jnp.where(jnp.abs(denom) > 1e-12, denom, 1.0)
+        crossing = jnp.abs(denom) > 1e-12
+        t_lo = jnp.where(pvb & crossing & (d0 > 0) & (d1 <= 0),
+                         jnp.maximum(t_lo, tc), t_lo)
+        t_hi = jnp.where(pvb & crossing & (d0 <= 0) & (d1 > 0),
+                         jnp.minimum(t_hi, tc), t_hi)
+        empty = empty | (pvb & (d0 > CLIP_EPS) & (d1 > CLIP_EPS))
+    edge_ok = (vvalI > 0.5) & ~empty & (t_lo <= t_hi + 1e-9)
+    seg = v3sub(polyIn_w, polyI_w)
+    pt_lo = v3add(polyI_w, v3scale(seg, t_lo))
+    pt_hi = v3add(polyI_w, v3scale(seg, t_hi))
+    dep_lo = expand(d_reff) - dot3(pt_lo, vexpand(n_reff))
+    dep_hi = expand(d_reff) - dot3(pt_hi, vexpand(n_reff))
+    dep_lo = jnp.where(edge_ok, dep_lo, -BIG)
+    dep_hi = jnp.where(edge_ok & (t_hi < 1.0 - CLIP_T_EPS), dep_hi, -BIG)
+
+    # set 2: reference verts strictly inside the incident side planes,
+    # projected onto the incident face along the contact axis
+    inside3 = vvalR > 0.5
+    for sn, sd, pv in sidesI:
+        dist = dot3(polyR_w, vexpand(sn)) - expand(sd)
+        inside3 = inside3 & ((dist <= -CLIP_STRICT)
+                             | ~(bexp(pv > 0.5, 1, shapeP)))
+    den = dot3(n_incf, axis_inc)                   # ~-1 when faces oppose
+    den_ok = jnp.abs(den) > 0.1
+    den_s = expand(jnp.where(den_ok, den, 1.0))
+    s = (expand(d_incf) - dot3(polyR_w, vexpand(n_incf))) / den_s
+    q = v3add(polyR_w, v3scale(vexpand(axis_inc), s))
+    dep3 = expand(d_reff) - dot3(q, vexpand(n_reff))
+    dep3 = jnp.where(inside3 & bexp(den_ok, 1, shapeP), dep3, -BIG)
+
+    pts = tuple(jnp.concatenate([a, b, c], axis=1)
+                for a, b, c in zip(pt_lo, pt_hi, q))
+    dep = jnp.concatenate([dep_lo, dep_hi, dep3], axis=1)
+    return pts, dep
+
+
+def _box_face_frame(pos, u, h, outward):
+    """Analytic face of a box most aligned with `outward` (vec3 [W,K]):
+    returns (n vec3, d, tangent axes a/b vec3, half extents ha/hb, center
+    vec3) — all [W,K].  Keeps the box clip path free of face tables."""
+    score = [dot3(u[k], outward) for k in range(3)]
+    mag = jnp.stack([jnp.abs(sc) for sc in score], axis=1)   # [W,3,K]
+    _, oh = extreme_onehot(mag, "max")
+    ohf = [jnp.where(oh[:, k], 1.0, 0.0) for k in range(3)]
+    sgn = [jnp.where(score[k] >= 0, 1.0, -1.0) for k in range(3)]
+    n = tuple(sum(ohf[k] * sgn[k] * u[k][c] for k in range(3))
+              for c in range(3))
+    hn = sum(ohf[k] * h[k] for k in range(3))
+    a = tuple(sum(ohf[k] * u[(k + 1) % 3][c] for k in range(3))
+              for c in range(3))
+    b = tuple(sum(ohf[k] * u[(k + 2) % 3][c] for k in range(3))
+              for c in range(3))
+    ha = sum(ohf[k] * h[(k + 1) % 3] for k in range(3))
+    hb = sum(ohf[k] * h[(k + 2) % 3] for k in range(3))
+    d = dot3(n, pos) + hn
+    center = v3add(pos, v3scale(n, hn))
+    return n, d, a, b, ha, hb, center
+
+
+def _box_face_inputs(pos, u, h, outward):
+    """Box face as clip inputs: (poly vec3 [W,4,K] loop-ordered, poly_next,
+    vval f32 [W,4,K], side planes [(n, d, valid)] x4, n_face, d_face)."""
+    n, d, a, b, ha, hb, center = _box_face_frame(pos, u, h, outward)
+    corners = []
+    for sa, sb in ((1.0, 1.0), (-1.0, 1.0), (-1.0, -1.0), (1.0, -1.0)):
+        corners.append(v3add(center,
+                             v3add(v3scale(a, sa * ha), v3scale(b, sb * hb))))
+    poly = tuple(jnp.stack([c[i] for c in corners], axis=1) for i in range(3))
+    nxt = corners[1:] + corners[:1]
+    poly_n = tuple(jnp.stack([c[i] for c in nxt], axis=1) for i in range(3))
+    vval = jnp.ones_like(poly[0])
+    one = jnp.ones_like(d)
+    sides = [(a, dot3(a, pos) + ha, one),
+             (v3scale(a, -1.0), -dot3(a, pos) + ha, one),
+             (b, dot3(b, pos) + hb, one),
+             (v3scale(b, -1.0), -dot3(b, pos) + hb, one)]
+    return poly, poly_n, vval, sides, n, d
+
+
 def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
                   pair_live: jax.Array,
                   stages: str = "sphere,plane,hull,sat") -> Dict[str, Any]:
@@ -500,8 +678,29 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     Vm = A["vmask"].shape[1]
     Fm = A["fmask"].shape[1]
     Em = A["emask"].shape[1]
-    P = Vm
     stage_set = set(stages.split(","))
+
+    # manifold slot count: hull-plane uses all Vm verts; the hull-hull clip
+    # emits 3 candidates per incident-face vertex slot (see
+    # _clip_face_manifold).  Selection to MANIFOLD_MAX_POINTS happens once,
+    # at the end — cheaper than compacting per branch.
+    _tables = A.get("_tables")
+    _use_clip = not os.environ.get("GEM_NO_CLIP") and (
+        A.get("_all_box")
+        or (_tables is not None and "face_side_n" in _tables.om))
+    if "sat" in stage_set and _use_clip:
+        n_clip = 12 if A.get("_all_box") else \
+            3 * _tables.om["face_verts"].shape[2]
+    else:
+        n_clip = Vm
+    P = max(Vm, n_clip)
+
+    def padP(x, fill=0.0):
+        """Pad a [W, R, K] manifold-channel array to [W, P, K]."""
+        if x.shape[1] == P:
+            return x
+        return jnp.concatenate(
+            [x, jnp.full((W, P - x.shape[1], K), fill, x.dtype)], axis=1)
 
     zeroK = jnp.zeros((W, K))
     out_ok = falses((W, K))
@@ -580,7 +779,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             pen_v = jnp.where(h_vmask > 0.5, -vd, -BIG)
             num = jnp.sum((pen_v > 0).astype(jnp.int32), axis=1)
             nrm_hp = p_n if flip else v3scale(p_n, -1.0)
-            return num > 0, nrm_hp, h_verts_w, pen_v, num
+            return (num > 0, nrm_hp, tuple(padP(c) for c in h_verts_w),
+                    padP(pen_v, -BIG), num)
 
         o3, n3, p3, d3, c3 = hull_plane(A["verts_w"], A["vmask"],
                                         B["plane_n"], B["plane_d"], False)
@@ -729,33 +929,120 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         sat_normal = v3where(use_faceA, orient(fA),
                              v3where(use_faceB, orient(fB), orient(fE)))
 
-        # manifold: the INCIDENT hull is selected first, then processed once
-        # (one projection + one clip chain instead of two).
-        ufB = bexp(use_faceB, 1, A["verts_w"][0].shape)
-        verts_inc = v3where(ufB, A["verts_w"], B["verts_w"])
-        vmask_inc = jnp.where(ufB, A["vmask"], B["vmask"]) > 0.5
+        # manifold: exact incident-face clip against the reference face's
+        # side planes (reference narrowphase.cpp manifold generation) —
+        # see _clip_face_manifold.  The incident side is selected first,
+        # then processed once (one clip instead of two).
         # axis pointing from the reference face INTO the incident hull
         nrm_inc = v3where(use_faceB, v3scale(sat_normal, -1.0), sat_normal)
-        proj = dot3(verts_inc, vexpand(nrm_inc))
-        proj = jnp.where(vmask_inc, proj, BIG)
-        pmin = jnp.min(proj, axis=1)
-        # deepest vert has depth sat_pen; shallower offset by proj delta
-        dep_sat = sat_pen[:, None, :] - (proj - pmin[:, None, :])
-        dep_sat = jnp.where(vmask_inc, dep_sat, -BIG)
-
-        # clamp incident points into the reference hull local AABB —
-        # stand-in for incident-face clipping (exact for boxes)
         ref_pos = v3where(use_faceB, posB, posA)
+        inc_pos = v3where(use_faceB, posA, posB)
         ref_rot = tuple(jnp.where(use_faceB, b, a)
                         for a, b in zip(A["rot"], B["rot"]))
-        ref_lo = v3where(use_faceB, B["lo_l"], A["lo_l"])
-        ref_hi = v3where(use_faceB, B["hi_l"], A["hi_l"])
-        rq = tuple(expand(c) for c in ref_rot)
-        rp = vexpand(ref_pos)
-        local = qrot_inv(rq, v3sub(verts_inc, rp))
-        local = tuple(jnp.clip(c, expand(lo), expand(hi))
-                      for c, lo, hi in zip(local, ref_lo, ref_hi))
-        pts_sat = v3add(qrot(rq, local), rp)
+        inc_rot = tuple(jnp.where(use_faceB, a, b)
+                        for a, b in zip(A["rot"], B["rot"]))
+        tables = _tables
+        clip_in = None
+        if not _use_clip:
+            pass                    # AABB-clamp fallback below (ablation /
+            #                         object managers without face tables)
+        elif A.get("_all_box"):
+            # analytic box faces: no face tables needed — axes/extents give
+            # the face polygon, side planes, and plane directly
+            ref_u = tuple(v3where(use_faceB, ub, ua)
+                          for ua, ub in zip(A["box_u"], B["box_u"]))
+            inc_u = tuple(v3where(use_faceB, ua, ub)
+                          for ua, ub in zip(A["box_u"], B["box_u"]))
+            ref_h = tuple(jnp.where(use_faceB, hb, ha)
+                          for ha, hb in zip(A["box_h"], B["box_h"]))
+            inc_h = tuple(jnp.where(use_faceB, ha, hb)
+                          for ha, hb in zip(A["box_h"], B["box_h"]))
+            polyI, polyIn, vvalI, sidesI, n_incf, d_incf = _box_face_inputs(
+                inc_pos, inc_u, inc_h, v3scale(nrm_inc, -1.0))
+            polyR, _, vvalR, sidesR, n_reff, d_reff = _box_face_inputs(
+                ref_pos, ref_u, ref_h, nrm_inc)
+            clip_in = (polyI, polyIn, vvalI, sidesR, sidesI,
+                       polyR, vvalR, n_reff, d_reff, n_incf, d_incf)
+        elif tables is not None and "face_side_n" in tables.om:
+            # general hulls: per-pair face selection over the precomputed
+            # face polygon / side-plane tables (assets.py)
+            obj_ref = jnp.where(use_faceB, B["obj"], A["obj"])
+            obj_inc = jnp.where(use_faceB, A["obj"], B["obj"])
+            ufF = bexp(use_faceB, 1, A["fnorm_w"][0].shape)
+            fnormR_w = v3where(ufF, B["fnorm_w"], A["fnorm_w"])
+            fnormI_w = v3where(ufF, A["fnorm_w"], B["fnorm_w"])
+            fdR_w = jnp.where(ufF, B["face_dw"], A["face_dw"])
+            fdI_w = jnp.where(ufF, A["face_dw"], B["face_dw"])
+            fmR = jnp.where(ufF, B["fmask"], A["fmask"])
+            fmI = jnp.where(ufF, A["fmask"], B["fmask"])
+            # reference face: most aligned with the contact axis; incident
+            # face: most anti-aligned
+            scR = jnp.where(fmR > 0.5, dot3(fnormR_w, vexpand(nrm_inc)),
+                            NEG_BIG)
+            _, ohR = extreme_onehot(scR, "max")
+            scI = jnp.where(fmI > 0.5, dot3(fnormI_w, vexpand(nrm_inc)), BIG)
+            _, ohI = extreme_onehot(scI, "min")
+            n_reff = pick_rows(ohR, fnormR_w)
+            d_reff = pick_rows(ohR, fdR_w)
+            n_incf = pick_rows(ohI, fnormI_w)
+            d_incf = pick_rows(ohI, fdI_w)
+            ohRf = jnp.where(ohR, 1.0, 0.0)
+            ohIf = jnp.where(ohI, 1.0, 0.0)
+            rqR, peR = tuple(expand(c) for c in ref_rot), vexpand(ref_pos)
+            rqI, peI = tuple(expand(c) for c in inc_rot), vexpand(inc_pos)
+            polyI = v3add(qrot(rqI, tables.rows2_vec_sel(
+                obj_inc, "face_verts", ohIf)), peI)
+            polyIn = v3add(qrot(rqI, tables.rows2_vec_sel(
+                obj_inc, "face_verts_next", ohIf)), peI)
+            vvalI = tables.rows2_scalar_sel(obj_inc, "face_slot_valid", ohIf)
+            polyR = v3add(qrot(rqR, tables.rows2_vec_sel(
+                obj_ref, "face_verts", ohRf)), peR)
+            vvalR = tables.rows2_scalar_sel(obj_ref, "face_slot_valid", ohRf)
+
+            def mk_sides(rot_q, pos_v, n_l, d_l, val):
+                out = []
+                for p in range(n_l[0].shape[1]):
+                    sn_w = qrot(rot_q, tuple(c[:, p] for c in n_l))
+                    out.append((sn_w, d_l[:, p] + dot3(sn_w, pos_v),
+                                val[:, p]))
+                return out
+
+            sidesR = mk_sides(
+                ref_rot, ref_pos,
+                tables.rows2_vec_sel(obj_ref, "face_side_n", ohRf),
+                tables.rows2_scalar_sel(obj_ref, "face_side_d", ohRf), vvalR)
+            sidesI = mk_sides(
+                inc_rot, inc_pos,
+                tables.rows2_vec_sel(obj_inc, "face_side_n", ohIf),
+                tables.rows2_scalar_sel(obj_inc, "face_side_d", ohIf), vvalI)
+            clip_in = (polyI, polyIn, vvalI, sidesR, sidesI,
+                       polyR, vvalR, n_reff, d_reff, n_incf, d_incf)
+
+        if clip_in is not None:
+            pts_c, dep_c = _clip_face_manifold(*clip_in, nrm_inc)
+            dep_sat = padP(dep_c, -BIG)
+            pts_sat = tuple(padP(c) for c in pts_c)
+        else:
+            # fallback (object managers without face tables): all incident
+            # verts, clamped into the reference hull local AABB
+            ufB = bexp(use_faceB, 1, A["verts_w"][0].shape)
+            verts_inc = v3where(ufB, A["verts_w"], B["verts_w"])
+            vmask_inc = jnp.where(ufB, A["vmask"], B["vmask"]) > 0.5
+            proj = dot3(verts_inc, vexpand(nrm_inc))
+            proj = jnp.where(vmask_inc, proj, BIG)
+            pmin = jnp.min(proj, axis=1)
+            dep_sat = sat_pen[:, None, :] - (proj - pmin[:, None, :])
+            dep_sat = jnp.where(vmask_inc, dep_sat, -BIG)
+            ref_lo = v3where(use_faceB, B["lo_l"], A["lo_l"])
+            ref_hi = v3where(use_faceB, B["hi_l"], A["hi_l"])
+            rq = tuple(expand(c) for c in ref_rot)
+            rp = vexpand(ref_pos)
+            local = qrot_inv(rq, v3sub(verts_inc, rp))
+            local = tuple(jnp.clip(c, expand(lo), expand(hi))
+                          for c, lo, hi in zip(local, ref_lo, ref_hi))
+            pts_sat = v3add(qrot(rq, local), rp)
+            dep_sat = padP(dep_sat, -BIG)
+            pts_sat = tuple(padP(c) for c in pts_sat)
 
         # edge-edge: single contact at the closest point between the
         # supporting edges (reference narrowphase edge contact path) —
