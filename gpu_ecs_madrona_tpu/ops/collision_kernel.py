@@ -75,26 +75,95 @@ def _kernel(pos_t_ref, lo_t_ref, hi_t_ref, mask_r_ref, out_ref):
         out_ref[w] = -2.0 * (xm - xt * colsum)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def collision_pushes(pos, lo, hi, mask, interpret: bool = False):
+def _kernel_tiled(pos_i_ref, lo_i_ref, hi_i_ref, mask_i_ref,
+                  pos_j_ref, lo_j_ref, hi_j_ref, mask_j_ref, out_ref,
+                  *, tile: int):
+    """One (world, i-tile, j-tile) program of the tiled pair matrix.
+
+    Accumulates the j-tile's contribution to the i-tile's push: the pair
+    matrix [n, n] never exists whole — only a [Ti, Tj] window lives in
+    VMEM.  Output revisiting over the fastest (j) grid axis does the
+    reduction; `@pl.when(j == 0)` initializes.
+    """
+    j = pl.program_id(2)
+    ti = tile
+
+    xt_i = pos_i_ref[0]     # [3, Ti]
+    xt_j = pos_j_ref[0]     # [3, Tj]
+
+    # d2 from per-axis differences (subtract-first), not the Gram form:
+    # the Gram trick cancels |x|^2-scale terms and loses close-pair d2 to
+    # f32 rounding (rsqrt then explodes).  Three [Ti, Tj] broadcast passes
+    # cost about the same as the AABB compares below and are exact.
+    d2 = jnp.zeros((ti, ti), jnp.float32)
+    for a in range(3):
+        diff = jnp.transpose(xt_i[a:a + 1, :]) - xt_j[a:a + 1, :]
+        d2 = d2 + diff * diff
+
+    ok = jnp.transpose(mask_i_ref[0]) * mask_j_ref[0]    # [Ti,1]*[1,Tj]
+    lo_i, hi_i = lo_i_ref[0], hi_i_ref[0]
+    lo_j, hi_j = lo_j_ref[0], hi_j_ref[0]
+    for a in range(3):
+        ok = ok * (
+            (jnp.transpose(lo_i[a:a + 1, :]) <= hi_j[a:a + 1, :])
+            & (jnp.transpose(hi_i[a:a + 1, :]) >= lo_j[a:a + 1, :])
+        ).astype(jnp.float32)
+    # global diagonal: i-tile row r is body pid(1)*Ti + r, j-tile col c is
+    # body pid(2)*Tj + c (Ti == Tj == tile)
+    gi = pl.program_id(1) * ti + jax.lax.broadcasted_iota(
+        jnp.int32, (ti, ti), 0)
+    gj = j * ti + jax.lax.broadcasted_iota(jnp.int32, (ti, ti), 1)
+    ok = ok * (gi != gj).astype(jnp.float32)
+
+    m = ok * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))       # [Ti, Tj]
+    # sum_j m_ij x_j  ->  [3, Ti]
+    xm = jax.lax.dot_general(
+        xt_j, m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    # rowsum_i = sum_j m_ij as [1, Ti] via a ones matmul (stays on the MXU;
+    # a [Ti,1] -> [1,Ti] transpose would relayout)
+    rowsum = jax.lax.dot_general(
+        jnp.ones((1, ti), jnp.float32), m, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [1, Ti]
+    part = -2.0 * (xm - xt_i * rowsum)
+
+    @pl.when(j == 0)
+    def _():
+        out_ref[0] = part
+
+    @pl.when(j != 0)
+    def _():
+        out_ref[0] += part
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "force_tile"))
+def collision_pushes(pos, lo, hi, mask, interpret: bool = False,
+                     force_tile: int = 0):
     """pos [W, n, 3], lo/hi [W, n, 3], mask [W, n] bool -> delta [W, n, 3].
 
     Equivalent to the dense XLA path in models/collisions.py solver (all
     overlapping ordered pairs, -2 * sum of unit center-line normals).
+
+    Small n (padded [n, n] grid fits VMEM): one program per world-block,
+    whole pair grid resident.  Large n: the pair matrix is tiled
+    [tile, tile] with output revisiting over the j axis — n is unbounded
+    (HBM traffic stays positions/AABBs in, deltas out; tiles stream).
+    `force_tile` pins the tile size (testing).
     """
     W, n0, _ = pos.shape
     n = ((n0 + 127) // 128) * 128
-    # worlds per program, bounded by VMEM: the kernel's live set is
-    # ~3 x [n, n] f32 tiles per world iteration (gram/d2/m) plus operands;
-    # keep wb * n^2 * 12B under ~6 MB of the 16 MB scoped budget.
-    if n * n * 12 > 6 * 1024 * 1024:
-        raise ValueError(
-            f"collision_pushes: n={n0} pads to {n}; the [n, n] pair tiles "
-            "exceed the VMEM budget — tile the pair matrix (planned) or "
-            "use the XLA dense path for n > ~700")
-    wb = max(1, min(8, (6 * 1024 * 1024) // max(n * n * 12, 1)))
-    while W % wb != 0:
-        wb -= 1
+    # Single-block path bound: the live set is ~3 x [n, n] f32 tiles per
+    # world iteration (gram/d2/m) plus operands; keep n^2 * 12B under ~6 MB
+    # of the 16 MB scoped budget.
+    tiled = force_tile > 0 or n * n * 12 > 6 * 1024 * 1024
+    if tiled:
+        tile = force_tile if force_tile > 0 else 512
+        n = ((n0 + tile - 1) // tile) * tile
+        wb = 1
+    else:
+        wb = max(1, min(8, (6 * 1024 * 1024) // max(n * n * 12, 1)))
+        while W % wb != 0:
+            wb -= 1
 
     def prep(x, fill=0.0):
         # [W, n0, 3] -> coordinate-major padded [W, 3, n]
@@ -109,6 +178,29 @@ def collision_pushes(pos, lo, hi, mask, interpret: bool = False):
     hi_t = prep(hi, fill=-1.0)
     mask_r = jnp.pad(mask.astype(jnp.float32)[:, None, :],
                      ((0, 0), (0, 0), (0, n - n0)))      # [W, 1, n]
+
+    if tiled:
+        nt = n // tile
+        grid = (W, nt, nt)
+
+        def bs_i(rows):
+            return pl.BlockSpec((1, rows, tile), lambda w, i, j: (w, 0, i),
+                                memory_space=pltpu.VMEM)
+
+        def bs_j(rows):
+            return pl.BlockSpec((1, rows, tile), lambda w, i, j: (w, 0, j),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            functools.partial(_kernel_tiled, tile=tile),
+            grid=grid,
+            in_specs=[bs_i(3), bs_i(3), bs_i(3), bs_i(1),
+                      bs_j(3), bs_j(3), bs_j(3), bs_j(1)],
+            out_specs=bs_i(3),
+            out_shape=jax.ShapeDtypeStruct((W, 3, n), jnp.float32),
+            interpret=interpret,
+        )(pos_t, lo_t, hi_t, mask_r, pos_t, lo_t, hi_t, mask_r)
+        return jnp.swapaxes(out[:, :, :n0], 1, 2)
 
     grid = (W // wb,)
 

@@ -58,3 +58,34 @@ def test_collisions_example_pallas_matches_xla():
     k = collision_pushes(pos, aabb["lo"], aabb["hi"], mask, interpret=True)
     x = reference_pushes(pos, aabb["lo"], aabb["hi"], mask)
     np.testing.assert_allclose(np.asarray(k), np.asarray(x), atol=1e-4)
+
+
+def test_collision_pushes_tiled_parity():
+    """Pair-matrix tiled path (large n) matches the reference formula and
+    the single-block path, including masked/padded rows and the diagonal."""
+    key = jax.random.PRNGKey(11)
+    W, n = 2, 200
+    pos = jax.random.uniform(key, (W, n, 3), minval=-5, maxval=5)
+    lo, hi = pos - 0.8, pos + 0.8
+    mask = jnp.ones((W, n), bool).at[:, -7:].set(False)
+    got = collision_pushes(pos, lo, hi, mask, interpret=True, force_tile=128)
+    want = reference_pushes(pos, lo, hi, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+    # the single-block path computes d2 in Gram form (different rounding
+    # near contact) — cross-formulation agreement is loose by construction
+    single = collision_pushes(pos, lo, hi, mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(single), atol=5e-2)
+
+
+def test_collision_pushes_tiled_close_pairs_exact():
+    """The tiled path computes d2 subtract-first: a near-coincident pair at
+    large coordinates must yield a unit-normal push (magnitude 2), not a
+    Gram-cancellation explosion."""
+    pos = np.zeros((1, 2, 3), np.float32)
+    pos[0, 0] = [50.0, 50.0, 50.0]
+    pos[0, 1] = [50.02, 50.0, 50.0]   # true d2 = 4e-4, |x|^2 ~ 7.5e3
+    lo, hi = pos - 0.5, pos + 0.5
+    mask = np.ones((1, 2), bool)
+    out = np.asarray(collision_pushes(pos, lo, hi, mask, interpret=True,
+                                      force_tile=128))
+    assert abs(np.linalg.norm(out[0, 0]) - 2.0) < 1e-3
