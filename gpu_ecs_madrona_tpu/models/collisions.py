@@ -75,6 +75,17 @@ class CollisionsConfig:
     # the [W, n, n] grid would not fit through HBM (large n); default off
     # for the 100-object headline workload.
     use_pallas: bool = False
+    # Fuse the whole per-tick chain (AABB preprocess + overlap + push) into
+    # ONE pallas_call (ops/collision_kernel.fused_collisions_step): the
+    # [n, n] grids never touch HBM — the megakernel analog (measured 37x
+    # step time vs the XLA chain at 8192 worlds).  None = auto (currently
+    # OFF everywhere: Mosaic miscompiles the multi-world block loop on
+    # real v5e — wrong deltas at wb>1, exact at wb=1/interpret — under
+    # investigation; opt in explicitly once parity holds on your stack).
+    # The broadphase/narrowphase temporary-emitting nodes are unchanged
+    # (and still DCE'd when unobserved), so observable semantics are
+    # identical.
+    fused: bool = None
 
 
 class CollisionsWorld:
@@ -112,6 +123,12 @@ class CollisionsWorld:
             "bounds_lo": jnp.broadcast_to(lo, (W, 3)),
             "bounds_hi": jnp.broadcast_to(hi, (W, 3)),
         }
+        # fused-step stash: the megakernel computes the push delta alongside
+        # the AABBs (before broadphase in node order); the solver node
+        # applies it after narrowphase.  Pre-created so the state pytree
+        # structure is step-invariant.
+        ctx.data["push_delta"] = jnp.zeros((W, cfg.num_objects + 8, 3),
+                                           jnp.float32)
         kpos, kang = ctx.rng_one(), ctx.rng_one()
         pos = jax.vmap(
             lambda k: jax.random.uniform(k, (n, 3), minval=lo, maxval=hi)
@@ -138,16 +155,45 @@ class CollisionsWorld:
     def setup_tasks(cls, builder: TaskGraphBuilder):
         cfg = cls.config
         max_pairs = cfg.max_pairs
+        n_pad = ((cfg.num_objects + 8 + 127) // 128) * 128
+        fused = cfg.fused
+        if fused is None:
+            fused = False  # see CollisionsConfig.fused: TPU parity pending
+        if fused and n_pad * n_pad * 12 > 6 * 1024 * 1024:
+            raise ValueError("fused=True: object count exceeds the fused "
+                             "kernel's single-tile VMEM bound")
 
-        def aabb_preprocess(rowctx, pos, rot, aabb):
-            # reference collisions.cpp:96-122 (unit-cube corner transform)
-            corners = m.transform_points(pos, rot, m.UNIT_CUBE_CORNERS)
-            lo, hi = m.aabb_from_points(corners)
-            return pos, rot, {"lo": lo, "hi": hi}
+        if fused:
+            def fused_pre(ctx: Context):
+                # one pallas_call computes the AABBs AND the push delta from
+                # the pre-push positions; the delta is stashed and applied
+                # by the solver node so broadphase/narrowphase still observe
+                # pre-push state (reference node order).
+                from gpu_ecs_madrona_tpu.ops.collision_kernel import (
+                    fused_collisions_step)
+                pos = ctx.column(CubeObject, Translation)
+                rot = ctx.column(CubeObject, Rotation)
+                mask = ctx.row_mask(CubeObject)
+                # forcing fused=True on the CPU backend (tests) runs the
+                # kernel in interpret mode
+                delta, lo, hi = fused_collisions_step(
+                    pos, rot, mask,
+                    interpret=jax.default_backend() == "cpu")
+                ctx.set_column(CubeObject, PhysicsAABB, {"lo": lo, "hi": hi})
+                ctx.data["push_delta"] = delta
 
-        n_pre = builder.parallel_for_node(
-            aabb_preprocess, [Translation, Rotation, PhysicsAABB], name="aabb_preprocess"
-        )
+            n_pre = builder.add_node(fused_pre, name="aabb_preprocess")
+        else:
+            def aabb_preprocess(rowctx, pos, rot, aabb):
+                # reference collisions.cpp:96-122 (unit-cube corner transform)
+                corners = m.transform_points(pos, rot, m.UNIT_CUBE_CORNERS)
+                lo, hi = m.aabb_from_points(corners)
+                return pos, rot, {"lo": lo, "hi": hi}
+
+            n_pre = builder.parallel_for_node(
+                aabb_preprocess, [Translation, Rotation, PhysicsAABB],
+                name="aabb_preprocess"
+            )
 
         # The three pair-grid nodes below each recompute the (cheap) dense
         # overlap grid from the AABB columns rather than passing buffers
@@ -260,6 +306,10 @@ class CollisionsWorld:
             # (simple_jobs/simple.cpp max_collisions); only the *observable
             # contact table* truncates at its configured capacity.
             pos_col = ctx.column(CubeObject, Translation)
+            if fused:
+                ctx.set_column(CubeObject, Translation,
+                               pos_col + ctx.data["push_delta"])
+                return
             use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
             if use_pallas:
                 # fused VMEM-resident pair grid (ops/collision_kernel.py)

@@ -217,3 +217,121 @@ def collision_pushes(pos, lo, hi, mask, interpret: bool = False,
         interpret=interpret,
     )(pos_t, lo_t, hi_t, mask_r)
     return jnp.swapaxes(out[:, :, :n0], 1, 2)
+
+
+def _kernel_fused_step(pos_t_ref, rot_t_ref, mask_r_ref,
+                       delta_ref, lo_ref, hi_ref):
+    """Whole collisions step in VMEM: AABB from the rotated unit cube,
+    overlap grid, and the pair-push reduction — nothing [n, n] touches HBM.
+
+    The AABB of the +-1 corner cube under rotation R centered at p is
+    p -+ e with e_a = sum_b |R_ab| (the min/max over all eight sign
+    combinations of (R c)_a is -+ that row-abs sum), so the eight-corner
+    transform of the XLA path (models/collisions.py aabb_preprocess)
+    collapses to nine quat products per body.
+    """
+    wb = pos_t_ref.shape[0]
+    n = pos_t_ref.shape[2]
+
+    pt = pos_t_ref[...]                       # [wb, 3, n]
+    qw = rot_t_ref[:, 0:1, :]                 # [wb, 1, n]
+    qx = rot_t_ref[:, 1:2, :]
+    qy = rot_t_ref[:, 2:3, :]
+    qz = rot_t_ref[:, 3:4, :]
+    two = jnp.float32(2.0)
+    r00 = 1.0 - two * (qy * qy + qz * qz)
+    r01 = two * (qx * qy - qw * qz)
+    r02 = two * (qx * qz + qw * qy)
+    r10 = two * (qx * qy + qw * qz)
+    r11 = 1.0 - two * (qx * qx + qz * qz)
+    r12 = two * (qy * qz - qw * qx)
+    r20 = two * (qx * qz - qw * qy)
+    r21 = two * (qy * qz + qw * qx)
+    r22 = 1.0 - two * (qx * qx + qy * qy)
+    e = jnp.concatenate(
+        [jnp.abs(r00) + jnp.abs(r01) + jnp.abs(r02),
+         jnp.abs(r10) + jnp.abs(r11) + jnp.abs(r12),
+         jnp.abs(r20) + jnp.abs(r21) + jnp.abs(r22)], axis=1)  # [wb, 3, n]
+    lo_ref[...] = pt - e
+    hi_ref[...] = pt + e
+
+    eye_c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    eye_r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    not_eye = (eye_c != eye_r).astype(jnp.float32)
+
+    for w in range(wb):
+        # Per-world operands are re-read from REFS, not sliced from the
+        # computed [wb, 3, n] values: Mosaic (2026-08, v5e) miscompiles
+        # python-int slicing of large multi-world intermediates inside this
+        # loop (wrong deltas at wb=8; exact at wb=1), while the identical
+        # ref-indexed pattern (_kernel above) is correct.  Reading lo/hi
+        # back through the output refs also keeps the live set per
+        # iteration at [3, n] instead of wb x [3, n].
+        xt = pos_t_ref[w]       # [3, n]
+        lo_t, hi_t = lo_ref[w], hi_ref[w]
+        ok = jnp.transpose(mask_r_ref[w]) * mask_r_ref[w]
+        d2 = jnp.zeros((n, n), jnp.float32)
+        for a in range(3):
+            ok = ok * (
+                (jnp.transpose(lo_t[a:a + 1, :]) <= hi_t[a:a + 1, :])
+                & (jnp.transpose(hi_t[a:a + 1, :]) >= lo_t[a:a + 1, :])
+            ).astype(jnp.float32)
+            diff = jnp.transpose(xt[a:a + 1, :]) - xt[a:a + 1, :]
+            d2 = d2 + diff * diff
+        ok = ok * not_eye
+        m = ok * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))   # [n, n] symmetric
+        xm = jax.lax.dot_general(
+            xt, m, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [3, n]
+        colsum = jnp.sum(m, axis=0, keepdims=True)
+        delta_ref[w] = -2.0 * (xm - xt * colsum)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "force_wb"))
+def fused_collisions_step(pos, rot, mask, interpret: bool = False,
+                          force_wb: int = 0):
+    """pos [W, n, 3], rot [W, n, 4] (w-first quats), mask [W, n] bool ->
+    (delta [W, n, 3], lo [W, n, 3], hi [W, n, 3]).
+
+    One pallas_call covering the collisions example's whole per-tick chain
+    (models/collisions.py aabb_preprocess + solver; the reference's
+    broadphase/narrowphase job chain, examples/collisions/collisions.cpp).
+    The [n, n] overlap/distance grids live only in VMEM; HBM traffic is
+    pos/rot in, delta/aabb out.  d2 is computed subtract-first (exact for
+    close pairs, no Gram cancellation).
+    """
+    W, n0, _ = pos.shape
+    n = ((n0 + 127) // 128) * 128
+    if n * n * 12 > 6 * 1024 * 1024:
+        raise ValueError(
+            f"fused_collisions_step: n={n0} exceeds the single-tile bound; "
+            "use collision_pushes (tiled) + the XLA aabb node for large n")
+    wb = force_wb or max(1, min(8, (6 * 1024 * 1024) // max(n * n * 12, 1)))
+    while W % wb != 0:
+        wb -= 1
+
+    def prep(x, c, fill=0.0):
+        xt = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, n - n0)), constant_values=fill)
+
+    pos_t = prep(pos, 3)
+    rot_t = prep(rot, 4)
+    mask_r = jnp.pad(mask.astype(jnp.float32)[:, None, :],
+                     ((0, 0), (0, 0), (0, n - n0)))
+
+    grid = (W // wb,)
+
+    def bs(shape):
+        return pl.BlockSpec((wb,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    delta, lo, hi = pl.pallas_call(
+        _kernel_fused_step,
+        grid=grid,
+        in_specs=[bs((3, n)), bs((4, n)), bs((1, n))],
+        out_specs=[bs((3, n)), bs((3, n)), bs((3, n))],
+        out_shape=[jax.ShapeDtypeStruct((W, 3, n), jnp.float32)] * 3,
+        interpret=interpret,
+    )(pos_t, rot_t, mask_r)
+    unprep = lambda x: jnp.swapaxes(x[:, :, :n0], 1, 2)
+    return unprep(delta), unprep(lo), unprep(hi)

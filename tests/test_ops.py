@@ -89,3 +89,23 @@ def test_collision_pushes_tiled_close_pairs_exact():
     out = np.asarray(collision_pushes(pos, lo, hi, mask, interpret=True,
                                       force_tile=128))
     assert abs(np.linalg.norm(out[0, 0]) - 2.0) < 1e-3
+
+
+def test_fused_collisions_step_trajectory_parity():
+    """fused=True (one pallas_call megakernel, interpret on CPU) must
+    reproduce the XLA node-chain trajectory."""
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    def traj(fused):
+        cfg = col.CollisionsConfig(num_worlds=4, num_objects=24,
+                                   max_pairs=256, seed=3, fused=fused)
+        sim = col.make_executor(cfg)
+        out = []
+        for _ in range(5):
+            sim.step()
+            out.append(np.asarray(
+                sim.mgr.column(sim.state, col.CubeObject, col.Translation)))
+        return out
+
+    for a, b in zip(traj(False), traj(True)):
+        np.testing.assert_allclose(a, b, atol=1e-4)
