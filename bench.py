@@ -40,6 +40,18 @@ def main():
     sim.block_until_ready()
     elapsed = time.perf_counter() - start
 
+    # Correctness guard: a numerically exploding sim has the same static
+    # shapes and runs just as "fast" — never report throughput off a NaN
+    # trajectory (this caught the TPU bf16-matmul Gram-d2 explosion).
+    import numpy as np
+    pos, mask = sim.get_exported(0)
+    pos = np.asarray(pos)
+    if not np.isfinite(pos[np.asarray(mask)]).all():
+        print(json.dumps({"metric": "collisions env-steps/s", "value": 0.0,
+                          "unit": "env-steps/s", "vs_baseline": 0.0,
+                          "error": "non-finite trajectory"}))
+        sys.exit(1)
+
     steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
     print(
         json.dumps(

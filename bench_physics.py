@@ -39,6 +39,18 @@ def main():
     sim.block_until_ready()
     elapsed = time.perf_counter() - start
 
+    # Correctness guard (see bench.py): never report throughput off a
+    # non-finite trajectory.
+    import numpy as np
+    import sys
+    pos, mask = sim.get_exported(0)
+    if not np.isfinite(np.asarray(pos)[np.asarray(mask)]).all():
+        print(json.dumps({"metric": "rigid-body physics env-steps/s",
+                          "value": 0.0, "unit": "env-steps/s",
+                          "vs_baseline": 0.0,
+                          "error": "non-finite trajectory"}))
+        sys.exit(1)
+
     steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
     print(json.dumps({
         "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "

@@ -78,13 +78,12 @@ class CollisionsConfig:
     # Fuse the whole per-tick chain (AABB preprocess + overlap + push) into
     # ONE pallas_call (ops/collision_kernel.fused_collisions_step): the
     # [n, n] grids never touch HBM — the megakernel analog (measured 37x
-    # step time vs the XLA chain at 8192 worlds).  None = auto (currently
-    # OFF everywhere: Mosaic miscompiles the multi-world block loop on
-    # real v5e — wrong deltas at wb>1, exact at wb=1/interpret — under
-    # investigation; opt in explicitly once parity holds on your stack).
-    # The broadphase/narrowphase temporary-emitting nodes are unchanged
-    # (and still DCE'd when unobserved), so observable semantics are
-    # identical.
+    # step time vs the XLA chain at 8192 worlds on one v5e; verified
+    # against a NumPy oracle to 7.6e-6 on hardware).  None = auto: on for
+    # TPU when n fits a VMEM tile, off on CPU (tests force it on to run
+    # the kernel in interpret mode).  The broadphase/narrowphase
+    # temporary-emitting nodes are unchanged (and still DCE'd when
+    # unobserved), so observable semantics are identical.
     fused: bool = None
 
 
@@ -158,7 +157,8 @@ class CollisionsWorld:
         n_pad = ((cfg.num_objects + 8 + 127) // 128) * 128
         fused = cfg.fused
         if fused is None:
-            fused = False  # see CollisionsConfig.fused: TPU parity pending
+            fused = (jax.default_backend() != "cpu"
+                     and n_pad * n_pad * 12 <= 6 * 1024 * 1024)
         if fused and n_pad * n_pad * 12 > 6 * 1024 * 1024:
             raise ValueError("fused=True: object count exceeds the fused "
                              "kernel's single-tile VMEM bound")
@@ -333,13 +333,18 @@ class CollisionsWorld:
                 # few-units-scale d2 to f32 cancellation (measured 0.06
                 # position error at |x|~1000 without this).
                 pc = pos_col - jnp.mean(pos_col, axis=1, keepdims=True)
+                # precision=EXACT is load-bearing: one-bf16-pass gram loses
+                # close-pair d2 to cancellation and the rsqrt explodes
+                # (utils/math.py EXACT note; reproduced on v5e).
                 gram = jnp.einsum("wic,wjc->wij", pc, pc,
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=m.EXACT)
                 sq = jnp.sum(pc * pc, axis=-1)
                 d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
                 mmat = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
                 mx = jnp.einsum("wij,wjc->wic", mmat, pc,
-                                preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32,
+                                precision=m.EXACT)
                 rowsum = jnp.sum(mmat, axis=2)
                 delta = -2.0 * (mx - pc * rowsum[..., None])
             ctx.set_column(CubeObject, Translation, pos_col + delta)

@@ -168,12 +168,14 @@ class SimpleJobsWorld:
             # center per world before the Gram (see collisions.py solver)
             pc = pos - jnp.mean(pos, axis=1, keepdims=True)
             gram = jnp.einsum("wic,wjc->wij", pc, pc,
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=m.EXACT)  # see utils/math.py EXACT
             sq = jnp.sum(pc * pc, axis=-1)
             d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
             mmat = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
             mx = jnp.einsum("wij,wjc->wic", mmat, pc,
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=m.EXACT)
             rowsum = jnp.sum(mmat, axis=2)
             delta = -2.0 * (mx - pc * rowsum[..., None])
             d.update(

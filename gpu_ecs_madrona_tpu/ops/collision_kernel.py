@@ -46,18 +46,15 @@ def _kernel(pos_t_ref, lo_t_ref, hi_t_ref, mask_r_ref, out_ref):
 
     for w in range(wb):
         xt = pos_t_ref[w]       # [3, n]
-        gram = jax.lax.dot_general(
-            xt, xt, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [n, n]
-        sq = jnp.sum(xt * xt, axis=0, keepdims=True)     # [1, n]
-        # d2_ij = |x_i|^2 + |x_j|^2 - 2 x_i.x_j ; column vector via the
-        # symmetric transpose trick: sq as both row ([1,n]) and, through
-        # the gram diagonal... use broadcasted transpose-free form:
-        d2 = jnp.transpose(sq) + sq - 2.0 * gram
-
         lo_t = lo_t_ref[w]      # [3, n]
         hi_t = hi_t_ref[w]
         ok = jnp.transpose(mask_r_ref[w]) * mask_r_ref[w]   # [n,1]*[1,n]
+        # d2 subtract-first (NOT the Gram matmul): on the TPU MXU the
+        # f32 matmul runs one bf16 pass by default, and the Gram
+        # cancellation |xi|^2+|xj|^2-2<xi,xj> then computes close-pair d2
+        # negative -> rsqrt(clamp) explodes (utils/math.py EXACT note;
+        # exactly the failure the XLA-path solver hit on v5e).
+        d2 = jnp.zeros((n, n), jnp.float32)
         for a in range(3):
             lo_r = lo_t[a:a + 1, :]     # [1, n]
             hi_r = hi_t[a:a + 1, :]
@@ -65,12 +62,15 @@ def _kernel(pos_t_ref, lo_t_ref, hi_t_ref, mask_r_ref, out_ref):
                 (jnp.transpose(lo_r) <= hi_r)
                 & (jnp.transpose(hi_r) >= lo_r)
             ).astype(jnp.float32)
+            diff = jnp.transpose(xt[a:a + 1, :]) - xt[a:a + 1, :]
+            d2 = d2 + diff * diff
         ok = ok * not_eye
 
         m = ok * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))   # [n, n] symmetric
         xm = jax.lax.dot_general(
             xt, m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [3, n]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [3, n]
         colsum = jnp.sum(m, axis=0, keepdims=True)       # [1, n]
         out_ref[w] = -2.0 * (xm - xt * colsum)
 
@@ -119,7 +119,8 @@ def _kernel_tiled(pos_i_ref, lo_i_ref, hi_i_ref, mask_i_ref,
     # sum_j m_ij x_j  ->  [3, Ti]
     xm = jax.lax.dot_general(
         xt_j, m, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
     # rowsum_i = sum_j m_ij as [1, Ti] via a ones matmul (stays on the MXU;
     # a [Ti,1] -> [1,Ti] transpose would relayout)
     rowsum = jax.lax.dot_general(
@@ -282,7 +283,8 @@ def _kernel_fused_step(pos_t_ref, rot_t_ref, mask_r_ref,
         m = ok * jax.lax.rsqrt(jnp.maximum(d2, 1e-30))   # [n, n] symmetric
         xm = jax.lax.dot_general(
             xt, m, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [3, n]
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)         # [3, n]
         colsum = jnp.sum(m, axis=0, keepdims=True)
         delta_ref[w] = -2.0 * (xm - xt * colsum)
 

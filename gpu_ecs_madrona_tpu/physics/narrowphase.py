@@ -109,12 +109,15 @@ def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
     snI = m.quat_rotate(rotI_e, fsn[gI])
     sdI = fsd[gI] + jnp.sum(snI * posI_e, -1)
 
+    # Plane-distance einsums are EXACT: these feed clip t-parameters via
+    # near-zero differences at contact; one bf16 pass (TPU default) puts
+    # ~4e-3 noise on O(1e-2) distances (utils/math.py EXACT note).
     # set 1: incident edges interval-clipped against the reference side
     # planes ([*L, v, p]) — the clipped-segment START covers verts-inside
     # (t_lo = 0) and entering crossings; END emitted only when strictly
     # clipped (see pairs._clip_face_manifold)
-    dI0 = jnp.einsum("...vc,...pc->...vp", polyI, snR) - sdR[..., None, :]
-    dI1 = jnp.einsum("...vc,...pc->...vp", polyIn, snR) - sdR[..., None, :]
+    dI0 = jnp.einsum("...vc,...pc->...vp", polyI, snR, precision=m.EXACT) - sdR[..., None, :]
+    dI1 = jnp.einsum("...vc,...pc->...vp", polyIn, snR, precision=m.EXACT) - sdR[..., None, :]
     pvalR = svalR[..., None, :]
     denom = dI0 - dI1
     crossing = jnp.abs(denom) > 1e-12
@@ -135,7 +138,7 @@ def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
 
     # set 2: reference verts strictly inside the incident side planes,
     # projected onto the incident face along the contact axis
-    dRp = jnp.einsum("...vc,...pc->...vp", polyR, snI) - sdI[..., None, :]
+    dRp = jnp.einsum("...vc,...pc->...vp", polyR, snI, precision=m.EXACT) - sdI[..., None, :]
     inside3 = jnp.all((dRp <= -CLIP_STRICT) | ~svalI[..., None, :],
                       axis=-1) & svalR
     den = jnp.sum(n_incf * nrm_inc, -1)

@@ -45,6 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from gpu_ecs_madrona_tpu.physics.assets import PRIM_HULL, PRIM_PLANE, PRIM_SPHERE
+from gpu_ecs_madrona_tpu.utils.math import DEFAULT_P, EXACT
 
 NEG_BIG = -1e9
 BIG = 1e9
@@ -223,18 +224,26 @@ def pick_rows(oh, values):
 
 
 def gather_channels(packed_T, oh):
-    """[W, D, n] @ [W, n, K] -> [W, D, K] per-pair channel rows (MXU)."""
+    """[W, D, n] @ [W, n, K] -> [W, D, K] per-pair channel rows (MXU).
+
+    Mixed precision: the VALUES operand must not be rounded to one bf16
+    pass (TPU default — silently truncates gathered f32 state to ~3
+    digits; utils/math.py EXACT note), while the one-hot operand is
+    bf16-exact and stays cheap."""
     return jax.lax.dot_general(
         packed_T, oh, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=(EXACT, DEFAULT_P))
 
 
 def accumulate_channels(oh, vals):
     """Segment-sum pairs -> bodies: [W,n,K] x [W,C,K] -> [W,n,C] (MXU).
-    vals must be zero on invalid pairs."""
+    vals must be zero on invalid pairs.  Mixed precision: see
+    gather_channels."""
     return jax.lax.dot_general(
         oh, vals, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
+        preferred_element_type=jnp.float32,
+        precision=(DEFAULT_P, EXACT))
 
 
 # ---------------------------------------------------------------------------

@@ -441,10 +441,14 @@ def solve_joints(pos, rot, inv_mass, inv_inertia, joints, rows1, rows2,
 
     def seg(vals1, vals2):
         # [W, J, 3] -> [W, n, 3]
+        # values side EXACT: one bf16 pass truncates joint impulses to ~3
+        # digits on TPU (utils/math.py EXACT note); one-hot side exact.
         return (jnp.einsum("wjc,wjn->wnc", vals1, oh1,
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=jnp.float32,
+                           precision=(m.EXACT, m.DEFAULT_P))
                 + jnp.einsum("wjc,wjn->wnc", vals2, oh2,
-                             preferred_element_type=jnp.float32))
+                             preferred_element_type=jnp.float32,
+                             precision=(m.EXACT, m.DEFAULT_P)))
 
     dpos = seg(dx1, dx2)
     dang = seg(dw1 + dwp1, dw2 + dwp2)

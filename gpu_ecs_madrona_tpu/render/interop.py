@@ -143,9 +143,16 @@ class RenderingSystem:
                 self_f = sel.astype(jnp.float32)
 
                 def packv(x):
+                    # values side exact — one-bf16-pass (TPU default)
+                    # truncates camera eye/rot to ~3 digits (utils/math.py
+                    # EXACT note); the one-hot selector side stays cheap.
+                    hp = (jax.lax.Precision.DEFAULT,
+                          jax.lax.Precision.HIGHEST)
                     if x.ndim == 2:
-                        return jnp.einsum("wrs,wr->ws", self_f, x)
-                    return jnp.einsum("wrs,wrc->wsc", self_f, x)
+                        return jnp.einsum("wrs,wr->ws", self_f, x,
+                                          precision=hp)
+                    return jnp.einsum("wrs,wrc->wsc", self_f, x,
+                                      precision=hp)
 
                 render["__views__"] = {
                     "eye": packv(vpos + av["eye_offset"]),

@@ -12,6 +12,20 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+# TPU MXU hazard (measured on v5e, 2026-08): f32 dot/einsum under the
+# DEFAULT matmul precision run ONE bf16 pass per operand — each operand is
+# rounded to 8 mantissa bits before the systolic array.  That is fatal for
+# exact-cancellation math (Gram-form d2 = |xi|^2+|xj|^2-2<xi,xj> computed
+# ±0.4% of |x|^2 goes NEGATIVE for close pairs, and rsqrt(clamp) then
+# yields 1e15 pushes — the collisions XLA path literally exploded to NaN
+# in two steps) and silently truncates one-hot gathers/segment-sums of f32
+# simulation state.  CPU backends compute f32 exactly, so CPU tests cannot
+# catch it.  Every f32 matmul whose RESULT feeds simulation state must pass
+# precision=EXACT (HIGHEST = enough bf16 passes for full f32); one-hot
+# operands are bf16-exact and may stay DEFAULT via a (lhs, rhs) tuple.
+EXACT = jax.lax.Precision.HIGHEST
+DEFAULT_P = jax.lax.Precision.DEFAULT
+
 
 # -- quaternions -------------------------------------------------------------
 
