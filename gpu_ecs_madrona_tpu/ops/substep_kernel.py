@@ -172,10 +172,13 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
 
 
 def _substep_core(tables, relaxation, kvalid, h1, rest1,
-                  SA, SB, pos_b, rot_b, prev_pos_b, prev_rot_b,
+                  SA, SB, pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
                   oh_i, oh_j, gather_i, gather_j, segsum):
     """One contact substep given pair-gathered static sides SA/SB
     (im/ii/mu_s/mu_d/obj [Wt,K]) and per-body state tuples [Wt,n].
+    v_b/w_b are the POST-INTEGRATE velocities (the reference's
+    PreSolveVelocity, physics.cpp:162-163) feeding the restitution term;
+    their pair gather is skipped when no material has restitution.
 
     pos/rot/prev_pos are gathered per pair HERE (they change every
     substep); returns per-body (p2, r2, v2, w2, v3, w3): post-solve pose,
@@ -229,19 +232,27 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
                for c in dqv[1:4])
 
     # ---- velocity pass at post-solve poses -----------------------------
-    packed2 = jnp.stack(list(p2) + list(r2) + list(v2) + list(w2),
-                        axis=1)                              # [Wt, 13, n]
-    gA2 = gather_i(packed2, 13)
-    gB2 = gather_j(packed2, 13)
+    bounce = tables.any_restitution
+    chans = (list(p2) + list(r2) + list(v2) + list(w2)
+             + (list(v_b) + list(w_b) if bounce else []))
+    packed2 = jnp.stack(chans, axis=1)         # [Wt, 13(+6), n]
+    C2 = len(chans)
+    gA2 = gather_i(packed2, C2)
+    gB2 = gather_j(packed2, C2)
 
     def side2(g2, S):
-        return {
+        side = {
             "pos": _c3(g2, 0),
             "rot": (jnp.where(kvalid, g2[:, 3], 1.0),
                     g2[:, 4], g2[:, 5], g2[:, 6]),
             "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
             "v": _c3(g2, 7), "w": _c3(g2, 10),
         }
+        if bounce:
+            side["pv"] = _c3(g2, 13)
+            side["pw"] = _c3(g2, 16)
+            side["rest"] = tables.scalar(S["obj"], "restitution")
+        return side
 
     vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
                                 contacts, lam, h1, rest1,
@@ -310,13 +321,15 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 
         pos_b = _c3(packed, CH_POS)
         rot_b = _c4(packed, CH_ROT)
+        v_b = _c3(packed, CH_V)
+        w_b = _c3(packed, CH_W)
         prev_pos_b = _c3(packed, CH_PREV_POS)
         prev_rot_b = _c4(packed, CH_PREV_ROT)
         dyn_b = packed[:, CH_DYN] > 0.5
 
         p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
             tables, relaxation, kvalid, h1, rest1, SA, SB,
-            pos_b, rot_b, prev_pos_b, prev_rot_b,
+            pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
             oh_i, oh_j, gather_i, gather_j, segsum)
 
         # ---- writeback (static bodies keep their state) ------------------
@@ -373,7 +386,7 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 
             p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
                 tables, relaxation, kvalid, h1, rest1, SA, SB,
-                pos_i, rot_i, prev_pos, prev_rot,
+                pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
                 oh_i, oh_j, gather_i, gather_j, segsum)
 
             keep = dyn_b
@@ -390,8 +403,8 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     return kernel
 
 
-def _pick_wt(W: int, K: int) -> int:
-    env = os.environ.get("GEM_TPU_SUBSTEP_WT")
+def _pick_wt(W: int, K: int, override=None) -> int:
+    env = override or os.environ.get("GEM_TPU_SUBSTEP_WT")
     if env:
         return int(env)
     # Live-set pressure: measured at 8192x64 (K=256) the fused kernel runs
@@ -422,12 +435,12 @@ def _pallas_specs(Wt, C_in, n, K, C_out):
 
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
-                                              "interpret"))
+                                              "interpret", "wt"))
 def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-         interpret):
+         interpret, wt=None):
     W, _, n = packed.shape
     K = rows_i.shape[2]
-    Wt = _pick_wt(W, K)
+    Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
         _make_kernel(tables, Wt, n, K, relaxation),
         grid=(W // Wt,),
@@ -440,12 +453,13 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
-                                              "num_substeps", "interpret"))
+                                              "num_substeps", "interpret",
+                                              "wt"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-               num_substeps, interpret):
+               num_substeps, interpret, wt=None):
     W, _, n = packed.shape
     K = rows_i.shape[2]
-    Wt = _pick_wt(W, K)
+    Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
         _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps),
         grid=(W // Wt,),
@@ -490,10 +504,11 @@ class SubstepKernel:
     """
 
     def __init__(self, object_manager, relaxation: float = 1.0,
-                 interpret: bool = False):
+                 interpret: bool = False, wt=None):
         self.tables = pk.ObjTables(object_manager)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
+        self.wt = wt  # None = heuristic/env (see _pick_wt)
 
     def __call__(self, *, pos, rot, v, w, prev_pos, prev_rot, im, ii,
                  mu_s, mu_d, obj, dyn, rows_i, rows_j,
@@ -519,7 +534,7 @@ class SubstepKernel:
         out = _run(packed, rows_i[:, None, :], rows_j[:, None, :],
                    kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
                    tables=self.tables, relaxation=self.relaxation,
-                   interpret=self.interpret)          # [W, C_OUT, n]
+                   interpret=self.interpret, wt=self.wt)  # [W, C_OUT, n]
         out = out[:, :, :n0]
         return (_T(out[:, 0:3]), _T(out[:, 3:7]), _T(out[:, 7:10]),
                 _T(out[:, 10:13]))
@@ -534,11 +549,12 @@ class FusedSubstepKernel:
     """
 
     def __init__(self, object_manager, num_substeps: int,
-                 relaxation: float = 1.0, interpret: bool = False):
+                 relaxation: float = 1.0, interpret: bool = False, wt=None):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
+        self.wt = wt  # None = heuristic/env (see _pick_wt)
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
                  ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
@@ -564,7 +580,8 @@ class FusedSubstepKernel:
             packed, rows_i[:, None, :], rows_j[:, None, :],
             kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
             tables=self.tables, relaxation=self.relaxation,
-            num_substeps=self.num_substeps, interpret=self.interpret)
+            num_substeps=self.num_substeps, interpret=self.interpret,
+            wt=self.wt)
         out = out[:, :, :n0]
         return {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),

@@ -53,12 +53,18 @@ class SourceObject:
     inv_inertia: Tuple[float, float, float] = (1.0, 1.0, 1.0)
     mu_s: float = 0.5
     mu_d: float = 0.5
+    # restitution coefficient: the reference applies a hardcoded e=0.3 to
+    # every contact above the 2*|g|*h threshold (physics.cpp:842-845); here
+    # it is a per-object material property defaulting to the same 0.3
+    # (pairs combine by average, like mu_d at physics.cpp:916)
+    restitution: float = 0.3
     # set for axis-aligned box hulls (make_box): enables the analytic
     # OBB SAT fast path (Gottschalk tests, no vertex-support loops)
     box_half: Optional[Tuple[float, float, float]] = None
 
 
-def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
+def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5,
+             restitution=0.3) -> SourceObject:
     """Convex box hull with analytic inverse inertia (solid cuboid)."""
     hx, hy, hz = half_extents
     verts = np.array(
@@ -85,10 +91,12 @@ def make_box(half_extents=(1.0, 1.0, 1.0), inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> 
         inv_inertia = (0.0, 0.0, 0.0)
     return SourceObject(PRIM_HULL, verts=verts, faces=faces, inv_mass=inv_mass,
                         inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d,
+                        restitution=restitution,
                         box_half=(float(hx), float(hy), float(hz)))
 
 
-def make_sphere(radius=1.0, inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
+def make_sphere(radius=1.0, inv_mass=1.0, mu_s=0.5, mu_d=0.5,
+                restitution=0.3) -> SourceObject:
     if inv_mass > 0:
         m = 1.0 / inv_mass
         i = 1.0 / (0.4 * m * radius * radius)
@@ -96,14 +104,15 @@ def make_sphere(radius=1.0, inv_mass=1.0, mu_s=0.5, mu_d=0.5) -> SourceObject:
     else:
         inv_inertia = (0.0, 0.0, 0.0)
     return SourceObject(PRIM_SPHERE, sphere_radius=radius, inv_mass=inv_mass,
-                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d)
+                        inv_inertia=inv_inertia, mu_s=mu_s, mu_d=mu_d,
+                        restitution=restitution)
 
 
-def make_plane(mu_s=0.5, mu_d=0.5) -> SourceObject:
+def make_plane(mu_s=0.5, mu_d=0.5, restitution=0.3) -> SourceObject:
     """Static z=0 ground plane in object space (normal +z), reference
     CollisionPrimitive::Plane (physics.hpp:264)."""
     return SourceObject(PRIM_PLANE, inv_mass=0.0, inv_inertia=(0, 0, 0),
-                        mu_s=mu_s, mu_d=mu_d)
+                        mu_s=mu_s, mu_d=mu_d, restitution=restitution)
 
 
 def merge_coplanar_faces(verts: np.ndarray, faces: List[np.ndarray],
@@ -193,21 +202,198 @@ def merge_coplanar_faces(verts: np.ndarray, faces: List[np.ndarray],
     return merged
 
 
+def is_convex_mesh(verts: np.ndarray, faces: List[np.ndarray],
+                   tol: float = 1e-4) -> bool:
+    """True iff every face plane has ALL vertices on one side (winding-
+    agnostic: real .obj files often mix face winding, and the SAT pipeline
+    dedups axes up to sign anyway).  The validation the reference's
+    hull-consuming PhysicsLoader (physics_assets.cpp) leaves implicit."""
+    verts = np.asarray(verts, np.float64)
+    scale = max(1.0, float(np.abs(verts).max(initial=0.0)))
+    for loop in faces:
+        loop = np.asarray(loop)
+        p0, p1, p2 = verts[loop[0]], verts[loop[1]], verts[loop[2]]
+        n = np.cross(p1 - p0, p2 - p0)
+        ln = np.linalg.norm(n)
+        if ln < 1e-12:
+            continue
+        n = n / ln
+        s = (verts - p0) @ n
+        if (s > tol * scale).any() and (s < -tol * scale).any():
+            return False
+    return True
+
+
+def quickhull(points: np.ndarray, tol: float = 1e-9):
+    """3D quickhull: convex hull of a point cloud.
+
+    Returns (hull_verts [V,3] float32, faces: list of CCW triangle index
+    arrays into hull_verts).  From-scratch replacement for the convex-hull
+    construction a from-scratch framework needs where the reference simply
+    assumes pre-hulled assets (physics_assets.cpp consumes hulls as-is).
+    """
+    pts = np.asarray(points, np.float64)
+    npts = len(pts)
+    if npts < 4:
+        raise ValueError("quickhull needs >= 4 points")
+    scale = max(1.0, float(np.abs(pts).max()))
+    eps = tol * scale + 1e-12
+
+    # initial simplex: extremes along x, then farthest point / line / plane
+    i0 = int(np.argmin(pts[:, 0]))
+    i1 = int(np.argmax(pts[:, 0]))
+    if i0 == i1:
+        raise ValueError("degenerate point cloud (all x equal)")
+    d = pts[i1] - pts[i0]
+    t = np.cross(d, pts - pts[i0])
+    i2 = int(np.argmax(np.sum(t * t, axis=1)))
+    n = np.cross(pts[i1] - pts[i0], pts[i2] - pts[i0])
+    ln = np.linalg.norm(n)
+    if ln < eps:
+        raise ValueError("degenerate point cloud (collinear)")
+    dist = (pts - pts[i0]) @ (n / ln)
+    i3 = int(np.argmax(np.abs(dist)))
+    if abs(dist[i3]) < eps:
+        raise ValueError("degenerate point cloud (coplanar)")
+    if dist[i3] > 0:  # ensure i0,i1,i2 CCW seen from outside
+        i1, i2 = i2, i1
+
+    faces = {}   # fid -> (a, b, c)
+    planes = {}  # fid -> (n_unit, d)
+    next_fid = [0]
+
+    def add_face(a, b, c):
+        fid = next_fid[0]
+        next_fid[0] += 1
+        nn = np.cross(pts[b] - pts[a], pts[c] - pts[a])
+        lnn = np.linalg.norm(nn)
+        nn = nn / lnn if lnn > 1e-300 else nn
+        faces[fid] = (a, b, c)
+        planes[fid] = (nn, float(nn @ pts[a]))
+        return fid
+
+    for tri in ((i0, i1, i2), (i0, i2, i3), (i2, i1, i3), (i1, i0, i3)):
+        add_face(*tri)
+
+    # conflict sets: per face, outside points
+    alive = np.ones(npts, bool)
+    for i in (i0, i1, i2, i3):
+        alive[i] = False
+
+    def outside_of(fid, cand_idx):
+        nn, dd = planes[fid]
+        s = pts[cand_idx] @ nn - dd
+        return cand_idx[s > eps], s[s > eps]
+
+    conflicts = {}
+    cand = np.flatnonzero(alive)
+    claimed = np.zeros(npts, bool)
+    for fid in list(faces):
+        free = cand[~claimed[cand]]
+        out, s = outside_of(fid, free)
+        conflicts[fid] = list(out)
+        claimed[out] = True
+
+    work = [fid for fid in faces if conflicts.get(fid)]
+    while work:
+        fid = work.pop()
+        if fid not in faces or not conflicts.get(fid):
+            continue
+        out = conflicts[fid]
+        nn, dd = planes[fid]
+        far = max(out, key=lambda i: pts[i] @ nn - dd)
+        # visible set: BFS over faces whose plane sees `far`
+        visible = set()
+        stack = [fid]
+        # edge -> face map for adjacency
+        edge_face = {}
+        for f, (a, b, c) in faces.items():
+            for e in ((a, b), (b, c), (c, a)):
+                edge_face[e] = f
+        while stack:
+            f = stack.pop()
+            if f in visible or f not in faces:
+                continue
+            nf, df = planes[f]
+            if pts[far] @ nf - df > -eps:
+                visible.add(f)
+                a, b, c = faces[f]
+                for e in ((b, a), (c, b), (a, c)):  # neighbors share
+                    nb = edge_face.get(e)
+                    if nb is not None and nb not in visible:
+                        stack.append(nb)
+        # horizon: edges of visible faces whose neighbor is not visible
+        horizon = []
+        for f in visible:
+            a, b, c = faces[f]
+            for e in ((a, b), (b, c), (c, a)):
+                nb = edge_face.get((e[1], e[0]))
+                if nb is None or nb not in visible:
+                    horizon.append(e)
+        # orphaned conflict points of removed faces
+        orphans = set()
+        for f in visible:
+            orphans.update(conflicts.pop(f, ()))
+            del faces[f], planes[f]
+        orphans.discard(far)
+        # new fan from horizon to far
+        new_fids = [add_face(a, b, far) for (a, b) in horizon]
+        cand2 = np.fromiter(orphans, np.int64) if orphans else \
+            np.zeros(0, np.int64)
+        claimed2 = np.zeros(npts, bool)
+        for nf in new_fids:
+            free = cand2[~claimed2[cand2]]
+            out2, _ = outside_of(nf, free)
+            conflicts[nf] = list(out2)
+            claimed2[out2] = True
+            if len(out2):
+                work.append(nf)
+
+    used = sorted({i for tri in faces.values() for i in tri})
+    remap = {old: new for new, old in enumerate(used)}
+    hull_verts = pts[used].astype(np.float32)
+    hull_faces = [np.array([remap[a], remap[b], remap[c]], np.int32)
+                  for (a, b, c) in faces.values()]
+    return hull_verts, hull_faces
+
+
 def convex_hull_from_mesh(verts: np.ndarray, faces: List[np.ndarray],
                           inv_mass=1.0, mu_s=0.5, mu_d=0.5,
                           inv_inertia=(1.0, 1.0, 1.0),
-                          merge_coplanar: bool = True) -> SourceObject:
-    """Wrap an already-convex mesh (e.g. loaded from .obj via
-    utils.importer) as a hull object (reference PhysicsLoader::
-    loadHullFromDisk, physics_assets.cpp).  Coplanar triangle fans are
-    merged into polygon faces by default (see merge_coplanar_faces)."""
+                          restitution=0.3,
+                          merge_coplanar: bool = True,
+                          hull_mode: str = "validate") -> SourceObject:
+    """Wrap a mesh (e.g. loaded from .obj via utils.importer) as a hull
+    object (reference PhysicsLoader::loadHullFromDisk,
+    physics_assets.cpp).  Coplanar triangle fans are merged into polygon
+    faces by default (see merge_coplanar_faces).
+
+    hull_mode — the convex-input contract (the reference assumes hulled
+    input and would silently mis-collide otherwise):
+      "validate"  (default) raise ValueError on non-convex input
+      "quickhull" replace the mesh with its convex hull (from-scratch
+                  quickhull; the framework-side hulling the reference
+                  delegates to its asset pipeline)
+      "trust"     skip the check (reference behavior)
+    """
+    verts = np.asarray(verts, np.float32)
     faces = [np.asarray(f) for f in faces]
+    if hull_mode == "quickhull":
+        verts, faces = quickhull(verts)
+    elif hull_mode == "validate":
+        if not is_convex_mesh(verts, faces):
+            raise ValueError(
+                "mesh is not convex; pass hull_mode='quickhull' to take "
+                "its convex hull, or 'trust' to use it as-is (silently "
+                "wrong contacts, the reference's implicit behavior)")
+    elif hull_mode != "trust":
+        raise ValueError(f"unknown hull_mode {hull_mode!r}")
     if merge_coplanar:
         faces = merge_coplanar_faces(verts, faces)
     return SourceObject(PRIM_HULL, verts=np.asarray(verts, np.float32),
                         faces=faces,
                         inv_mass=inv_mass, inv_inertia=tuple(inv_inertia),
-                        mu_s=mu_s, mu_d=mu_d)
+                        mu_s=mu_s, mu_d=mu_d, restitution=restitution)
 
 
 class PhysicsLoader:
@@ -260,6 +446,7 @@ class PhysicsLoader:
             "inv_inertia": np.zeros((O, 3), np.float32),
             "mu_s": np.zeros(O, np.float32),
             "mu_d": np.zeros(O, np.float32),
+            "restitution": np.zeros(O, np.float32),
         }
         for i, obj in enumerate(self.objects):
             mgr["prim_type"][i] = obj.prim_type
@@ -270,6 +457,7 @@ class PhysicsLoader:
             mgr["inv_inertia"][i] = obj.inv_inertia
             mgr["mu_s"][i] = obj.mu_s
             mgr["mu_d"][i] = obj.mu_d
+            mgr["restitution"][i] = obj.restitution
             if obj.prim_type == PRIM_SPHERE:
                 r = obj.sphere_radius
                 mgr["sphere_radius"][i] = r

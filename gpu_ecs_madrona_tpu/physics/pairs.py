@@ -259,6 +259,8 @@ class ObjTables:
     def __init__(self, objmgr):
         om = {k: np.asarray(v) for k, v in objmgr.items()}
         self.O = om["prim_type"].shape[0]
+        # hand-built managers predating the restitution table get e=0
+        om.setdefault("restitution", np.zeros(self.O, np.float32))
         self.Vm = om["verts"].shape[1]
         self.Fm = om["face_normals"].shape[1]
         self.Em = om["edge_dirs"].shape[1]
@@ -270,6 +272,10 @@ class ObjTables:
             self.all_box = bool((om["hull_is_box"][hulls] == 1).all())
         else:
             self.all_box = False
+        # static trace-time flag: with every material at e=0 the bounce
+        # term vanishes and kernels skip the PreSolveVelocity pair gather
+        self.any_restitution = bool(
+            np.any(om.get("restitution", np.zeros(1)) != 0.0))
 
     def masks(self, obj):
         """(is_sphere, is_hull, is_plane) [W,K] bool."""
@@ -1254,16 +1260,19 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
 
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
                   relaxation=1.0):
-    """Per-pair velocity corrections (dynamic friction + normal-velocity
-    kill).  sides additionally carry v/w vec3 tuples [W,K].  h [W].
+    """Per-pair velocity corrections (dynamic friction + restitution,
+    reference solveVelocities physics.cpp:716-1009).  sides additionally
+    carry v/w vec3 tuples [W,K] (post-position-solve velocities); for
+    restitution they also carry pv/pw (pre-substep, i.e. post-integrate,
+    velocities — the reference's PreSolveVelocity, physics.cpp:162-163)
+    and rest (per-body restitution coefficient [W,K]).  h [W] or [W,1].
     Returns (packA [W,6,K], packB [W,6,K]).
 
-    Restitution: every material the asset pipeline produces has coefficient
-    0 (there is no restitution table), so the reference's e*vn_pre bounce
-    term (physics.cpp:673-714) is identically zero and is omitted — this
-    also keeps pre-substep velocities out of the solver's gather set.
-    restitution_threshold is accepted for API parity and reserved for a
-    future per-material restitution table."""
+    Restitution semantics match physics.cpp:825-867: e = pair coefficient
+    (average of the sides, like mu_d) when |vn_bar| > threshold (2*|g|*h),
+    else 0; target normal velocity max(-e*vn_bar, 0).  The reference
+    hardcodes e=0.3 above threshold; the asset pipeline defaults every
+    material to the same 0.3.  Sides without pv/pw/rest solve with e=0."""
     pts = contacts["points"]
     pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
         contacts["depth"] > 0)
@@ -1295,9 +1304,29 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
     wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
     wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
-    nimp = v3scale(n4, jnp.where(pt_ok & (vn < 0), -vn / wsum_n, 0.0))
+    if "pv" in sideA and "rest" in sideA:
+        # vn_bar from the post-integrate velocities (PreSolveVelocity)
+        pvrel = v3sub(point_vel(sideB["pv"], sideB["pw"], rB),
+                      point_vel(sideA["pv"], sideA["pw"], rA))
+        vn_pre = dot3(pvrel, n4)
+        rest3 = jnp.reshape(restitution_threshold,
+                            restitution_threshold.shape[:1] + (1, 1))
+        e_pair = (0.5 * (sideA["rest"] + sideB["rest"]))[:, None, :]
+        e = jnp.where(jnp.abs(vn_pre) <= rest3, 0.0, e_pair)
+        dv_n = -vn + jnp.maximum(-e * vn_pre, 0.0)
+    else:
+        dv_n = -vn
+    # repulsive impulses only (dv_n > 0): equals the vn < 0 gate at e=0,
+    # lets the bounce through when the position solve left vn >= 0.
+    # Jacobi-mean over contributing manifold points and NO relaxation on
+    # the normal impulse (see solver._velocity_contact_math): the target
+    # is an absolute post-velocity; relaxing leaves (1-relax)*vn un-killed.
+    n_ok = pt_ok & (dv_n > 0)
+    npts = jnp.maximum(jnp.sum(n_ok.astype(jnp.float32), axis=1,
+                               keepdims=True), 1.0)
+    nimp = v3scale(n4, jnp.where(n_ok, dv_n / wsum_n, 0.0) / npts)
 
-    imp = vmap3(lambda a, b: (a + b) * relaxation, fimp, nimp)
+    imp = vmap3(lambda a, b: a * relaxation + b, fimp, nimp)
     dvA = v3scale(imp, -expand(sideA["im"]))
     dvB = v3scale(imp, expand(sideB["im"]))
     rqA = tuple(expand(c) for c in rotA)

@@ -241,12 +241,19 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
                            posB, rotB, imB, iiB, muB, vB_lin, vB_ang,
                            pvB_lin, pvB_ang,
                            contacts, lambda_n, h4, restitution4,
-                           relaxation=1.0):
+                           relaxation=1.0, restA=None, restB=None):
     """Per-contact velocity impulse math (reference solveVelocities,
     physics.cpp:716-1009), leading-shape generic (see
     _positional_contact_math for conventions).  h4/restitution4 broadcast
-    against [*L,4].  Restitution uses the pre-substep normal velocity with
-    threshold 2*|g|*h; dynamic friction clamps by mu_d * |lambda_n| / h.
+    against [*L,4].  Restitution uses the pre-substep (post-integrate)
+    normal velocity vn_bar with threshold 2*|g|*h: e = pair coefficient
+    when |vn_bar| > threshold, else 0 (the reference hardcodes e=0.3 above
+    threshold, physics.cpp:842-845; here the coefficient is the average of
+    the two bodies' material restitution, defaulting to the same 0.3).
+    Dynamic friction clamps by mu_d * |lambda_n| / h.
+
+    restA/restB: per-side restitution coefficients shaped like muA/muB
+    (None = 0, no bounce).
 
     Returns (dvA, dwA, dvB, dwB [*L,4,3], masked to zero on dead points).
     """
@@ -286,20 +293,35 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
     # impulse on B points along -that (imp is applied +imp to B below)
     fimp = -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0)[..., None] * that
 
-    # restitution: pre-substep normal velocity
+    # restitution: pre-substep (post-integrate) normal velocity vn_bar
+    # (reference physics.cpp:825-867: e=0.3 above the 2*|g|*h threshold,
+    # target velocity max(-e*vn_bar, 0), applied via generalized masses)
     pvA = point_vel(pvA_lin, pvA_ang, rA)
     pvB = point_vel(pvB_lin, pvB_ang, rB)
     vn_pre = jnp.sum((pvB - pvA) * n4, axis=-1)
-    e = jnp.where(jnp.abs(vn_pre) <= restitution4, 0.0, 0.0)
-    # (reference uses e=0 default restitution w/ threshold; restitution
-    # target velocity = -e*vn_pre)
+    if restA is None or restB is None:
+        e_pair = 0.0
+    else:
+        e_pair = (0.5 * (restA + restB))[..., None]
+    e = jnp.where(jnp.abs(vn_pre) <= restitution4, 0.0, e_pair)
     wA_n = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
     wB_n = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
     wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
     dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0))
-    nimp = jnp.where(pt_ok & (vn < 0), dv_n / wsum_n, 0.0)[..., None] * n4
+    # gate on dv_n > 0 (repulsive impulses only): equivalent to the old
+    # vn < 0 gate when e=0, and lets the bounce through when the position
+    # solve left vn slightly positive.  The reference applies adhesive
+    # corrections too, but under Jacobi accumulation those destabilize.
+    n_ok = pt_ok & (dv_n > 0)
+    # Jacobi-mean over the manifold's contributing points and NO relaxation
+    # on the normal impulse: the target is an absolute post-velocity (the
+    # reference reaches it exactly by sequential application); relaxing it
+    # leaves (1-relax)*vn un-killed, which eats the bounce, and summing 4
+    # manifold points would overshoot 4x.
+    npts = jnp.maximum(jnp.sum(n_ok, axis=-1, keepdims=True), 1)
+    nimp = (jnp.where(n_ok, dv_n / wsum_n, 0.0) / npts)[..., None] * n4
 
-    imp = (fimp + nimp) * relaxation
+    imp = fimp * relaxation + nimp
 
     dvA = -imp * imA4[..., None]
     dvB = imp * imB4[..., None]
@@ -316,14 +338,17 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
                      inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
                      response_dynamic, h, restitution_threshold,
-                     relaxation=1.0):
+                     relaxation=1.0, rest_coef=None):
     """Velocity pass over the dense contact grid (reference solveVelocities,
-    physics.cpp:716-1009)."""
+    physics.cpp:716-1009).  rest_coef: per-body restitution [W, n]
+    (None = 0, no bounce)."""
     dynm = response_dynamic & (inv_mass > 0)
     im = jnp.where(dynm, inv_mass, 0.0)
     ii = jnp.where(dynm[..., None], inv_inertia, 0.0)
     h4 = jnp.reshape(h, (h.shape[0], 1, 1, 1))
     rest4 = restitution_threshold[..., None, None, None]
+    restA = None if rest_coef is None else rest_coef[:, :, None]
+    restB = None if rest_coef is None else rest_coef[:, None, :]
 
     dvA, dwA, dvB, dwB = _velocity_contact_math(
         pos[:, :, None], rot[:, :, None], im[:, :, None], ii[:, :, None],
@@ -332,7 +357,8 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
         pos[:, None, :], rot[:, None, :], im[:, None, :], ii[:, None, :],
         mu_d[:, None, :], vel_lin[:, None, :], vel_ang[:, None, :],
         pre_v[:, None, :], pre_omega[:, None, :],
-        contacts, lambda_n, h4, rest4, relaxation)
+        contacts, lambda_n, h4, rest4, relaxation,
+        restA=restA, restB=restB)
 
     dv = jnp.sum(dvA, axis=(2, 3)) + jnp.sum(dvB, axis=(1, 3))
     dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))
