@@ -170,6 +170,17 @@ class TaskGraphExecutor:
             self._state, info.archetype, info.comp, value
         )
 
+    def overflow_counters(self):
+        """Per-world dropped-create counters, {archetype_name: [W] int32}.
+
+        The release-build surface for capacity overflow (the masked analog
+        of the reference's asserts, src/core/state.inl:398-449): any
+        nonzero entry means creates/temporaries were silently clipped by a
+        too-small capacity (e.g. max_pairs) and results for those worlds
+        are suspect.  GEM_TPU_DEBUG=1 additionally fires an in-step
+        check() print at the offending node."""
+        return self._state["overflow"]
+
     # -- observation accessors (reference rgbObservations/depthObservations,
     # include/madrona/mw_render.hpp + vk/batch_renderer.cpp readback ptrs) --
 

@@ -39,6 +39,7 @@ from gpu_ecs_madrona_tpu.core.component import (
     Entity,
 )
 from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
+from gpu_ecs_madrona_tpu.utils import debug
 
 SimState = Dict[str, Any]
 
@@ -210,6 +211,15 @@ class StateManager:
             "user": {},
             "rng": keys,
             "tick": jnp.zeros((W,), jnp.int32),
+            # per-world, per-archetype dropped-create counters: the masked
+            # analog of the reference's capacity asserts
+            # (src/core/state.inl:398-449).  Release builds count silently
+            # (read via TaskGraphExecutor.overflow_counters()); GEM_TPU_DEBUG
+            # also fires an in-step check() on any drop.
+            "overflow": {
+                name: jnp.zeros((W,), jnp.int32)
+                for name in self.registry.archetypes
+            },
         }
 
     # -- entity lifecycle -------------------------------------------------
@@ -227,8 +237,9 @@ class StateManager:
         Returns (new_state, entities [W, max_new] int32; -1 where not
         created).  Functional analog of reference makeEntityNow
         (src/core/state.inl:398-449) batched over worlds.  Overflow (table or
-        id space full) silently drops the excess creates — the masked analog
-        of the reference's assert.
+        id space full) drops the excess creates — the masked analog of the
+        reference's assert — and increments the per-world overflow counter
+        (checked in-step under GEM_TPU_DEBUG).
         """
         W = self.num_worlds
         info = self.registry.archetypes[arch.name]
@@ -239,6 +250,12 @@ class StateManager:
         id_free = state["eid"]["loc_arch"] < 0
         eids = _alloc_slots(id_free, counts, max_new)  # [W, K]
         valid = (rows >= 0) & (eids >= 0)
+
+        made = jnp.sum(valid.astype(jnp.int32), axis=1)
+        dropped = jnp.maximum(counts, 0) - made
+        debug.check(dropped == 0,
+                    "make_entities overflow on archetype "
+                    f"{arch.name}: dropped={{}} per world", dropped)
         rows = jnp.where(valid, rows, -1)
         eids = jnp.where(valid, eids, -1)
 
@@ -277,6 +294,10 @@ class StateManager:
             "loc_arch": new_loc_arch,
             "loc_row": new_loc_row,
             "gen": eid_state["gen"],
+        }
+        new_state["overflow"] = {
+            **state["overflow"],
+            arch.name: state["overflow"][arch.name] + dropped,
         }
         return new_state, ents
 
@@ -343,10 +364,22 @@ class StateManager:
         make_entities path).
 
         ``values`` arrays are [W, K, ...] with K <= capacity; counts is
-        clipped to K.  Rows have no entity handles (entity column = -1);
-        look them up by row, not by handle.
+        clipped to K (the clip increments the archetype's per-world
+        overflow counter and, under GEM_TPU_DEBUG, fires an in-step
+        check()).  Rows have no entity handles (entity column = -1); look
+        them up by row, not by handle.
+
+        Only archetypes registered with ``temporary=True`` are accepted:
+        this call wholesale-replaces the mask/entity columns, which would
+        leak the entity ids of any real (handle-carrying) rows.
         """
         info = self.registry.archetypes[arch.name]
+        if not info.temporary:
+            raise ValueError(
+                f"emit_temporaries({arch.name}): archetype must be "
+                "registered with temporary=True — emitting into a normal "
+                "archetype would wholesale-replace its mask/entity columns "
+                "and leak any live entity handles")
         cap = info.capacity
         W = self.num_worlds
         counts = jnp.broadcast_to(jnp.asarray(counts, jnp.int32), (W,))
@@ -360,6 +393,11 @@ class StateManager:
         if k is None:
             k = cap
         k = min(k, cap)
+        dropped = jnp.maximum(counts, 0) - jnp.clip(counts, 0, k)
+        debug.check(dropped == 0,
+                    "emit_temporaries overflow on archetype "
+                    f"{arch.name} (capacity {cap}, K {k}): "
+                    "dropped={} per world", dropped)
         counts = jnp.minimum(counts, k)
 
         for comp, val in values.items():
@@ -384,6 +422,10 @@ class StateManager:
         }
         new_state = dict(state)
         new_state["arch"] = new_arch
+        new_state["overflow"] = {
+            **state["overflow"],
+            arch.name: state["overflow"][arch.name] + dropped,
+        }
         return new_state
 
     def destroy_rows(self, state: SimState, arch: Archetype,
