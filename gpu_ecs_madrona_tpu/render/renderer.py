@@ -50,14 +50,27 @@ class RendererConfig:
     # ray-query-accurate path.  False falls back to the cheaper OBB proxy
     # (exact for boxes only); cost scales with max_faces.
     exact_hulls: bool = True
+    # max triangles per render mesh (padded table width)
+    max_tris: int = 128
 
 
 class BatchRenderer:
     """Builds a render taskgraph node over packed instance/view buffers
-    (from render.interop.RenderingSystem.setup_tasks)."""
+    (from render.interop.RenderingSystem.setup_tasks).
+
+    ``render_meshes`` maps object id -> triangle mesh (either a
+    utils.importer.SourceMesh or a (verts [V,3], tris [T,3]) tuple).
+    Objects with a render mesh ray-trace the ACTUAL triangles
+    (Möller–Trumbore over a padded per-object triangle table — the analog
+    of the reference's per-mesh BLAS ray query, vk/scene.cpp:446-463 +
+    basic.comp), so arbitrary non-convex imported geometry renders
+    correctly; objects without one use the analytic primitive paths.
+    """
 
     def __init__(self, cfg: RendererConfig, object_manager: Dict[str, Any],
-                 object_albedo=None):
+                 object_albedo=None, render_meshes: Dict[int, Any] = None):
+        import numpy as np
+
         self.cfg = cfg
         self.objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         num_objs = self.objmgr["prim_type"].shape[0]
@@ -69,6 +82,40 @@ class BatchRenderer:
                 for s in (0.0, 0.33, 0.67)
             ], axis=-1)
         self.albedo = jnp.asarray(object_albedo, jnp.float32)
+
+        # padded per-object triangle tables (reference AssetManager mesh
+        # packing, vk/batch_renderer.cpp:446-463)
+        Tm = cfg.max_tris
+        tri_a = np.zeros((num_objs, Tm, 3), np.float32)
+        tri_e1 = np.zeros((num_objs, Tm, 3), np.float32)
+        tri_e2 = np.zeros((num_objs, Tm, 3), np.float32)
+        tri_mask = np.zeros((num_objs, Tm), bool)
+        has_mesh = np.zeros(num_objs, bool)
+        if render_meshes:
+            for oid, mesh in render_meshes.items():
+                if hasattr(mesh, "vertices"):  # SourceMesh: triangulate fans
+                    from gpu_ecs_madrona_tpu.utils.importer import index_mesh
+                    verts, _, _, tris = index_mesh(mesh)
+                else:
+                    verts, tris = mesh
+                    verts = np.asarray(verts, np.float32)
+                    tris = np.asarray(tris, np.int32)
+                if len(tris) > Tm:
+                    raise ValueError(
+                        f"render mesh for object {oid} has {len(tris)} "
+                        f"triangles > max_tris={Tm}")
+                a = verts[tris[:, 0]]
+                tri_a[oid, :len(tris)] = a
+                tri_e1[oid, :len(tris)] = verts[tris[:, 1]] - a
+                tri_e2[oid, :len(tris)] = verts[tris[:, 2]] - a
+                tri_mask[oid, :len(tris)] = True
+                has_mesh[oid] = True
+        self.tri_a = jnp.asarray(tri_a)
+        self.tri_e1 = jnp.asarray(tri_e1)
+        self.tri_e2 = jnp.asarray(tri_e2)
+        self.tri_mask = jnp.asarray(tri_mask)
+        self.has_mesh = jnp.asarray(has_mesh)
+        self.any_mesh = bool(has_mesh.any())
 
     def init_buffers(self, ctx: Context):
         """Pre-create output buffers in ctx.data (stable pytree)."""
@@ -175,6 +222,54 @@ class BatchRenderer:
         n_w = m.quat_rotate(rot, n_l / scale)
         n_w = n_w / jnp.maximum(jnp.linalg.norm(n_w, axis=-1, keepdims=True),
                                 1e-9)
+        return t, n_w
+
+    # -- triangle mesh: Möller–Trumbore over the padded tri table ----------
+    # (the BLAS ray-query analog for arbitrary, incl. non-convex, meshes)
+
+    @staticmethod
+    def _ray_mesh_core(ro, rd, center, rot, scale, tri_a, e1, e2, tmask):
+        """ro/rd [..., 3]; tri tables [..., T, 3] local space; returns
+        (t_tri [..., T] with misses at BIG).  Scale handled by unscaling
+        the ray (t preserved: direction not renormalized)."""
+        ro_l = (m.quat_inv_rotate(rot, ro - center) / scale)[..., None, :]
+        rd_l = (m.quat_inv_rotate(rot, rd) / scale)[..., None, :]
+        pvec = jnp.cross(rd_l, e2)
+        det = jnp.sum(e1 * pvec, axis=-1)
+        inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-9,
+                                  jnp.where(det >= 0, 1e-9, -1e-9), det)
+        tvec = ro_l - tri_a
+        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
+        qvec = jnp.cross(tvec, e1)
+        v = jnp.sum(rd_l * qvec, axis=-1) * inv_det
+        t = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        hit = (tmask & (jnp.abs(det) > 1e-9) & (u >= -1e-6) & (v >= -1e-6)
+               & (u + v <= 1 + 1e-6) & (t > 1e-4))
+        return jnp.where(hit, t, BIG)
+
+    @staticmethod
+    def _ray_mesh_t(ro, rd, center, rot, scale, tri_a, e1, e2, tmask):
+        t_tri = BatchRenderer._ray_mesh_core(
+            ro, rd, center, rot, scale, tri_a, e1, e2, tmask)
+        return jnp.min(t_tri, axis=-1)
+
+    @staticmethod
+    def _ray_mesh(ro, rd, center, rot, scale, tri_a, e1, e2, tmask):
+        """t + world normal of the nearest triangle (flipped toward the
+        ray origin — two-sided shading like basic.comp)."""
+        t_tri = BatchRenderer._ray_mesh_core(
+            ro, rd, center, rot, scale, tri_a, e1, e2, tmask)
+        t = jnp.min(t_tri, axis=-1)
+        ti = jnp.argmin(t_tri, axis=-1)
+        T = tmask.shape[-1]
+        oh = (ti[..., None] == jnp.arange(T))[..., None]
+        n_l = jnp.cross(jnp.sum(jnp.where(oh, e1, 0.0), axis=-2),
+                        jnp.sum(jnp.where(oh, e2, 0.0), axis=-2))
+        n_w = m.quat_rotate(rot, n_l / scale)
+        n_w = n_w / jnp.maximum(
+            jnp.linalg.norm(n_w, axis=-1, keepdims=True), 1e-9)
+        n_w = jnp.where(jnp.sum(n_w * rd, axis=-1, keepdims=True) > 0,
+                        -n_w, n_w)
         return t, n_w
 
     # t-only variants for the all-instances pass (no normal computation)
@@ -294,6 +389,15 @@ class BatchRenderer:
             pt5 = inst5(ptype)
             t_all = jnp.where(pt5 == PRIM_SPHERE, ts,
                               jnp.where(pt5 == PRIM_HULL, tb, tp))
+            if self.any_mesh:
+                # real triangle geometry overrides the analytic primitive
+                # for mesh-carrying objects (XLA fuses the [.., N, T]
+                # elementwise MT math into the min-reduction)
+                tm = self._ray_mesh_t(
+                    ro5, d5, inst5(pos), inst5(rot), inst5(scale),
+                    inst5(self.tri_a[obj]), inst5(self.tri_e1[obj]),
+                    inst5(self.tri_e2[obj]), inst5(self.tri_mask[obj]))
+                t_all = jnp.where(inst5(self.has_mesh[obj]), tm, t_all)
             t_all = jnp.where(inst5(imask), t_all, BIG)
             best_t = jnp.min(t_all, axis=-1)              # [W,V,H,Ww]
             best_i = jnp.argmin(t_all, axis=-1)
@@ -325,6 +429,14 @@ class BatchRenderer:
             _, n_p = self._ray_plane(ro, d, wpos, wrot)
             best_n = jnp.where((wtype == PRIM_SPHERE)[..., None], n_s,
                                jnp.where((wtype == PRIM_HULL)[..., None], n_b, n_p))
+            if self.any_mesh:
+                wobj_m = gw(obj)
+                _, n_m = self._ray_mesh(
+                    ro, d, wpos, wrot, gw(scale),
+                    self.tri_a[wobj_m], self.tri_e1[wobj_m],
+                    self.tri_e2[wobj_m], self.tri_mask[wobj_m])
+                best_n = jnp.where(self.has_mesh[wobj_m][..., None],
+                                   n_m, best_n)
 
             hit = best_t < BIG * 0.5
             light = jnp.asarray(cfg.light_dir, jnp.float32)
