@@ -24,9 +24,29 @@ def main():
     jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     from gpu_ecs_madrona_tpu.models import collisions as col
+    from gpu_ecs_madrona_tpu.tooling import autotuner
+
+    # Exec-config feedback loop (the MADRONA_MWGPU_EXEC_CONFIG_FILE
+    # analog): use the tuned artifact if present; otherwise run a quick
+    # fused-on/off sweep at this workload, persist it, and consume it.
+    cfg_source = "artifact"
+    tuned = autotuner.lookup("collisions", num_worlds=NUM_WORLDS,
+                             num_objects=100)
+    if tuned is None and os.environ.get("BENCH_NO_TUNE") != "1":
+        try:
+            entry = autotuner.tune_collisions(NUM_WORLDS, 100, ticks=15)
+            autotuner.save([entry])
+            tuned = entry["config"]
+            cfg_source = "swept"
+        except Exception as e:  # tuning must never kill the bench
+            print(f"# autotune failed: {e}", file=sys.stderr)
+    if tuned is None:
+        tuned = {}
+        cfg_source = "heuristic"
 
     sim = col.make_executor(
-        col.CollisionsConfig(num_worlds=NUM_WORLDS, seed=0)
+        col.CollisionsConfig(num_worlds=NUM_WORLDS, seed=0,
+                             fused=tuned.get("fused"))
     )
 
     # Warmup: compile the step program (the reference's analog is the NVRTC
@@ -60,6 +80,7 @@ def main():
                 "value": round(steps_per_s, 1),
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
+                "exec_config": {"source": cfg_source, **tuned},
             }
         )
     )

@@ -157,8 +157,17 @@ class CollisionsWorld:
         n_pad = ((cfg.num_objects + 8 + 127) // 128) * 128
         fused = cfg.fused
         if fused is None:
-            fused = (jax.default_backend() != "cpu"
-                     and n_pad * n_pad * 12 <= 6 * 1024 * 1024)
+            # exec-config artifact first (the MADRONA_MWGPU_EXEC_CONFIG_FILE
+            # analog, tooling/autotuner.py), then the static heuristic
+            from gpu_ecs_madrona_tpu.tooling import autotuner
+            tuned = autotuner.lookup("collisions",
+                                     num_worlds=cfg.num_worlds,
+                                     num_objects=cfg.num_objects)
+            if tuned is not None and "fused" in tuned:
+                fused = bool(tuned["fused"])
+            else:
+                fused = (jax.default_backend() != "cpu"
+                         and n_pad * n_pad * 12 <= 6 * 1024 * 1024)
         if fused and n_pad * n_pad * 12 > 6 * 1024 * 1024:
             raise ValueError("fused=True: object count exceeds the fused "
                              "kernel's single-tile VMEM bound")
@@ -252,7 +261,7 @@ class CollisionsWorld:
             )
             ctx.emit_temporaries(
                 CollisionCandidate,
-                counts=jnp.minimum(counts, k_eff),
+                counts=counts,  # emit clips to k_eff + counts overflow
                 values={CandidatePair: {"a": a_ent, "b": b_ent}},
             )
 
@@ -285,7 +294,7 @@ class CollisionsWorld:
             )
             ctx.emit_temporaries(
                 Contact,
-                counts=jnp.minimum(counts, k_eff),
+                counts=counts,  # emit clips to k_eff + counts overflow
                 values={ContactData: {"normal": norm_c, "a": a_ent, "b": b_ent}},
             )
 

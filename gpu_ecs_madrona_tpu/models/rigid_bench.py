@@ -64,6 +64,7 @@ class RigidBenchConfig:
     delta_t: float = 1 / 60
     max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
+    substep_wt: int = None        # Pallas world-block override (None = auto)
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
     spawn_xy: float = 8.0
@@ -147,7 +148,8 @@ class RigidBenchWorld:
             builder, [], Body, objmgr)
         ss = RigidBodyPhysicsSystem.setup_substep_tasks(
             builder, [bp], cfg.num_substeps, Body, objmgr,
-            relaxation=cfg.relaxation, contact_mode=cfg.contact_mode)
+            relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,
+            substep_wt=cfg.substep_wt)
         RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
 

@@ -232,15 +232,14 @@ class RigidBodyPhysicsSystem:
             rows_j = pair_idx % n
             a_ent = batched_gather(ents, rows_i)
             b_ent = batched_gather(ents, rows_j)
-            counts_k = jnp.minimum(counts, k_eff)
             ctx.emit_temporaries(
-                CandidateTemporary, counts=counts_k,
+                CandidateTemporary, counts=counts,
                 values={CandidateCollision: {"a": a_ent, "b": b_ent}})
             # compacted body-row pairs for the pairs-mode substep (the
             # entity-handle candidates above are the observable/API-parity
             # surface; these rows are the solver's working set)
             ctx.emit_temporaries(
-                CandidateRowsTemporary, counts=counts_k,
+                CandidateRowsTemporary, counts=counts,
                 values={CandidatePairRows: {"i": rows_i, "j": rows_j}})
 
         return builder.add_node(find_overlaps, [n_aabb], name="bp_find_overlaps")
@@ -254,6 +253,7 @@ class RigidBodyPhysicsSystem:
         object_manager: Dict[str, Any],
         relaxation: float = 1.0,
         contact_mode: str = "auto",
+        substep_wt=None,
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -279,15 +279,35 @@ class RigidBodyPhysicsSystem:
                     AFTER the substep kernel rather than between the
                     positional and velocity phases — use "pairs" for
                     contact export or joint-heavy worlds.
-          "auto":   body archetype capacity <= 48 -> "dense"; above that
-                    "pallas" on TPU, "pairs" elsewhere (the Pallas kernel
-                    only runs interpreted off-TPU, which is debug-speed).
+          "auto":   consult the exec-config artifact first (the analog of
+                    MADRONA_MWGPU_EXEC_CONFIG_FILE, cuda_exec.cpp:1460-1517
+                    — tooling/autotuner.py, GEM_TPU_EXEC_CONFIG_FILE); if
+                    no tuned entry matches: body archetype capacity <= 48
+                    -> "dense"; above that "pallas" on TPU, "pairs"
+                    elsewhere (the Pallas kernel only runs interpreted
+                    off-TPU, which is debug-speed).
+
+        substep_wt: Pallas world-block size override (None = tuned
+        artifact value if present, else heuristic; see substep_kernel
+        _pick_wt).
         """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
+        if "restitution" not in objmgr:
+            # hand-built managers predating the restitution table get e=0
+            objmgr["restitution"] = jnp.zeros_like(objmgr["mu_d"])
         arch = body_archetype
         if contact_mode == "auto":
             cap_n = builder.mgr.registry.archetypes[arch.name].capacity
-            if cap_n <= 48:
+            from gpu_ecs_madrona_tpu.tooling import autotuner
+            tuned = autotuner.lookup("physics_substep",
+                                     num_worlds=builder.mgr.num_worlds,
+                                     bodies=cap_n)
+            if tuned and tuned.get("contact_mode") in ("dense", "pairs",
+                                                       "pallas"):
+                contact_mode = tuned["contact_mode"]
+                if substep_wt is None:
+                    substep_wt = tuned.get("substep_wt")
+            elif cap_n <= 48:
                 contact_mode = "dense"
             else:
                 contact_mode = ("pallas" if jax.default_backend() == "tpu"
@@ -307,11 +327,12 @@ class RigidBodyPhysicsSystem:
                 # phases, so each substep is its own kernel call with the
                 # joint solve in XLA between calls
                 substep_kernel = SubstepKernel(
-                    object_manager, relaxation=relaxation, interpret=interp)
+                    object_manager, relaxation=relaxation, interpret=interp,
+                    wt=substep_wt)
             else:
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
-                    relaxation=relaxation, interpret=interp)
+                    relaxation=relaxation, interpret=interp, wt=substep_wt)
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -392,13 +413,13 @@ class RigidBodyPhysicsSystem:
 
                     ctx.emit_temporaries(
                         CollisionEventTemporary,
-                        counts=jnp.minimum(counts, k_eff),
+                        counts=counts,
                         values={CollisionEvent: {
                             "a": gat(a_ent), "b": gat(b_ent),
                         }})
                     ctx.emit_temporaries(
                         ContactTemporary,
-                        counts=jnp.minimum(counts, k_eff),
+                        counts=counts,
                         values={ContactConstraint: {
                             "ref": gat(a_ent),
                             "alt": gat(b_ent),
@@ -460,7 +481,8 @@ class RigidBodyPhysicsSystem:
                     v3, w3 = solver_mod.solve_velocities(
                         p2, r2, v2, w2, contacts, lam, inv_mass, inv_inertia,
                         mu_d, v, w, dyn, h_s,
-                        phys["restitution_threshold"], relaxation=relaxation)
+                        phys["restitution_threshold"], relaxation=relaxation,
+                        rest_coef=objmgr["restitution"][obj])
                     writeback(p2, r2, v3, w3)
 
                     if idx == num_substeps - 1:
@@ -577,6 +599,12 @@ class RigidBodyPhysicsSystem:
                         "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
                         "v": (g2[:, 7], g2[:, 8], g2[:, 9]),
                         "w": (g2[:, 10], g2[:, 11], g2[:, 12]),
+                        # restitution inputs: post-integrate velocities
+                        # (gathered at indices 10:16 of the first packed
+                        # gather = the reference's PreSolveVelocity) and the
+                        # per-body material coefficient
+                        "pv": S["v"], "pw": S["w"],
+                        "rest": obj_tables.scalar(S["obj"], "restitution"),
                     }
 
                 vpA, vpB = pk.velocity_pass(

@@ -1,0 +1,172 @@
+"""Closed-loop exec-config autotuner.
+
+The analog of the reference's per-node launch-config feedback loop:
+scripts/profile.py sweeps block configs, emits JSON, and the executor
+consumes it via MADRONA_MWGPU_EXEC_CONFIG_FILE
+(/root/reference/src/mw/cuda_exec.cpp:1460-1517).  Here the tunables are
+the TPU-shaped ones — collisions fused-kernel on/off, physics substep
+contact_mode (dense / pairs / pallas) and Pallas world-block size Wt — and
+the consumer side is the model/physics "auto" paths:
+
+  * tune_*() measures candidate configs on the LIVE backend and returns
+    artifact entries; save() writes them to a JSON file.
+  * Set GEM_TPU_EXEC_CONFIG_FILE=<path> (or rely on ./gem_tune.json) and
+    CollisionsConfig(fused=None) / setup_substep_tasks(contact_mode="auto")
+    pick the nearest tuned workload instead of the static heuristic.
+
+Nearest-workload matching is log-space distance over the numeric key
+fields (num_worlds, bodies, ...) — a 2x-off workload reuses its neighbor's
+choice, which is how the crossovers behave in practice.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from typing import Any, Dict, List, Optional
+
+CONFIG_ENV = "GEM_TPU_EXEC_CONFIG_FILE"
+DEFAULT_PATH = "gem_tune.json"
+
+_cache: Dict[str, Any] = {"path": None, "mtime": None, "artifact": None}
+
+
+def config_path() -> Optional[str]:
+    p = os.environ.get(CONFIG_ENV)
+    if p:
+        return p
+    if os.path.exists(DEFAULT_PATH):
+        return DEFAULT_PATH
+    return None
+
+
+def load(path: Optional[str] = None) -> Optional[Dict[str, Any]]:
+    """Load (and mtime-cache) the exec-config artifact; None if absent."""
+    path = path or config_path()
+    if not path or not os.path.exists(path):
+        return None
+    mtime = os.path.getmtime(path)
+    if _cache["path"] == path and _cache["mtime"] == mtime:
+        return _cache["artifact"]
+    with open(path) as f:
+        artifact = json.load(f)
+    _cache.update(path=path, mtime=mtime, artifact=artifact)
+    return artifact
+
+
+def lookup(kind: str, path: Optional[str] = None, **key) -> Optional[Dict[str, Any]]:
+    """Nearest tuned config for ``kind`` at this workload key, or None.
+
+    Matches in log space over the intersection of numeric key fields; an
+    entry with no shared fields matches at distance 0 (global default).
+    """
+    artifact = load(path)
+    if not artifact:
+        return None
+    best, best_d = None, None
+    for entry in artifact.get("entries", []):
+        if entry.get("kind") != kind:
+            continue
+        ek = entry.get("key", {})
+        d = 0.0
+        for k, v in key.items():
+            if k in ek and isinstance(v, (int, float)) and v > 0 \
+                    and isinstance(ek[k], (int, float)) and ek[k] > 0:
+                d += (math.log(float(v)) - math.log(float(ek[k]))) ** 2
+        if best_d is None or d < best_d:
+            best, best_d = entry, d
+    return dict(best["config"]) if best else None
+
+
+def save(entries: List[Dict[str, Any]], path: Optional[str] = None) -> str:
+    path = path or os.environ.get(CONFIG_ENV) or DEFAULT_PATH
+    artifact = load(path) or {"entries": []}
+    # replace entries with the same (kind, key)
+    def sig(e):
+        return (e.get("kind"), tuple(sorted(e.get("key", {}).items())))
+    keep = [e for e in artifact["entries"]
+            if sig(e) not in {sig(n) for n in entries}]
+    artifact["entries"] = keep + entries
+    with open(path, "w") as f:
+        json.dump(artifact, f, indent=2)
+    _cache["mtime"] = None  # invalidate
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Tuners: measure candidate configs on the live backend.
+# ---------------------------------------------------------------------------
+
+
+def _time_executor(sim, ticks: int) -> float:
+    """steps/s of a constructed executor (warmup excluded)."""
+    sim.run(3)
+    sim.block_until_ready()
+    t0 = time.perf_counter()
+    sim.run(ticks)
+    sim.block_until_ready()
+    return ticks * sim.cfg.num_worlds / (time.perf_counter() - t0)
+
+
+def tune_collisions(num_worlds: int, num_objects: int = 100,
+                    ticks: int = 20) -> Dict[str, Any]:
+    """Sweep the collisions fused-kernel choice (the pair-grid crossover:
+    XLA reduce-fusion wins small n, the Pallas kernel wins large n)."""
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    results = {}
+    for fused in (False, True):
+        cfg = col.CollisionsConfig(num_worlds=num_worlds,
+                                   num_objects=num_objects, fused=fused)
+        try:
+            sim = col.make_executor(cfg)
+            results[fused] = _time_executor(sim, ticks)
+        except Exception:
+            continue
+        del sim
+    if not results:
+        raise RuntimeError("no collisions config compiled")
+    best = max(results, key=results.get)
+    return {
+        "kind": "collisions",
+        "key": {"num_worlds": num_worlds, "num_objects": num_objects},
+        "config": {"fused": bool(best)},
+        "metric_steps_per_s": {str(k): round(v, 1) for k, v in results.items()},
+    }
+
+
+def tune_physics_substep(num_worlds: int, bodies: int = 64,
+                         ticks: int = 10,
+                         modes=("pairs", "pallas"),
+                         wts=(2, 4, 8)) -> Dict[str, Any]:
+    """Sweep physics contact_mode (+ Pallas Wt) on a rigid-body workload
+    shaped like models/rigid_bench."""
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+
+    results = {}
+    for mode in modes:
+        wt_list = wts if mode == "pallas" else (None,)
+        for wt in wt_list:
+            try:
+                sim = rb.make_executor(rb.RigidBenchConfig(
+                    num_worlds=num_worlds, num_bodies=bodies,
+                    contact_mode=mode, substep_wt=wt))
+                results[(mode, wt)] = _time_executor(sim, ticks)
+                del sim
+            except Exception:
+                continue
+    if not results:
+        raise RuntimeError("no physics config compiled")
+    (mode, wt) = max(results, key=results.get)
+    config = {"contact_mode": mode}
+    if wt is not None:
+        config["substep_wt"] = int(wt)
+    return {
+        "kind": "physics_substep",
+        "key": {"num_worlds": num_worlds, "bodies": bodies},
+        "config": config,
+        "metric_steps_per_s": {f"{m}/wt={w}": round(v, 1)
+                               for (m, w), v in results.items()},
+    }
