@@ -34,7 +34,7 @@ def main():
                              num_objects=100)
     if tuned is None and os.environ.get("BENCH_NO_TUNE") != "1":
         try:
-            entry = autotuner.tune_collisions(NUM_WORLDS, 100, ticks=15)
+            entry = autotuner.tune_collisions(NUM_WORLDS, 100, ticks=40)
             autotuner.save([entry])
             tuned = entry["config"]
             cfg_source = "swept"

@@ -80,10 +80,13 @@ class Context:
         """Scatter-free destroy-by-row-mask (see StateManager.destroy_rows)."""
         self._state = self._mgr.destroy_rows(self._state, arch, dead)
 
-    def emit_temporaries(self, arch: Archetype, counts, values):
+    def emit_temporaries(self, arch: Archetype, counts, values,
+                         count_overflow: bool = True):
         """Fast creation into an empty temporary archetype (reference
         makeTemporary; see StateManager.emit_temporaries)."""
-        self._state = self._mgr.emit_temporaries(self._state, arch, counts, values)
+        self._state = self._mgr.emit_temporaries(
+            self._state, arch, counts, values,
+            count_overflow=count_overflow)
 
     # -- component access ---------------------------------------------------
 

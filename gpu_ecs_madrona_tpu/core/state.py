@@ -351,6 +351,7 @@ class StateManager:
         arch: Archetype,
         counts: jax.Array,
         values: Dict[Component, Any],
+        count_overflow: bool = True,
     ) -> SimState:
         """Fast-path creation into an EMPTY temporary archetype.
 
@@ -372,6 +373,13 @@ class StateManager:
         Only archetypes registered with ``temporary=True`` are accepted:
         this call wholesale-replaces the mask/entity columns, which would
         leak the entity ids of any real (handle-carrying) rows.
+
+        count_overflow=False skips the counter/check: pass it when the
+        emission is OBSERVABILITY-ONLY (nothing in the step consumes the
+        rows, e.g. the fused-kernel paths that solve in VMEM) — the
+        counter would otherwise keep the producer computation live that
+        XLA DCE deletes when the temporaries go unobserved, and clipping
+        an unobserved emission affects nothing.
         """
         info = self.registry.archetypes[arch.name]
         if not info.temporary:
@@ -393,11 +401,12 @@ class StateManager:
         if k is None:
             k = cap
         k = min(k, cap)
-        dropped = jnp.maximum(counts, 0) - jnp.clip(counts, 0, k)
-        debug.check(dropped == 0,
-                    "emit_temporaries overflow on archetype "
-                    f"{arch.name} (capacity {cap}, K {k}): "
-                    "dropped={} per world", dropped)
+        if count_overflow:
+            dropped = jnp.maximum(counts, 0) - jnp.clip(counts, 0, k)
+            debug.check(dropped == 0,
+                        "emit_temporaries overflow on archetype "
+                        f"{arch.name} (capacity {cap}, K {k}): "
+                        "dropped={} per world", dropped)
         counts = jnp.minimum(counts, k)
 
         for comp, val in values.items():
@@ -422,10 +431,11 @@ class StateManager:
         }
         new_state = dict(state)
         new_state["arch"] = new_arch
-        new_state["overflow"] = {
-            **state["overflow"],
-            arch.name: state["overflow"][arch.name] + dropped,
-        }
+        if count_overflow:
+            new_state["overflow"] = {
+                **state["overflow"],
+                arch.name: state["overflow"][arch.name] + dropped,
+            }
         return new_state
 
     def destroy_rows(self, state: SimState, arch: Archetype,

@@ -263,6 +263,11 @@ class CollisionsWorld:
                 CollisionCandidate,
                 counts=counts,  # emit clips to k_eff + counts overflow
                 values={CandidatePair: {"a": a_ent, "b": b_ent}},
+                # fused mode: the solve happens in-kernel on the full VMEM
+                # grid — these rows are observability-only, and counting
+                # their clipping would keep the XLA pair grid live that
+                # DCE otherwise deletes (60x on the headline bench)
+                count_overflow=not fused,
             )
 
         n_broad = builder.add_node(broadphase, deps=[n_pre], name="broadphase")
@@ -296,6 +301,7 @@ class CollisionsWorld:
                 Contact,
                 counts=counts,  # emit clips to k_eff + counts overflow
                 values={ContactData: {"normal": norm_c, "a": a_ent, "b": b_ent}},
+                count_overflow=not fused,  # see CollisionCandidate emit
             )
 
         n_narrow = builder.add_node(narrowphase, deps=[n_broad], name="narrowphase")

@@ -173,7 +173,8 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
 
 def _substep_core(tables, relaxation, kvalid, h1, rest1,
                   SA, SB, pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
-                  oh_i, oh_j, gather_i, gather_j, segsum):
+                  oh_i, oh_j, gather_i, gather_j, segsum,
+                  speculative=0.0):
     """One contact substep given pair-gathered static sides SA/SB
     (im/ii/mu_s/mu_d/obj [Wt,K]) and per-body state tuples [Wt,n].
     v_b/w_b are the POST-INTEGRATE velocities (the reference's
@@ -203,7 +204,7 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     # ---- narrowphase + positional pass (shared pair-major math) -------
     FA = pk.body_fields(PA["pos"], PA["rot"], SA["obj"], tables)
     FB = pk.body_fields(PB["pos"], PB["rot"], SB["obj"], tables)
-    contacts = pk.pair_contacts(FA, FB, kvalid)
+    contacts = pk.pair_contacts(FA, FB, kvalid, speculative=speculative)
 
     packA, packB, lam = pk.positional_pass(PA, PB, contacts,
                                            relaxation=relaxation)
@@ -256,7 +257,8 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
 
     vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
                                 contacts, lam, h1, rest1,
-                                relaxation=relaxation)
+                                relaxation=relaxation,
+                                speculative=speculative)
     if os.environ.get("GEM_TPU_SUBSTEP_ABLATE") == "noseg":
         n_ = pos_b[0].shape[1]
         live = jnp.sum(vpA[:, 0] + vpB[:, 0]) * 1e-30        # scalar
@@ -300,7 +302,7 @@ def _integrate(pos, rot, v, w, im, ii, extf, extt, dyn, h1, g):
 
 
 def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
-                 relaxation: float):
+                 relaxation: float, speculative: float = 0.0):
     """Single-substep kernel (joint-interleaved path)."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
@@ -330,7 +332,8 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
             tables, relaxation, kvalid, h1, rest1, SA, SB,
             pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
-            oh_i, oh_j, gather_i, gather_j, segsum)
+            oh_i, oh_j, gather_i, gather_j, segsum,
+            speculative=speculative)
 
         # ---- writeback (static bodies keep their state) ------------------
         keep = dyn_b
@@ -346,7 +349,8 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 
 
 def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
-                       relaxation: float, num_substeps: int):
+                       relaxation: float, num_substeps: int,
+                       speculative: float = 0.0):
     """All-substeps kernel: integrate + contact solve looped in VMEM."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
@@ -387,7 +391,8 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
             p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
                 tables, relaxation, kvalid, h1, rest1, SA, SB,
                 pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
-                oh_i, oh_j, gather_i, gather_j, segsum)
+                oh_i, oh_j, gather_i, gather_j, segsum,
+                speculative=speculative)
 
             keep = dyn_b
             pos = tuple(jnp.where(keep, a, b) for a, b in zip(p2, pos))
@@ -435,14 +440,15 @@ def _pallas_specs(Wt, C_in, n, K, C_out):
 
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
-                                              "interpret", "wt"))
+                                              "interpret", "wt",
+                                              "speculative"))
 def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-         interpret, wt=None):
+         interpret, wt=None, speculative=0.0):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
-        _make_kernel(tables, Wt, n, K, relaxation),
+        _make_kernel(tables, Wt, n, K, relaxation, speculative),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, C_OUT, n), jnp.float32),
         interpret=interpret,
@@ -454,14 +460,15 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "num_substeps", "interpret",
-                                              "wt"))
+                                              "wt", "speculative"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-               num_substeps, interpret, wt=None):
+               num_substeps, interpret, wt=None, speculative=0.0):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
-        _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps),
+        _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
+                           speculative),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
         interpret=interpret,
@@ -504,11 +511,12 @@ class SubstepKernel:
     """
 
     def __init__(self, object_manager, relaxation: float = 1.0,
-                 interpret: bool = False, wt=None):
+                 interpret: bool = False, wt=None, speculative: float = 0.0):
         self.tables = pk.ObjTables(object_manager)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
+        self.speculative = float(speculative)
 
     def __call__(self, *, pos, rot, v, w, prev_pos, prev_rot, im, ii,
                  mu_s, mu_d, obj, dyn, rows_i, rows_j,
@@ -534,7 +542,8 @@ class SubstepKernel:
         out = _run(packed, rows_i[:, None, :], rows_j[:, None, :],
                    kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
                    tables=self.tables, relaxation=self.relaxation,
-                   interpret=self.interpret, wt=self.wt)  # [W, C_OUT, n]
+                   interpret=self.interpret, wt=self.wt,
+                   speculative=self.speculative)         # [W, C_OUT, n]
         out = out[:, :, :n0]
         return (_T(out[:, 0:3]), _T(out[:, 3:7]), _T(out[:, 7:10]),
                 _T(out[:, 10:13]))
@@ -549,12 +558,14 @@ class FusedSubstepKernel:
     """
 
     def __init__(self, object_manager, num_substeps: int,
-                 relaxation: float = 1.0, interpret: bool = False, wt=None):
+                 relaxation: float = 1.0, interpret: bool = False, wt=None,
+                 speculative: float = 0.0):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
+        self.speculative = float(speculative)
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
                  ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
@@ -581,7 +592,7 @@ class FusedSubstepKernel:
             kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
-            wt=self.wt)
+            wt=self.wt, speculative=self.speculative)
         out = out[:, :, :n0]
         return {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),

@@ -254,6 +254,7 @@ class RigidBodyPhysicsSystem:
         relaxation: float = 1.0,
         contact_mode: str = "auto",
         substep_wt=None,
+        speculative_margin: float = 0.0,
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -290,6 +291,12 @@ class RigidBodyPhysicsSystem:
         substep_wt: Pallas world-block size override (None = tuned
         artifact value if present, else heuristic; see substep_kernel
         _pick_wt).
+
+        speculative_margin > 0 enables speculative-contact CCD (the TOI
+        story the BASELINE north star names; the reference lacks it):
+        near-miss contacts within the margin clamp approach speed to
+        depth/h in the velocity pass so fast bodies cannot tunnel between
+        substeps.  Size it to the fastest expected per-substep travel.
         """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         if "restitution" not in objmgr:
@@ -328,11 +335,12 @@ class RigidBodyPhysicsSystem:
                 # joint solve in XLA between calls
                 substep_kernel = SubstepKernel(
                     object_manager, relaxation=relaxation, interpret=interp,
-                    wt=substep_wt)
+                    wt=substep_wt, speculative=speculative_margin)
             else:
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
-                    relaxation=relaxation, interpret=interp, wt=substep_wt)
+                    relaxation=relaxation, interpret=interp, wt=substep_wt,
+                    speculative=speculative_margin)
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -465,7 +473,8 @@ class RigidBodyPhysicsSystem:
                         aabb["lo"][:, :, None, :], aabb["hi"][:, :, None, :],
                         aabb["lo"][:, None, :, :], aabb["hi"][:, None, :, :])
                     contacts = np_mod.narrowphase_dense(
-                        new_pos, new_rot, obj, mask, objmgr)
+                        new_pos, new_rot, obj, mask, objmgr,
+                        speculative=speculative_margin)
                     contacts = dict(contacts)
                     contacts["ok"] = contacts["ok"] & cand
 
@@ -482,7 +491,8 @@ class RigidBodyPhysicsSystem:
                         p2, r2, v2, w2, contacts, lam, inv_mass, inv_inertia,
                         mu_d, v, w, dyn, h_s,
                         phys["restitution_threshold"], relaxation=relaxation,
-                        rest_coef=objmgr["restitution"][obj])
+                        rest_coef=objmgr["restitution"][obj],
+                        speculative=speculative_margin)
                     writeback(p2, r2, v3, w3)
 
                     if idx == num_substeps - 1:
@@ -563,7 +573,8 @@ class RigidBodyPhysicsSystem:
                     SA["lo"], SA["hi"], SB["lo"], SB["hi"])
                 FA = pk.body_fields(SA["pos"], SA["rot"], SA["obj"], obj_tables)
                 FB = pk.body_fields(SB["pos"], SB["rot"], SB["obj"], obj_tables)
-                contacts = pk.pair_contacts(FA, FB, pair_ok)
+                contacts = pk.pair_contacts(FA, FB, pair_ok,
+                                            speculative=speculative_margin)
 
                 sideA = {"pos": SA["pos"], "rot": SA["rot"], "im": SA["im"],
                          "ii": SA["ii"], "mu": SA["mu_s"],
@@ -609,7 +620,8 @@ class RigidBodyPhysicsSystem:
 
                 vpA, vpB = pk.velocity_pass(
                     side2(gA2, SA), side2(gB2, SB), contacts, lam, h_s,
-                    phys["restitution_threshold"], relaxation=relaxation)
+                    phys["restitution_threshold"], relaxation=relaxation,
+                    speculative=speculative_margin)
                 accv = (pk.accumulate_channels(oh_i, vpA)
                         + pk.accumulate_channels(oh_j, vpB))    # [W,n,6]
                 writeback(p2, r2, v2 + accv[..., 0:3], w2 + accv[..., 3:6])

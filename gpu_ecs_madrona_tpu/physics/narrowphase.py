@@ -228,11 +228,14 @@ def _expand(fields: Dict[str, Any], axis: int) -> Dict[str, Any]:
 
 
 def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
-                  pair_live: jax.Array, objmgr=None) -> Dict[str, Any]:
+                  pair_live: jax.Array, objmgr=None,
+                  speculative: float = 0.0) -> Dict[str, Any]:
     """Contacts for body pairs (A = ref, B = other).
 
     A/B: ``body_fields`` dicts whose leading shapes broadcast to
     ``pair_live.shape`` (= L).  Returns the contact dict (see module doc).
+    speculative: near-miss margin for speculative-CCD contacts (see
+    pairs.pair_contacts).
     """
     L = pair_live.shape
     Vm = A["verts_w"].shape[-2]
@@ -282,7 +285,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     pen = (radA + radB) - dist
     mid = posA + nrm * (radA - 0.5 * pen)[..., None]
     pts, dep = one_point(mid, pen)
-    merge(is_sphereA & is_sphereB, pen > 0, nrm, pts, dep, ones_np)
+    merge(is_sphereA & is_sphereB, pen > -speculative, nrm, pts, dep,
+          ones_np)
 
     # ---------------- sphere - plane (either order) -----------------------
     def sphere_plane(s_pos, s_rad, p_n, p_d, flip):
@@ -293,7 +297,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         nrm_sp = p_n if flip else -p_n  # ref -> other
         nrm_sp = jnp.broadcast_to(nrm_sp, L + (3,))
         pts, dep = one_point(contact, pen)
-        return pen > 0, nrm_sp, pts, dep
+        return pen > -speculative, nrm_sp, pts, dep
 
     ok_sp, n_sp, p_sp, d_sp = sphere_plane(posA, radA, B["plane_n"], B["plane_d"], flip=False)
     merge(is_sphereA & is_planeB, ok_sp, n_sp, p_sp, d_sp, ones_np)
@@ -310,7 +314,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         pts = jnp.take_along_axis(
             bc(h_verts_w, 2), top_idx[..., None].repeat(3, -1), axis=-2
         )  # [*L,4,3]
-        num_pts = jnp.sum((top_pen > 0).astype(jnp.int32), axis=-1)
+        num_pts = jnp.sum((top_pen > -speculative).astype(jnp.int32), axis=-1)
         nrm_hp = p_n if flip else -p_n  # ref(hull) -> other(plane): -p_n
         nrm_hp = jnp.broadcast_to(nrm_hp, L + (3,))
         return num_pts > 0, nrm_hp, pts, top_pen, num_pts
@@ -339,7 +343,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         contact = s_pos - fn * fdist[..., None]
         nrm_sh = fn if flip else -fn
         pts, dep = one_point(contact, pen)
-        return pen > 0, nrm_sh, pts, dep
+        return pen > -speculative, nrm_sh, pts, dep
 
     def sphere_box(s_pos, s_rad, b_pos, b_rot, b_half, flip):
         """Analytic sphere-box: clamp center into the box frame — exact on
@@ -360,7 +364,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         pen = jnp.where(inside, pen_in, s_rad - dist)
         nrm = nrm_bs if flip else -nrm_bs
         pts, dep = one_point(jnp.broadcast_to(closest_w, L + (3,)), pen)
-        return pen > 0, nrm, pts, dep
+        return pen > -speculative, nrm, pts, dep
 
     def sphere_hull_or_box(s_pos, s_rad, H, flip):
         ok_f, n_f, p_f, d_f = sphere_hull(
@@ -443,7 +447,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     minB_ = jnp.broadcast_to(minB_, L)
 
     sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
-    hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
+    hit = both_hull & (sat_pen > -speculative) & (sat_pen < BIG * 0.5)
 
     # small bias toward face axes for manifold stability (standard SAT
     # practice; reference biases via its axis ordering)
@@ -553,7 +557,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     pts_sat = jnp.where(ue[..., None],
                         jnp.where(slot0[..., None], edge_pt[..., None, :], 0.0),
                         pts_sat)
-    num_sat = jnp.sum((depth_sat > 0).astype(jnp.int32), axis=-1)
+    num_sat = jnp.sum((depth_sat > -speculative).astype(jnp.int32), axis=-1)
 
     merge(both_hull, hit, sat_normal, pts_sat, depth_sat, num_sat)
 
@@ -566,14 +570,16 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
     }
 
 
-def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr) -> Dict[str, Any]:
+def narrowphase_dense(pos, rot, obj_id, row_mask, objmgr,
+                      speculative: float = 0.0) -> Dict[str, Any]:
     """Dense [W, n, n] all-pairs narrowphase (i = ref body, j = other; only
     i < j entries valid).  pos [W,n,3], rot [W,n,4], obj_id [W,n] int32,
-    row_mask [W,n] bool."""
+    row_mask [W,n] bool.  speculative: near-miss margin (see
+    pairs.pair_contacts)."""
     W, n = obj_id.shape
     F = body_fields(pos, rot, obj_id, objmgr)
     A = _expand(F, 2)
     B = _expand(F, 1)
     upper = jnp.triu(jnp.ones((n, n), bool), k=1)[None]
     pair_live = row_mask[:, :, None] & row_mask[:, None, :] & upper
-    return pair_contacts(A, B, pair_live, objmgr)
+    return pair_contacts(A, B, pair_live, objmgr, speculative=speculative)

@@ -671,8 +671,15 @@ def _box_face_inputs(pos, u, h, outward):
 
 def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
                   pair_live: jax.Array,
-                  stages: str = "sphere,plane,hull,sat") -> Dict[str, Any]:
+                  stages: str = "sphere,plane,hull,sat",
+                  speculative: float = 0.0) -> Dict[str, Any]:
     """Contacts for compacted pairs; A/B from body_fields, pair_live [W,K].
+
+    speculative > 0 extends contact generation to NEAR-MISS pairs within
+    that margin (depth in (-speculative, 0]): the speculative-contact CCD
+    scheme (Catto) — the positional pass ignores them (depth <= 0) but the
+    velocity pass clamps approach speed to depth/h so fast bodies cannot
+    tunnel between substeps.  0 (default) preserves exact legacy gating.
 
     Same pair-kind semantics as narrowphase.pair_contacts (the dense-grid
     core); manifold = all incident-hull verts with depth masks (P = Vm).
@@ -769,8 +776,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         nrm = v3scale(d, 1.0 / dist)
         pen = (radA + radB) - dist
         mid = v3add(posA, v3scale(nrm, radA - 0.5 * pen))
-        merge1(A["is_sphere"] & B["is_sphere"], pen > 0, nrm, mid, pen,
-               ones_np)
+        merge1(A["is_sphere"] & B["is_sphere"], pen > -speculative, nrm,
+               mid, pen, ones_np)
 
         # ---- sphere-plane (either order) -----------------------------------
         def sphere_plane(s_pos, s_rad, p_n, p_d, flip):
@@ -778,7 +785,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             pen = s_rad - c_dist
             contact = v3sub(s_pos, v3scale(p_n, c_dist))
             nrm_sp = p_n if flip else v3scale(p_n, -1.0)
-            return pen > 0, nrm_sp, contact, pen
+            return pen > -speculative, nrm_sp, contact, pen
 
         o1, n1, c1, d1 = sphere_plane(posA, radA, B["plane_n"], B["plane_d"],
                                       False)
@@ -792,7 +799,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         def hull_plane(h_verts_w, h_vmask, p_n, p_d, flip):
             vd = dot3(h_verts_w, vexpand(p_n)) - expand(p_d)     # [W,Vm,K]
             pen_v = jnp.where(h_vmask > 0.5, -vd, -BIG)
-            num = jnp.sum((pen_v > 0).astype(jnp.int32), axis=1)
+            num = jnp.sum((pen_v > -speculative).astype(jnp.int32), axis=1)
             nrm_hp = p_n if flip else v3scale(p_n, -1.0)
             return (num > 0, nrm_hp, tuple(padP(c) for c in h_verts_w),
                     padP(pen_v, -BIG), num)
@@ -837,7 +844,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
                             + sum(q[k] * b_u[k][c] for k in range(3))
                             for c in range(3))
             nrm = nrm_hs if flip else v3scale(nrm_hs, -1.0)
-            return pen > 0, nrm, contact, pen
+            return pen > -speculative, nrm, contact, pen
 
         o5, n5, c5, d5 = sphere_box(posA, radA, posB, B["box_u"],
                                     B["box_h"], False)
@@ -854,7 +861,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             pen = s_rad - fdist
             contact = v3sub(s_pos, v3scale(fn, fdist))
             nrm_sh = fn if flip else v3scale(fn, -1.0)
-            return pen > 0, nrm_sh, contact, pen
+            return pen > -speculative, nrm_sh, contact, pen
 
         o5, n5, c5, d5 = sphere_hull(posA, radA, B["fnorm_w"], B["face_dw"],
                                      B["fmask"], False)
@@ -929,7 +936,7 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
 
     if "sat" in stage_set and _finish_sat:
         sat_pen = jnp.minimum(jnp.minimum(minA_, minB_), minE_)
-        hit = both_hull & (sat_pen > 0) & (sat_pen < BIG * 0.5)
+        hit = both_hull & (sat_pen > -speculative) & (sat_pen < BIG * 0.5)
 
         FACE_BIAS = 1.001
         use_faceA = (minA_ <= jnp.minimum(minB_, minE_) * FACE_BIAS
@@ -1259,7 +1266,7 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
 
 
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
-                  relaxation=1.0):
+                  relaxation=1.0, speculative: float = 0.0):
     """Per-pair velocity corrections (dynamic friction + restitution,
     reference solveVelocities physics.cpp:716-1009).  sides additionally
     carry v/w vec3 tuples [W,K] (post-position-solve velocities); for
@@ -1272,7 +1279,13 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     (average of the sides, like mu_d) when |vn_bar| > threshold (2*|g|*h),
     else 0; target normal velocity max(-e*vn_bar, 0).  The reference
     hardcodes e=0.3 above threshold; the asset pipeline defaults every
-    material to the same 0.3.  Sides without pv/pw/rest solve with e=0."""
+    material to the same 0.3.  Sides without pv/pw/rest solve with e=0.
+
+    speculative > 0: near-miss contacts (depth <= 0, produced by
+    pair_contacts with the same margin) get the speculative-CCD velocity
+    clamp vn >= depth/h instead of the contact constraint — approach
+    speed is limited so the gap cannot be crossed in one substep (no
+    positional or friction response until real contact)."""
     pts = contacts["points"]
     pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
         contacts["depth"] > 0)
@@ -1321,7 +1334,18 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     # Jacobi-mean over contributing manifold points and NO relaxation on
     # the normal impulse (see solver._velocity_contact_math): the target
     # is an absolute post-velocity; relaxing leaves (1-relax)*vn un-killed.
-    n_ok = pt_ok & (dv_n > 0)
+    if speculative > 0:
+        dep = contacts["depth"]
+        okexp = bexp(contacts["ok"], 1, dep.shape)
+        # allowed approach over one substep: vn >= depth/h (depth<0 =
+        # separation); dead manifold slots (depth=-BIG) gate off via dv>0
+        dv_spec = dep / h3 - vn
+        dv_n = jnp.where(dep > 0, dv_n, dv_spec)
+        n_ok = okexp & (dv_n > 0)
+        live = pt_ok | n_ok
+    else:
+        n_ok = pt_ok & (dv_n > 0)
+        live = pt_ok
     npts = jnp.maximum(jnp.sum(n_ok.astype(jnp.float32), axis=1,
                                keepdims=True), 1.0)
     nimp = v3scale(n4, jnp.where(n_ok, dv_n / wsum_n, 0.0) / npts)
@@ -1340,7 +1364,7 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
 
     def pack(dv, dw):
         def s(c):
-            return jnp.sum(jnp.where(pt_ok, c, 0.0), axis=1)
+            return jnp.sum(jnp.where(live, c, 0.0), axis=1)
 
         return jnp.stack([s(dv[0]), s(dv[1]), s(dv[2]),
                           s(dw[0]), s(dw[1]), s(dw[2])], axis=1)  # [W,6,K]

@@ -241,7 +241,8 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
                            posB, rotB, imB, iiB, muB, vB_lin, vB_ang,
                            pvB_lin, pvB_ang,
                            contacts, lambda_n, h4, restitution4,
-                           relaxation=1.0, restA=None, restB=None):
+                           relaxation=1.0, restA=None, restB=None,
+                           speculative=0.0):
     """Per-contact velocity impulse math (reference solveVelocities,
     physics.cpp:716-1009), leading-shape generic (see
     _positional_contact_math for conventions).  h4/restitution4 broadcast
@@ -312,7 +313,18 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
     # vn < 0 gate when e=0, and lets the bounce through when the position
     # solve left vn slightly positive.  The reference applies adhesive
     # corrections too, but under Jacobi accumulation those destabilize.
-    n_ok = pt_ok & (dv_n > 0)
+    if speculative > 0:
+        # speculative-CCD clamp for near-miss points (depth <= 0): limit
+        # approach speed to depth/h so the gap cannot be crossed in one
+        # substep; dead slots (depth=-BIG) gate off via dv_n > 0
+        depth4 = contacts["depth"]
+        ok_np = ok[..., None] & (jnp.arange(4) < contacts["num_points"][..., None])
+        dv_n = jnp.where(depth4 > 0, dv_n, depth4 / h4 - vn)
+        n_ok = ok_np & (dv_n > 0)
+        live = pt_ok | n_ok
+    else:
+        n_ok = pt_ok & (dv_n > 0)
+        live = pt_ok
     # Jacobi-mean over the manifold's contributing points and NO relaxation
     # on the normal impulse: the target is an absolute post-velocity (the
     # reference reaches it exactly by sequential application); relaxing it
@@ -330,7 +342,7 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
     dwA = m.quat_rotate(rotA4, iiA4 * dwA_b)
     dwB = m.quat_rotate(rotB4, iiB4 * dwB_b)
 
-    m4 = pt_ok[..., None]
+    m4 = live[..., None]
     return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
             jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
 
@@ -338,10 +350,11 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
                      inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
                      response_dynamic, h, restitution_threshold,
-                     relaxation=1.0, rest_coef=None):
+                     relaxation=1.0, rest_coef=None, speculative=0.0):
     """Velocity pass over the dense contact grid (reference solveVelocities,
     physics.cpp:716-1009).  rest_coef: per-body restitution [W, n]
-    (None = 0, no bounce)."""
+    (None = 0, no bounce).  speculative: near-miss margin (see
+    pairs.velocity_pass)."""
     dynm = response_dynamic & (inv_mass > 0)
     im = jnp.where(dynm, inv_mass, 0.0)
     ii = jnp.where(dynm[..., None], inv_inertia, 0.0)
@@ -358,7 +371,7 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
         mu_d[:, None, :], vel_lin[:, None, :], vel_ang[:, None, :],
         pre_v[:, None, :], pre_omega[:, None, :],
         contacts, lambda_n, h4, rest4, relaxation,
-        restA=restA, restB=restB)
+        restA=restA, restB=restB, speculative=speculative)
 
     dv = jnp.sum(dvA, axis=(2, 3)) + jnp.sum(dvB, axis=(1, 3))
     dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))

@@ -374,6 +374,79 @@ def test_pallas_matches_pairs_trajectory():
                                rtol=1e-4, atol=8e-2)
 
 
+def _bullet_world(contact_mode, speculative):
+    """A 1440 m/s bullet sphere aimed at a static sphere: 6 units of
+    travel per substep hop OVER the 4-unit contact window (samples at
+    -9, -3, +3 ...) — it tunnels without CCD."""
+
+    class BulletWorld:
+        @staticmethod
+        def register_types(registry):
+            RigidBodyPhysicsSystem.register_types(registry, max_candidates=16,
+                                                  max_contacts=16)
+            registry.register_archetype(Body, capacity=4)
+            registry.export_column(Body, base.Position, 0)
+
+        @staticmethod
+        def init(ctx, init_data=None):
+            W = ctx.num_worlds
+            ctx.data = {"_": jnp.zeros((W, 1))}
+            RigidBodyPhysicsSystem.init(ctx, delta_t=1 / 60, num_substeps=4)
+            ctx.make_entities(Body, counts=2, max_new=2, values={
+                base.Position: jnp.broadcast_to(
+                    jnp.array([[0.0, 0, 0.0], [-9.0, 0, 0.0]]), (W, 2, 3)),
+                base.Rotation: jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0]), (W, 2, 4)),
+                base.Scale: jnp.ones((W, 2, 3)),
+                base.ObjectID: jnp.full((W, 2), OBJ_SPHERE, jnp.int32),
+                ResponseType: jnp.broadcast_to(
+                    jnp.array([RESPONSE_STATIC, RESPONSE_DYNAMIC]),
+                    (W, 2)).astype(jnp.int32),
+            })
+            ents = ctx.entity_column(Body)
+            vel = ctx.column(Body, Velocity)
+            ctx.set_column(Body, Velocity, {
+                "linear": vel["linear"].at[:, 1, 0].set(1440.0),
+                "angular": vel["angular"],
+            })
+
+        @staticmethod
+        def setup_tasks(builder):
+            bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
+                builder, [], Body, OBJMGR)
+            ss = RigidBodyPhysicsSystem.setup_substep_tasks(
+                builder, [bp], 4, Body, OBJMGR, relaxation=0.7,
+                contact_mode=contact_mode,
+                speculative_margin=speculative)
+            RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
+
+    return TaskGraphExecutor(BulletWorld, ExecutorConfig(
+        num_worlds=1, max_entities_per_world=8, seed=0))
+
+
+@pytest.mark.parametrize("contact_mode", ["dense", "pairs", "pallas"])
+def test_speculative_contacts_stop_tunneling(contact_mode):
+    """Speculative-contact CCD (the BASELINE north star's TOI item): a
+    1440 m/s bullet (6 units/substep, samples hopping over the 4-unit
+    contact window) tunnels straight through without the margin and is
+    stopped by it."""
+    sim = _bullet_world(contact_mode, speculative=0.0)
+    sim.run(2)
+    pos, _ = sim.get_exported(0)
+    x_free = float(np.asarray(pos)[0, 1, 0])
+    assert x_free > 2.0, f"expected tunneling without CCD, x={x_free}"
+
+    sim = _bullet_world(contact_mode, speculative=3.0)
+    xs = []
+    for _ in range(6):
+        sim.run(1)
+        pos, _ = sim.get_exported(0)
+        xs.append(float(np.asarray(pos)[0, 1, 0]))
+    # the bullet must never pass the wall (contact at x = -2)
+    assert max(xs) < -1.8, xs
+    assert np.isfinite(np.asarray(pos)).all()
+
+
 def _bounce_apex(contact_mode, drop_z=3.0, steps=90):
     """Drop a radius-1 sphere from center drop_z onto the plane; return
     (apex z after first bounce, trajectory)."""
