@@ -19,6 +19,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 
 from gpu_ecs_madrona_tpu.core.component import Archetype, Component, Entity
 from gpu_ecs_madrona_tpu.core.state import SimState, StateManager
@@ -87,6 +88,16 @@ class Context:
         self._state = self._mgr.emit_temporaries(
             self._state, arch, counts, values,
             count_overflow=count_overflow)
+
+    def add_overflow(self, arch: Archetype, counts):
+        """Account capacity-shaped losses into ``arch``'s per-world
+        overflow counter (the surface read by
+        TaskGraphExecutor.overflow_counters()).  For producers whose drops
+        happen outside emit_temporaries — e.g. the sweep-and-prune
+        broadphase window saturating (possible missed pairs)."""
+        ov = dict(self._state["overflow"])
+        ov[arch.name] = ov[arch.name] + jnp.asarray(counts, jnp.int32)
+        self._state["overflow"] = ov
 
     # -- component access ---------------------------------------------------
 

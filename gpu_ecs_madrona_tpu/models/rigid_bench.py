@@ -64,6 +64,8 @@ class RigidBenchConfig:
     delta_t: float = 1 / 60
     max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
+    broadphase_mode: str = "auto"  # dense | sap | auto (see physics)
+    sap_window: int = 0            # 0 = auto (min(n - 1, 64))
     substep_wt: int = None        # Pallas world-block override (None = auto)
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
@@ -145,7 +147,8 @@ class RigidBenchWorld:
         cfg = cls.config
         objmgr = cls.objmgr
         bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
-            builder, [], Body, objmgr)
+            builder, [], Body, objmgr, mode=cfg.broadphase_mode,
+            sap_window=cfg.sap_window)
         ss = RigidBodyPhysicsSystem.setup_substep_tasks(
             builder, [bp], cfg.num_substeps, Body, objmgr,
             relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,
