@@ -6,7 +6,8 @@ world per step (the reference's BatchRenderer::render per-frame path,
 vk/batch_renderer.cpp:465-683).
 
 Env knobs: BENCH_RENDER_WORLDS (1024), BENCH_RENDER_RES (64),
-BENCH_RENDER_OBJECTS (32), BENCH_RENDER_TICKS (30).
+BENCH_RENDER_OBJECTS (32), BENCH_RENDER_TICKS (30),
+BENCH_RENDER_BACKEND (auto|xla|pallas).
 """
 
 import json
@@ -18,6 +19,7 @@ NUM_WORLDS = int(os.environ.get("BENCH_RENDER_WORLDS", 1024))
 RES = int(os.environ.get("BENCH_RENDER_RES", 64))
 NUM_OBJECTS = int(os.environ.get("BENCH_RENDER_OBJECTS", 32))
 NUM_TICKS = int(os.environ.get("BENCH_RENDER_TICKS", 30))
+BACKEND = os.environ.get("BENCH_RENDER_BACKEND", "auto")
 
 
 def main():
@@ -30,7 +32,8 @@ def main():
 
     sim = stg.make_executor(stg.SimpleTaskgraphConfig(
         num_worlds=NUM_WORLDS, num_objects=NUM_OBJECTS, seed=0,
-        render=True, render_width=RES, render_height=RES))
+        render=True, render_width=RES, render_height=RES,
+        render_backend=BACKEND))
 
     sim.run(3)
     sim.block_until_ready()
@@ -53,7 +56,7 @@ def main():
     ms_per_batch = elapsed / NUM_TICKS * 1000.0
     print(json.dumps({
         "metric": (f"render+physics frames/s @ {NUM_WORLDS} worlds, "
-                   f"{RES}x{RES}, {NUM_OBJECTS} objs"),
+                   f"{RES}x{RES}, {NUM_OBJECTS} objs, {BACKEND}"),
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / 1_000_000.0, 4),

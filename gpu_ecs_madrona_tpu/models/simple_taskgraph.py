@@ -71,6 +71,7 @@ class SimpleTaskgraphConfig:
     render: bool = False
     render_width: int = 64
     render_height: int = 64
+    render_backend: str = "auto"   # xla | pallas | auto (RendererConfig)
 
 
 class SimpleTaskgraphWorld:
@@ -151,7 +152,8 @@ class SimpleTaskgraphWorld:
             cfg = cls.config
             cls._renderer_obj = BatchRenderer(
                 RendererConfig(width=cfg.render_width,
-                               height=cfg.render_height, max_views=1),
+                               height=cfg.render_height, max_views=1,
+                               backend=cfg.render_backend),
                 OBJMGR)
         return cls._renderer_obj
 
