@@ -6,7 +6,8 @@ world, full broadphase -> SAT narrowphase -> XPBD pipeline, compacted-pairs
 contact mode.
 
 Env knobs: BENCH_PHYS_WORLDS (8192), BENCH_PHYS_BODIES (64),
-BENCH_PHYS_TICKS (50), BENCH_PHYS_MODE (pairs|dense).
+BENCH_PHYS_TICKS (50), BENCH_PHYS_MODE (pairs|dense|pallas),
+BENCH_PHYS_BP (auto|dense|sap), BENCH_PHYS_CANDS (0 = 4*bodies).
 """
 
 import json
@@ -17,6 +18,8 @@ NUM_WORLDS = int(os.environ.get("BENCH_PHYS_WORLDS", 8192))
 NUM_BODIES = int(os.environ.get("BENCH_PHYS_BODIES", 64))
 NUM_TICKS = int(os.environ.get("BENCH_PHYS_TICKS", 50))
 MODE = os.environ.get("BENCH_PHYS_MODE", "pairs")
+BP = os.environ.get("BENCH_PHYS_BP", "auto")
+CANDS = int(os.environ.get("BENCH_PHYS_CANDS", 0))
 
 
 def main():
@@ -29,7 +32,7 @@ def main():
 
     sim = rb.make_executor(rb.RigidBenchConfig(
         num_worlds=NUM_WORLDS, num_bodies=NUM_BODIES, contact_mode=MODE,
-        seed=0))
+        broadphase_mode=BP, max_candidates=CANDS, seed=0))
 
     sim.run(3)
     sim.block_until_ready()
@@ -54,7 +57,7 @@ def main():
     steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
     print(json.dumps({
         "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "
-                   f"{NUM_BODIES} bodies ({MODE})"),
+                   f"{NUM_BODIES} bodies ({MODE}, bp={BP})"),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1_000_000.0, 4),

@@ -444,8 +444,11 @@ class RigidBodyPhysicsSystem:
             elif cap_n <= 48:
                 contact_mode = "dense"
             else:
-                contact_mode = ("pallas" if jax.default_backend() == "tpu"
-                                else "pairs")
+                # any accelerator (incl. the axon tunnel platform, which
+                # reports "axon" not "tpu") gets the Pallas megakernel;
+                # interpret-mode off-accelerator is debug-speed
+                contact_mode = ("pairs" if jax.default_backend() == "cpu"
+                                else "pallas")
         if contact_mode not in ("dense", "pairs", "pallas"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
         if contact_mode == "pairs":

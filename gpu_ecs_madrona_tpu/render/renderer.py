@@ -128,10 +128,12 @@ class BatchRenderer:
         self._pallas = None
         if cfg.backend in ("pallas", "auto") and not self.any_mesh:
             from gpu_ecs_madrona_tpu.ops.render_kernel import PallasRenderKernel
+            # interpret only off-accelerator: the axon tunnel platform IS a
+            # TPU but reports backend "axon", so test for cpu, not for tpu
             self._pallas = PallasRenderKernel(
                 object_manager, np.asarray(self.albedo), cfg.light_dir,
                 cfg.ambient,
-                interpret=(jax.default_backend() != "tpu"))
+                interpret=(jax.default_backend() == "cpu"))
 
     def _use_pallas(self, num_pixels: int, num_instances: int) -> bool:
         if self._pallas is None:
@@ -140,9 +142,9 @@ class BatchRenderer:
             return True
         # auto: the streaming kernel wins once the per-world pixel x
         # instance working set is large enough that the XLA path's fusion
-        # breaks into HBM round-trips (measured crossover ~128x128 x 32
+        # breaks into HBM round-trips (measured 12x at 128x128 x 36
         # instances on v5e); interpret mode (CPU) is debug-speed, never auto
-        return (jax.default_backend() == "tpu"
+        return (jax.default_backend() != "cpu"
                 and num_pixels * num_instances >= (1 << 19))
 
     def init_buffers(self, ctx: Context):
