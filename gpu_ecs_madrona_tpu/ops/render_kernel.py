@@ -213,16 +213,13 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
             t_i = jnp.where(msk_i, t_i, BIG)
             better = t_i < best_t
 
-            # normal for THIS instance at its own t
+            # normal for THIS instance at its own t — tracked UNNORMALIZED
+            # (one normalize after the loop; saves 2 sqrt + div per
+            # instance per pixel)
             hp = pk.v3add(ro, pk.v3scale(rd, t_i))
             ns = pk.v3sub(hp, pos_i)
-            ns_len = jnp.sqrt(jnp.maximum(pk.dot3(ns, ns), EPS))
-            ns = pk.v3scale(ns, 1.0 / ns_len)
-            # hull normal: inverse-transpose = n / scale, renormalized
-            nh_l = tuple(a * b2 for a, b2 in zip(n_l, inv_s))
-            nh = pk.qrot(rot_i, nh_l)
-            nh_len = jnp.sqrt(jnp.maximum(pk.dot3(nh, nh), EPS))
-            nh = pk.v3scale(nh, 1.0 / nh_len)
+            # hull normal: inverse-transpose = n / scale
+            nh = pk.qrot(rot_i, tuple(a * b2 for a, b2 in zip(n_l, inv_s)))
             n_i = tuple(jnp.where(is_sph, a, jnp.where(is_hull, b2, c2))
                         for a, b2, c2 in zip(ns, nh, n_p))
 
@@ -236,6 +233,8 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
 
         # ---- shade (basic.comp Lambertian analog) ------------------------
         hit = best_t < BIG * 0.5
+        inv_len = jax.lax.rsqrt(jnp.maximum(pk.dot3(best_n, best_n), EPS))
+        best_n = pk.v3scale(best_n, inv_len)
         lam = jnp.maximum(best_n[0] * lx + best_n[1] * ly + best_n[2] * lz,
                           0.0)
         shade = ambient + (1.0 - ambient) * lam
