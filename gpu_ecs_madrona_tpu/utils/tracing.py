@@ -4,7 +4,8 @@ Counterpart of reference include/madrona/tracing.hpp +
 src/common/tracing.cpp: thread-local {event, timestamp} logs dumped to a
 binary file at exit, gated by an env var (reference MADRONA_TRACING;
 here GEM_TPU_TRACING).  Timestamps are time.perf_counter_ns (the rdtsc
-analog).  parse with tooling.profiler.parse_host_trace.
+analog).  Decode with parse(); aggregate with analyze() (native C++
+analyzer when the extension is built, Python fallback otherwise).
 """
 
 from __future__ import annotations
@@ -77,6 +78,53 @@ def parse(path: str) -> List[Tuple[int, int]]:
             event, ts = struct.unpack("<IQ", chunk)
             out.append((event, ts))
     return out
+
+
+def analyze(path: str) -> dict:
+    """Aggregate a trace file: per-event counts + span statistics
+    (count/total/mean/min/max/p50/p95 ns) for the START/END pairs.
+
+    Uses the native C++ analyzer (gpu_ecs_madrona_tpu._native, GIL
+    released — the reference keeps its trace tooling native too) when the
+    extension is built; pure-Python fallback otherwise."""
+    with open(path, "rb") as f:
+        data = f.read()
+    try:
+        from gpu_ecs_madrona_tpu import _native  # type: ignore
+        if hasattr(_native, "analyze_trace"):
+            return _native.analyze_trace(data)
+    except ImportError:
+        pass
+    records = [struct.unpack_from("<IQ", data, i)
+               for i in range(0, len(data) - len(data) % 12, 12)]
+    counts: dict = {}
+    for ev, _ in records:
+        counts[ev] = counts.get(ev, 0) + 1
+    spans = {}
+    for start, end, name in ((0, 1, "step"), (2, 3, "render"),
+                             (6, 7, "init")):
+        open_ts, durs = [], []
+        for ev, ts in records:
+            if ev == start:
+                open_ts.append(ts)
+            elif ev == end and open_ts:
+                durs.append(ts - open_ts.pop(0))
+        if durs:
+            durs.sort()
+            n = len(durs)
+
+            def pct(p):
+                idx = p * (n - 1)
+                lo = int(idx)
+                hi = min(lo + 1, n - 1)
+                return int((1 - (idx - lo)) * durs[lo] + (idx - lo) * durs[hi])
+
+            spans[name] = {
+                "count": n, "total_ns": sum(durs),
+                "mean_ns": sum(durs) // n, "min_ns": durs[0],
+                "max_ns": durs[-1], "p50_ns": pct(0.5), "p95_ns": pct(0.95),
+            }
+    return {"event_counts": counts, "spans": spans}
 
 
 if _ENABLED:

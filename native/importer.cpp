@@ -324,6 +324,8 @@ static PyObject *parse_obj_full_py(PyObject *, PyObject *args) {
     return result;
 }
 
+PyObject *gem_analyze_trace(PyObject *, PyObject *args);  // native/trace.cpp
+
 static PyMethodDef Methods[] = {
     {"parse_obj", parse_obj, METH_VARARGS,
      "Parse a Wavefront OBJ buffer -> (vertex bytes, nverts, face index "
@@ -331,6 +333,8 @@ static PyMethodDef Methods[] = {
     {"parse_obj_full", parse_obj_full_py, METH_VARARGS,
      "Full parse -> (v, nv, vn, nvn, vt, nvt, corner_v, corner_vn, "
      "corner_vt, face_offsets, obj_offsets, names)"},
+    {"analyze_trace", gem_analyze_trace, METH_VARARGS,
+     "Aggregate a host-trace byte buffer -> {event_counts, spans}"},
     {nullptr, nullptr, 0, nullptr},
 };
 

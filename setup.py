@@ -28,7 +28,7 @@ setup(
     ext_modules=[
         Extension(
             "gpu_ecs_madrona_tpu._native",
-            sources=["native/importer.cpp"],
+            sources=["native/importer.cpp", "native/trace.cpp"],
             extra_compile_args=["-O3", "-std=c++17"],
             language="c++",
         )
