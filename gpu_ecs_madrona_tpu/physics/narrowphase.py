@@ -47,6 +47,60 @@ NEG_BIG = -1e9
 BIG = 1e9
 
 
+# -- gather-free selection helpers -------------------------------------------
+# XLA lowers gathers (take_along_axis / fancy indexing) to a sequential
+# custom-call on TPU inside large fused programs — measured ~1s per dense
+# substep at a mere [256, 36, 36] pair grid.  Every row selection here is
+# therefore a one-hot masked reduction (VPU) or one-hot matmul (MXU), the
+# same discipline physics/pairs.py uses (extreme_onehot / pick_rows).
+
+
+def _sel_vec(table, idx):
+    """table [..., R, D] select row ``idx`` [...] -> [..., D]."""
+    R = table.shape[-2]
+    oh = idx[..., None] == jnp.arange(R)
+    return jnp.sum(jnp.where(oh[..., None], table, 0.0), axis=-2)
+
+
+def _sel_scalar(table, idx):
+    """table [..., R] select ``idx`` [...] -> [...]."""
+    R = table.shape[-1]
+    oh = idx[..., None] == jnp.arange(R)
+    return jnp.sum(jnp.where(oh, table, 0.0), axis=-1)
+
+
+def _gather_rows(tab, idx):
+    """Global-table row gather tab [G, D...] by idx [...] -> [..., D...]
+    as a one-hot matmul (exact: sums one f32 term per row; int tables
+    round-trip exactly below 2^24)."""
+    G = tab.shape[0]
+    oh = (idx[..., None] == jnp.arange(G)).astype(jnp.float32)
+    flat = tab.reshape(G, -1).astype(jnp.float32)
+    out = jnp.einsum("...g,gd->...d", oh, flat, precision=m.EXACT)
+    out = out.reshape(idx.shape + tab.shape[1:])
+    if jnp.issubdtype(tab.dtype, jnp.integer):
+        out = jnp.round(out).astype(tab.dtype)
+    elif tab.dtype == jnp.bool_:
+        out = out > 0.5
+    return out
+
+
+def _top4(dep, pts):
+    """Top-4 depths + their points, sort/gather-free: 4 rounds of masked
+    max with first-occurrence one-hot (matches lax.top_k's lower-index
+    tie-break).  dep [..., K], pts [..., K, 3] -> ([..., 4, 3], [..., 4])."""
+    outs_p, outs_d = [], []
+    cur = dep
+    for _ in range(4):
+        mx = jnp.max(cur, axis=-1)
+        oh = cur == mx[..., None]
+        first = oh & (jnp.cumsum(oh.astype(jnp.int32), axis=-1) == 1)
+        outs_p.append(jnp.sum(jnp.where(first[..., None], pts, 0.0), axis=-2))
+        outs_d.append(mx)
+        cur = jnp.where(first, -BIG, cur)
+    return jnp.stack(outs_p, axis=-2), jnp.stack(outs_d, axis=-1)
+
+
 def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
     """Exact incident-face clip manifold, dense/AoS layout.
 
@@ -80,12 +134,10 @@ def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
     idxR = jnp.argmax(scR, axis=-1)
     scI = jnp.where(fmI, jnp.sum(fnI * nrm_inc[..., None, :], -1), BIG)
     idxI = jnp.argmin(scI, axis=-1)
-    n_reff = jnp.take_along_axis(
-        fnR, idxR[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
-    d_reff = jnp.take_along_axis(fdR, idxR[..., None], axis=-1)[..., 0]
-    n_incf = jnp.take_along_axis(
-        fnI, idxI[..., None, None].repeat(3, -1), axis=-2)[..., 0, :]
-    d_incf = jnp.take_along_axis(fdI, idxI[..., None], axis=-1)[..., 0]
+    n_reff = _sel_vec(fnR, idxR)
+    d_reff = _sel_scalar(fdR, idxR)
+    n_incf = _sel_vec(fnI, idxI)
+    d_incf = _sel_scalar(fdI, idxI)
 
     fvert = objmgr["face_verts"].reshape(O * Fm, FVe, 3)
     fnext = objmgr["face_verts_next"].reshape(O * Fm, FVe, 3)
@@ -99,15 +151,15 @@ def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
     rotR_e = rot_ref[..., None, :]
     posI_e = pos_inc[..., None, :]
     posR_e = pos_ref[..., None, :]
-    polyI = m.quat_rotate(rotI_e, fvert[gI]) + posI_e       # [*L,FVe,3]
-    polyIn = m.quat_rotate(rotI_e, fnext[gI]) + posI_e
-    polyR = m.quat_rotate(rotR_e, fvert[gR]) + posR_e
-    svalI = fsv[gI] > 0.5
-    svalR = fsv[gR] > 0.5
-    snR = m.quat_rotate(rotR_e, fsn[gR])
-    sdR = fsd[gR] + jnp.sum(snR * posR_e, -1)
-    snI = m.quat_rotate(rotI_e, fsn[gI])
-    sdI = fsd[gI] + jnp.sum(snI * posI_e, -1)
+    polyI = m.quat_rotate(rotI_e, _gather_rows(fvert, gI)) + posI_e
+    polyIn = m.quat_rotate(rotI_e, _gather_rows(fnext, gI)) + posI_e
+    polyR = m.quat_rotate(rotR_e, _gather_rows(fvert, gR)) + posR_e
+    svalI = _gather_rows(fsv, gI) > 0.5
+    svalR = _gather_rows(fsv, gR) > 0.5
+    snR = m.quat_rotate(rotR_e, _gather_rows(fsn, gR))
+    sdR = _gather_rows(fsd, gR) + jnp.sum(snR * posR_e, -1)
+    snI = m.quat_rotate(rotI_e, _gather_rows(fsn, gI))
+    sdI = _gather_rows(fsd, gI) + jnp.sum(snI * posI_e, -1)
 
     # Plane-distance einsums are EXACT: these feed clip t-parameters via
     # near-zero differences at contact; one bf16 pass (TPU default) puts
@@ -152,8 +204,7 @@ def _clip_manifold_aos(objmgr, A, B, use_faceB, nrm_inc, L, bc):
 
     pts = jnp.concatenate([pt_lo, pt_hi, q], axis=-2)
     dep = jnp.concatenate([dep_lo, dep_hi, dep3], axis=-1)
-    top_pen, top_idx = jax.lax.top_k(dep, 4)
-    pts4 = jnp.take_along_axis(pts, top_idx[..., None].repeat(3, -1), -2)
+    pts4, top_pen = _top4(dep, pts)
     return pts4, top_pen
 
 
@@ -165,15 +216,15 @@ def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
     the data a reference CollisionPrimitive carries (physics.hpp:245-264)
     pushed to world space once per body.
     """
-    ptype = objmgr["prim_type"][obj_id]
-    radius = objmgr["sphere_radius"][obj_id]
-    verts_l = objmgr["verts"][obj_id]                # [*L,Vm,3]
-    nverts = objmgr["num_verts"][obj_id]
-    fnorm_l = objmgr["face_normals"][obj_id]         # [*L,Fm,3]
-    face_d = objmgr["face_d"][obj_id]
-    nfaces = objmgr["num_faces"][obj_id]
-    edir_l = objmgr["edge_dirs"][obj_id]             # [*L,Em,3]
-    nedges = objmgr["num_edges"][obj_id]
+    ptype = _gather_rows(objmgr["prim_type"], obj_id)
+    radius = _gather_rows(objmgr["sphere_radius"], obj_id)
+    verts_l = _gather_rows(objmgr["verts"], obj_id)          # [*L,Vm,3]
+    nverts = _gather_rows(objmgr["num_verts"], obj_id)
+    fnorm_l = _gather_rows(objmgr["face_normals"], obj_id)   # [*L,Fm,3]
+    face_d = _gather_rows(objmgr["face_d"], obj_id)
+    nfaces = _gather_rows(objmgr["num_faces"], obj_id)
+    edir_l = _gather_rows(objmgr["edge_dirs"], obj_id)       # [*L,Em,3]
+    nedges = _gather_rows(objmgr["num_edges"], obj_id)
 
     Vm = verts_l.shape[-2]
     Fm = fnorm_l.shape[-2]
@@ -195,9 +246,9 @@ def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
 
     # full-edge endpoints (supporting-edge lookup for edge-edge contacts);
     # DCE'd when unused
-    ep0_l = objmgr["edge_p0"][obj_id]                # [*L,Ef,3]
-    ep1_l = objmgr["edge_p1"][obj_id]
-    nef = objmgr["num_full_edges"][obj_id]
+    ep0_l = _gather_rows(objmgr["edge_p0"], obj_id)  # [*L,Ef,3]
+    ep1_l = _gather_rows(objmgr["edge_p1"], obj_id)
+    nef = _gather_rows(objmgr["num_full_edges"], obj_id)
     efmask = jnp.arange(ep0_l.shape[-2]) < nef[..., None]
 
     fields = {
@@ -209,13 +260,13 @@ def body_fields(pos, rot, obj_id, objmgr) -> Dict[str, Any]:
         "edge_p0_w": m.quat_rotate(rot_e, ep0_l) + pos_e, "efmask": efmask,
         "edge_p1_w": m.quat_rotate(rot_e, ep1_l) + pos_e,
         "plane_n": plane_n, "plane_d": plane_d,
-        "lo_l": objmgr["local_aabb_lo"][obj_id],
-        "hi_l": objmgr["local_aabb_hi"][obj_id],
+        "lo_l": _gather_rows(objmgr["local_aabb_lo"], obj_id),
+        "hi_l": _gather_rows(objmgr["local_aabb_hi"], obj_id),
         "obj_id": obj_id,
     }
     if "hull_is_box" in objmgr:
-        fields["is_box"] = objmgr["hull_is_box"][obj_id] > 0
-        fields["box_half"] = objmgr["box_half"][obj_id]
+        fields["is_box"] = _gather_rows(objmgr["hull_is_box"], obj_id) > 0
+        fields["box_half"] = _gather_rows(objmgr["box_half"], obj_id)
     else:
         fields["is_box"] = jnp.zeros_like(obj_id, bool)
         fields["box_half"] = jnp.zeros(obj_id.shape + (3,), jnp.float32)
@@ -310,10 +361,9 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         vd = jnp.sum(h_verts_w * p_n[..., None, :], axis=-1) - p_d[..., None]
         vd = jnp.where(h_vmask, vd, BIG)
         pen_v = -vd  # positive = below plane
-        top_pen, top_idx = jax.lax.top_k(bc(pen_v, 1), 4)  # deepest 4 verts
-        pts = jnp.take_along_axis(
-            bc(h_verts_w, 2), top_idx[..., None].repeat(3, -1), axis=-2
-        )  # [*L,4,3]
+        pts, top_pen = _top4(bc(pen_v, 1),
+                             jnp.broadcast_to(bc(h_verts_w, 2),
+                                              L + h_verts_w.shape[-2:]))
         num_pts = jnp.sum((top_pen > -speculative).astype(jnp.int32), axis=-1)
         nrm_hp = p_n if flip else -p_n  # ref(hull) -> other(plane): -p_n
         nrm_hp = jnp.broadcast_to(nrm_hp, L + (3,))
@@ -336,9 +386,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
         # (exact when center is outside near a face, approximate at edges)
         fdist = jnp.max(cd, axis=-1)                    # [*L]
         fidx = jnp.argmax(cd, axis=-1)
-        fn = jnp.take_along_axis(
-            bc(h_fn_w, 2), fidx[..., None, None].repeat(3, -1), axis=-2
-        )[..., 0, :]
+        fn = _sel_vec(jnp.broadcast_to(bc(h_fn_w, 2),
+                                       L + h_fn_w.shape[-2:]), fidx)
         pen = s_rad - fdist
         contact = s_pos - fn * fdist[..., None]
         nrm_sh = fn if flip else -fn
@@ -458,9 +507,8 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
 
     # reference face normal (world, oriented ref(A) -> other(B))
     def take_axis(axes, idx):
-        return jnp.take_along_axis(
-            bc(axes, 2), idx[..., None, None].repeat(3, -1), axis=-2
-        )[..., 0, :]
+        return _sel_vec(jnp.broadcast_to(bc(axes, 2), L + axes.shape[-2:]),
+                        idx)
 
     fA = take_axis(axesA, jnp.broadcast_to(idxA_, L))
     fB = take_axis(axesB, jnp.broadcast_to(idxB_, L))
@@ -498,9 +546,10 @@ def pair_contacts(A: Dict[str, Any], B: Dict[str, Any],
             # deepest ref-hull support point.
             proj = jnp.sum(incident_w * nrm_to_inc[..., None, :], axis=-1)
             proj = jnp.where(inc_mask, proj, BIG)
-            top_pen, top_idx = jax.lax.top_k(bc(proj, 1) * -1.0, 4)
-            pts = jnp.take_along_axis(
-                bc(incident_w, 2), top_idx[..., None].repeat(3, -1), -2)
+            pts, top_pen = _top4(
+                bc(proj, 1) * -1.0,
+                jnp.broadcast_to(bc(incident_w, 2),
+                                 L + incident_w.shape[-2:]))
             return pts, top_pen
 
         ptsB, prB = deepest_pts(B["verts_w"], B["vmask"], sat_normal)
