@@ -110,22 +110,62 @@ def _time_executor(sim, ticks: int) -> float:
     return ticks * sim.cfg.num_worlds / (time.perf_counter() - t0)
 
 
+_MEASURE_SNIPPET = """\
+import json, sys, time
+import jax
+jax.config.update("jax_compilation_cache_dir",
+                  "{cache}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+from gpu_ecs_madrona_tpu.tooling.autotuner import _time_executor
+{build}
+print("TUNE_RESULT " + json.dumps(_time_executor(sim, {ticks})))
+"""
+
+
+def _measure_subprocess(build: str, ticks: int) -> float:
+    """Build + time an executor in a FRESH subprocess.
+
+    Measurements must be process-isolated: executing one large XLA step
+    program can permanently degrade per-dispatch overhead ~30x for every
+    subsequent executable in the same process (observed on the v5e
+    runtime: a trivial donated jit call goes 0.03 -> 0.98 ms after one
+    run of the non-fused collisions step at 8192 worlds, and del+gc does
+    not recover it).  In-process sweeps therefore poison every config
+    measured after the first — the exact failure that produced a bogus
+    fused=false exec-config artifact.
+    """
+    import subprocess
+    import sys
+
+    import jax
+
+    cache = jax.config.jax_compilation_cache_dir or "/root/.jax_cache"
+    code = _MEASURE_SNIPPET.format(cache=cache, build=build, ticks=ticks)
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=3600)
+    for line in r.stdout.splitlines():
+        if line.startswith("TUNE_RESULT "):
+            return float(json.loads(line[len("TUNE_RESULT "):]))
+    raise RuntimeError(
+        f"tuner subprocess failed (rc={r.returncode}): {r.stderr[-500:]}")
+
+
 def tune_collisions(num_worlds: int, num_objects: int = 100,
                     ticks: int = 20) -> Dict[str, Any]:
     """Sweep the collisions fused-kernel choice (the pair-grid crossover:
-    XLA reduce-fusion wins small n, the Pallas kernel wins large n)."""
-    from gpu_ecs_madrona_tpu.models import collisions as col
-
+    XLA reduce-fusion wins small n, the Pallas kernel wins large n).
+    One subprocess per config (see _measure_subprocess)."""
     results = {}
     for fused in (False, True):
-        cfg = col.CollisionsConfig(num_worlds=num_worlds,
-                                   num_objects=num_objects, fused=fused)
+        build = (
+            "from gpu_ecs_madrona_tpu.models import collisions as col\n"
+            f"sim = col.make_executor(col.CollisionsConfig("
+            f"num_worlds={num_worlds}, num_objects={num_objects}, "
+            f"fused={fused}))")
         try:
-            sim = col.make_executor(cfg)
-            results[fused] = _time_executor(sim, ticks)
+            results[fused] = _measure_subprocess(build, ticks)
         except Exception:
             continue
-        del sim
     if not results:
         raise RuntimeError("no collisions config compiled")
     best = max(results, key=results.get)
@@ -142,19 +182,18 @@ def tune_physics_substep(num_worlds: int, bodies: int = 64,
                          modes=("pairs", "pallas"),
                          wts=(2, 4, 8)) -> Dict[str, Any]:
     """Sweep physics contact_mode (+ Pallas Wt) on a rigid-body workload
-    shaped like models/rigid_bench."""
-    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
-
+    shaped like models/rigid_bench.  One subprocess per config."""
     results = {}
     for mode in modes:
         wt_list = wts if mode == "pallas" else (None,)
         for wt in wt_list:
+            build = (
+                "from gpu_ecs_madrona_tpu.models import rigid_bench as rb\n"
+                f"sim = rb.make_executor(rb.RigidBenchConfig("
+                f"num_worlds={num_worlds}, num_bodies={bodies}, "
+                f"contact_mode={mode!r}, substep_wt={wt}))")
             try:
-                sim = rb.make_executor(rb.RigidBenchConfig(
-                    num_worlds=num_worlds, num_bodies=bodies,
-                    contact_mode=mode, substep_wt=wt))
-                results[(mode, wt)] = _time_executor(sim, ticks)
-                del sim
+                results[(mode, wt)] = _measure_subprocess(build, ticks)
             except Exception:
                 continue
     if not results:
