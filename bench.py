@@ -1,12 +1,21 @@
 """Benchmark: collisions example, aggregate env-steps/s on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
 Baseline target (BASELINE.json): 1M aggregate env-steps/s at 8192 worlds on
 the collisions physics workload (vs_baseline = value / 1e6).
 
 Metric definition matches the reference examples' FPS printout:
 num_ticks * num_worlds / elapsed (reference examples/simple_taskgraph/
 mw_cpu.cpp:39-42, examples/collisions/gpu.cpp:32-43).
+
+Driver-safety contract (round-2 postmortem: a poisoned exec-config artifact
+flipped the bench to a minutes-to-compile path and timed the driver out):
+  * NEVER sweeps/tunes unless BENCH_TUNE=1 is set explicitly — a plain
+    `python bench.py` only ever builds ONE executor.
+  * Tuned artifacts are consulted but only trusted when backend-matched and
+    validated (tooling/autotuner.lookup's trust gates); otherwise the static
+    heuristic runs.
+  * Stage-stamped progress lines go to stderr so a timeout is attributable.
 """
 
 import json
@@ -15,35 +24,49 @@ import sys
 import time
 
 NUM_WORLDS = int(os.environ.get("BENCH_NUM_WORLDS", 8192))
-NUM_TICKS = int(os.environ.get("BENCH_NUM_TICKS", 100))
+NUM_TICKS = int(os.environ.get("BENCH_NUM_TICKS", 1000))
 BASELINE_STEPS_PER_S = 1_000_000.0
+_T0 = time.perf_counter()
+
+
+def stage(msg):
+    print(f"# [{time.perf_counter() - _T0:7.1f}s] {msg}", file=sys.stderr,
+          flush=True)
 
 
 def main():
+    stage("importing jax")
     import jax
-    jax.config.update("jax_compilation_cache_dir", os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    stage(f"backend={jax.default_backend()} devices={len(jax.devices())}")
     from gpu_ecs_madrona_tpu.models import collisions as col
     from gpu_ecs_madrona_tpu.tooling import autotuner
 
-    # Exec-config feedback loop (the MADRONA_MWGPU_EXEC_CONFIG_FILE
-    # analog): use the tuned artifact if present; otherwise run a quick
-    # fused-on/off sweep at this workload, persist it, and consume it.
-    cfg_source = "artifact"
+    # Exec-config feedback loop (the MADRONA_MWGPU_EXEC_CONFIG_FILE analog).
+    # lookup() only returns backend-matched validated entries; sweeping is
+    # opt-in via BENCH_TUNE=1 and never happens under the driver.
     tuned = autotuner.lookup("collisions", num_worlds=NUM_WORLDS,
                              num_objects=100)
-    if tuned is None and os.environ.get("BENCH_NO_TUNE") != "1":
+    cfg_source = "artifact" if tuned is not None else "heuristic"
+    if tuned is None and os.environ.get("BENCH_TUNE") == "1":
+        stage("BENCH_TUNE=1: sweeping fused on/off (2+2 subprocesses)")
         try:
             entry = autotuner.tune_collisions(NUM_WORLDS, 100, ticks=40)
             autotuner.save([entry])
-            tuned = entry["config"]
-            cfg_source = "swept"
+            if entry.get("validated"):
+                tuned = entry["config"]
+                cfg_source = "swept"
+            else:
+                stage("sweep winner failed validation; using heuristic")
         except Exception as e:  # tuning must never kill the bench
-            print(f"# autotune failed: {e}", file=sys.stderr)
+            stage(f"autotune failed: {e}")
     if tuned is None:
         tuned = {}
-        cfg_source = "heuristic"
+    stage(f"exec config: source={cfg_source} {tuned}")
 
+    stage(f"building executor ({NUM_WORLDS} worlds)")
     sim = col.make_executor(
         col.CollisionsConfig(num_worlds=NUM_WORLDS, seed=0,
                              fused=tuned.get("fused"))
@@ -52,13 +75,16 @@ def main():
     # Warmup: compile the step program (the reference's analog is the NVRTC
     # megakernel build, amortized by its kernel cache / our persistent
     # compilation cache).
+    stage("warmup / compile")
     sim.run(3)
     sim.block_until_ready()
 
+    stage(f"timing {NUM_TICKS} ticks")
     start = time.perf_counter()
     sim.run(NUM_TICKS)
     sim.block_until_ready()
     elapsed = time.perf_counter() - start
+    stage(f"timed: {elapsed * 1e3:.1f} ms")
 
     # Correctness guard: a numerically exploding sim has the same static
     # shapes and runs just as "fast" — never report throughput off a NaN

@@ -166,7 +166,8 @@ class CollisionsWorld:
             if tuned is not None and "fused" in tuned:
                 fused = bool(tuned["fused"])
             else:
-                fused = (jax.default_backend() != "cpu"
+                from gpu_ecs_madrona_tpu.utils.platform import is_tpu
+                fused = (is_tpu()
                          and n_pad * n_pad * 12 <= 6 * 1024 * 1024)
         if fused and n_pad * n_pad * 12 > 6 * 1024 * 1024:
             raise ValueError("fused=True: object count exceeds the fused "
@@ -180,14 +181,15 @@ class CollisionsWorld:
                 # pre-push state (reference node order).
                 from gpu_ecs_madrona_tpu.ops.collision_kernel import (
                     fused_collisions_step)
+                from gpu_ecs_madrona_tpu.utils.platform import (
+                    pallas_interpret)
                 pos = ctx.column(CubeObject, Translation)
                 rot = ctx.column(CubeObject, Rotation)
                 mask = ctx.row_mask(CubeObject)
-                # forcing fused=True on the CPU backend (tests) runs the
-                # kernel in interpret mode
+                # forcing fused=True off-TPU (tests) runs the kernel in
+                # interpret mode
                 delta, lo, hi = fused_collisions_step(
-                    pos, rot, mask,
-                    interpret=jax.default_backend() == "cpu")
+                    pos, rot, mask, interpret=pallas_interpret())
                 ctx.set_column(CubeObject, PhysicsAABB, {"lo": lo, "hi": hi})
                 ctx.data["push_delta"] = delta
 
@@ -325,7 +327,8 @@ class CollisionsWorld:
                 ctx.set_column(CubeObject, Translation,
                                pos_col + ctx.data["push_delta"])
                 return
-            use_pallas = cfg.use_pallas and jax.default_backend() != "cpu"
+            from gpu_ecs_madrona_tpu.utils.platform import is_tpu
+            use_pallas = cfg.use_pallas and is_tpu()
             if use_pallas:
                 # fused VMEM-resident pair grid (ops/collision_kernel.py)
                 aabb = ctx.column(CubeObject, PhysicsAABB)

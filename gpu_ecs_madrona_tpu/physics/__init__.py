@@ -444,11 +444,13 @@ class RigidBodyPhysicsSystem:
             elif cap_n <= 48:
                 contact_mode = "dense"
             else:
-                # any accelerator (incl. the axon tunnel platform, which
-                # reports "axon" not "tpu") gets the Pallas megakernel;
-                # interpret-mode off-accelerator is debug-speed
-                contact_mode = ("pairs" if jax.default_backend() == "cpu"
-                                else "pallas")
+                # TPU-like platforms (incl. the axon tunnel, which reports
+                # "axon" not "tpu") get the Pallas megakernel; everything
+                # else — cpu AND non-TPU accelerators where Mosaic cannot
+                # compile — falls back to the XLA pairs path
+                from gpu_ecs_madrona_tpu.utils.platform import is_tpu
+                contact_mode = "pallas" if is_tpu() else "pairs"
+
         if contact_mode not in ("dense", "pairs", "pallas"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
         if contact_mode == "pairs":
@@ -458,7 +460,8 @@ class RigidBodyPhysicsSystem:
         if contact_mode == "pallas":
             from gpu_ecs_madrona_tpu.ops.substep_kernel import (
                 FusedSubstepKernel, SubstepKernel)
-            interp = jax.default_backend() == "cpu"
+            from gpu_ecs_madrona_tpu.utils.platform import pallas_interpret
+            interp = pallas_interpret()
             if has_joints:
                 # joints interleave between the positional and velocity
                 # phases, so each substep is its own kernel call with the

@@ -76,6 +76,9 @@ class BatchRenderer:
                  object_albedo=None, render_meshes: Dict[int, Any] = None):
         import numpy as np
 
+        if cfg.backend not in ("xla", "pallas", "auto"):
+            raise ValueError(f"unknown renderer backend {cfg.backend!r}; "
+                             "expected 'xla', 'pallas', or 'auto'")
         self.cfg = cfg
         self.objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         num_objs = self.objmgr["prim_type"].shape[0]
@@ -125,15 +128,17 @@ class BatchRenderer:
         # pixel-tile streaming kernel (analytic primitives only; meshes
         # force the XLA path).  Constructed eagerly so trace-time use
         # inside the jit step closes over Python constants only.
+        # the kernel always uses the exact-hull slab test, so it is only
+        # eligible when exact_hulls is on (parity contract with the XLA
+        # path, which would use the OBB proxy otherwise)
         self._pallas = None
-        if cfg.backend in ("pallas", "auto") and not self.any_mesh:
+        if (cfg.backend in ("pallas", "auto") and not self.any_mesh
+                and cfg.exact_hulls):
             from gpu_ecs_madrona_tpu.ops.render_kernel import PallasRenderKernel
-            # interpret only off-accelerator: the axon tunnel platform IS a
-            # TPU but reports backend "axon", so test for cpu, not for tpu
+            from gpu_ecs_madrona_tpu.utils.platform import pallas_interpret
             self._pallas = PallasRenderKernel(
                 object_manager, np.asarray(self.albedo), cfg.light_dir,
-                cfg.ambient,
-                interpret=(jax.default_backend() == "cpu"))
+                cfg.ambient, interpret=pallas_interpret())
 
     def _use_pallas(self, num_pixels: int, num_instances: int) -> bool:
         if self._pallas is None:
@@ -143,9 +148,9 @@ class BatchRenderer:
         # auto: the streaming kernel wins once the per-world pixel x
         # instance working set is large enough that the XLA path's fusion
         # breaks into HBM round-trips (measured 12x at 128x128 x 36
-        # instances on v5e); interpret mode (CPU) is debug-speed, never auto
-        return (jax.default_backend() != "cpu"
-                and num_pixels * num_instances >= (1 << 19))
+        # instances on v5e); interpret mode is debug-speed, never auto
+        from gpu_ecs_madrona_tpu.utils.platform import is_tpu
+        return is_tpu() and num_pixels * num_instances >= (1 << 19)
 
     def init_buffers(self, ctx: Context):
         """Pre-create output buffers in ctx.data (stable pytree)."""

@@ -61,13 +61,26 @@ def lookup(kind: str, path: Optional[str] = None, **key) -> Optional[Dict[str, A
 
     Matches in log space over the intersection of numeric key fields; an
     entry with no shared fields matches at distance 0 (global default).
+
+    Trust gates (the round-2 lesson — a single bad sweep once flipped the
+    headline workload to a 47x-slower path): entries are IGNORED unless
+    they (a) were measured on the CURRENT jax backend and (b) carry
+    ``validated: true``, which ``tune_*`` only sets after the winner
+    re-measured within tolerance of the heuristic default in a fresh
+    process.  Untrusted entries fall through to the static heuristic.
     """
     artifact = load(path)
     if not artifact:
         return None
+    import jax
+    backend = jax.default_backend()
     best, best_d = None, None
     for entry in artifact.get("entries", []):
         if entry.get("kind") != kind:
+            continue
+        if entry.get("backend") != backend:
+            continue
+        if not entry.get("validated"):
             continue
         ek = entry.get("key", {})
         d = 0.0
@@ -150,31 +163,78 @@ def _measure_subprocess(build: str, ticks: int) -> float:
         f"tuner subprocess failed (rc={r.returncode}): {r.stderr[-500:]}")
 
 
+def _finalize_entry(kind: str, key: Dict[str, Any],
+                    config: Dict[str, Any],
+                    results: Dict[Any, float],
+                    best: Any, heuristic_speed: float,
+                    revalidate_build: str, ticks: int,
+                    tolerance: float = 1.5) -> Dict[str, Any]:
+    """Sanity-gate a sweep result before it can ever be persisted.
+
+    (a) The winner is re-measured in one more FRESH subprocess; the entry
+    records min(first, second) so a one-off fast fluke cannot win.
+    (b) ``validated`` is set only if that confirmed winner speed is within
+    ``tolerance`` of the measured heuristic-default speed — a "winner"
+    that loses to the default by >1.5x is exactly the round-2 poisoned
+    artifact and is recorded validated=false, which lookup() ignores.
+    """
+    import jax
+
+    winner_speed = results[best]
+    try:
+        recheck = _measure_subprocess(revalidate_build, ticks)
+    except Exception:
+        recheck = 0.0
+    confirmed = min(winner_speed, recheck)
+    validated = (heuristic_speed <= 0.0
+                 or confirmed * tolerance >= heuristic_speed)
+    return {
+        "kind": kind,
+        "key": key,
+        "config": config,
+        "backend": jax.default_backend(),
+        "validated": bool(validated),
+        "metric_steps_per_s": {str(k): round(v, 1) for k, v in results.items()},
+        "winner_recheck_steps_per_s": round(recheck, 1),
+        "heuristic_steps_per_s": round(heuristic_speed, 1),
+    }
+
+
 def tune_collisions(num_worlds: int, num_objects: int = 100,
                     ticks: int = 20) -> Dict[str, Any]:
     """Sweep the collisions fused-kernel choice (the pair-grid crossover:
     XLA reduce-fusion wins small n, the Pallas kernel wins large n).
-    One subprocess per config (see _measure_subprocess)."""
-    results = {}
-    for fused in (False, True):
-        build = (
+    One subprocess per config (see _measure_subprocess); the winner is
+    re-measured and floored against the fused=None heuristic default
+    before the entry can be marked ``validated`` (see _finalize_entry)."""
+    def _build(fused):
+        return (
             "from gpu_ecs_madrona_tpu.models import collisions as col\n"
             f"sim = col.make_executor(col.CollisionsConfig("
             f"num_worlds={num_worlds}, num_objects={num_objects}, "
             f"fused={fused}))")
+
+    results = {}
+    for fused in (False, True):
         try:
-            results[fused] = _measure_subprocess(build, ticks)
+            results[fused] = _measure_subprocess(_build(fused), ticks)
         except Exception:
             continue
     if not results:
         raise RuntimeError("no collisions config compiled")
+    # heuristic default = fused=None with NO artifact visible to the child
+    try:
+        heuristic = _measure_subprocess(
+            "import os; os.environ['GEM_TPU_EXEC_CONFIG_FILE'] = '/nonexistent'\n"
+            + _build(None), ticks)
+    except Exception:
+        heuristic = 0.0
     best = max(results, key=results.get)
-    return {
-        "kind": "collisions",
-        "key": {"num_worlds": num_worlds, "num_objects": num_objects},
-        "config": {"fused": bool(best)},
-        "metric_steps_per_s": {str(k): round(v, 1) for k, v in results.items()},
-    }
+    return _finalize_entry(
+        "collisions",
+        {"num_worlds": num_worlds, "num_objects": num_objects},
+        {"fused": bool(best)},
+        results, best, heuristic, _build(best), ticks)
 
 
 def tune_physics_substep(num_worlds: int, bodies: int = 64,
@@ -183,29 +243,38 @@ def tune_physics_substep(num_worlds: int, bodies: int = 64,
                          wts=(2, 4, 8)) -> Dict[str, Any]:
     """Sweep physics contact_mode (+ Pallas Wt) on a rigid-body workload
     shaped like models/rigid_bench.  One subprocess per config."""
+    def _build(mode, wt):
+        return (
+            "from gpu_ecs_madrona_tpu.models import rigid_bench as rb\n"
+            f"sim = rb.make_executor(rb.RigidBenchConfig("
+            f"num_worlds={num_worlds}, num_bodies={bodies}, "
+            f"contact_mode={mode!r}, substep_wt={wt}))")
+
     results = {}
     for mode in modes:
         wt_list = wts if mode == "pallas" else (None,)
         for wt in wt_list:
-            build = (
-                "from gpu_ecs_madrona_tpu.models import rigid_bench as rb\n"
-                f"sim = rb.make_executor(rb.RigidBenchConfig("
-                f"num_worlds={num_worlds}, num_bodies={bodies}, "
-                f"contact_mode={mode!r}, substep_wt={wt}))")
             try:
-                results[(mode, wt)] = _measure_subprocess(build, ticks)
+                results[(mode, wt)] = _measure_subprocess(_build(mode, wt),
+                                                          ticks)
             except Exception:
                 continue
     if not results:
         raise RuntimeError("no physics config compiled")
+    try:
+        heuristic = _measure_subprocess(
+            "import os; os.environ['GEM_TPU_EXEC_CONFIG_FILE'] = '/nonexistent'\n"
+            + _build("auto", None), ticks)
+    except Exception:
+        heuristic = 0.0
     (mode, wt) = max(results, key=results.get)
     config = {"contact_mode": mode}
     if wt is not None:
         config["substep_wt"] = int(wt)
-    return {
-        "kind": "physics_substep",
-        "key": {"num_worlds": num_worlds, "bodies": bodies},
-        "config": config,
-        "metric_steps_per_s": {f"{m}/wt={w}": round(v, 1)
-                               for (m, w), v in results.items()},
-    }
+    entry = _finalize_entry(
+        "physics_substep",
+        {"num_worlds": num_worlds, "bodies": bodies},
+        config, results, (mode, wt), heuristic, _build(mode, wt), ticks)
+    entry["metric_steps_per_s"] = {f"{m}/wt={w}": round(v, 1)
+                                   for (m, w), v in results.items()}
+    return entry

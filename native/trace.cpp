@@ -80,14 +80,16 @@ PyObject *gem_analyze_trace(PyObject *, PyObject *args) {
     }
     // records are sorted by timestamp at dump time; pair first-in-first-out
     for (const auto &pd : kPairs) {
+        // head index instead of erase(begin()): each pop is O(1) even when
+        // many unpaired starts accumulate (multi-GB traces)
         std::vector<uint64_t> open;
+        size_t head = 0;
         SpanStats st;
         for (const auto &r : recs) {
             if (r.event == pd.start) {
                 open.push_back(r.ts);
-            } else if (r.event == pd.end && !open.empty()) {
-                uint64_t t0 = open.front();
-                open.erase(open.begin());
+            } else if (r.event == pd.end && head < open.size()) {
+                uint64_t t0 = open[head++];
                 if (r.ts >= t0) st.durs.push_back(r.ts - t0);
             }
         }

@@ -15,11 +15,12 @@ def test_lookup_nearest_workload(tmp_path):
     path = tmp_path / "tune.json"
     autotuner.save([
         {"kind": "collisions", "key": {"num_worlds": 8192, "num_objects": 100},
-         "config": {"fused": True}},
+         "config": {"fused": True}, "backend": "cpu", "validated": True},
         {"kind": "collisions", "key": {"num_worlds": 64, "num_objects": 100},
-         "config": {"fused": False}},
+         "config": {"fused": False}, "backend": "cpu", "validated": True},
         {"kind": "physics_substep", "key": {"num_worlds": 1024, "bodies": 64},
-         "config": {"contact_mode": "pairs", "substep_wt": 4}},
+         "config": {"contact_mode": "pairs", "substep_wt": 4},
+         "backend": "cpu", "validated": True},
     ], str(path))
     # nearest in log space
     assert autotuner.lookup("collisions", path=str(path),
@@ -32,12 +33,32 @@ def test_lookup_nearest_workload(tmp_path):
     assert autotuner.lookup("nope", path=str(path), num_worlds=1) is None
 
 
+def test_lookup_trust_gates(tmp_path):
+    """Round-2 postmortem: entries from another backend or without
+    validated=true must be IGNORED so a poisoned artifact can never flip
+    a consumer off the heuristic path."""
+    path = str(tmp_path / "tune.json")
+    autotuner.save([
+        {"kind": "collisions", "key": {"num_worlds": 8192},
+         "config": {"fused": False}, "backend": "tpu", "validated": True},
+        {"kind": "collisions", "key": {"num_worlds": 64},
+         "config": {"fused": False}, "backend": "cpu", "validated": False},
+        {"kind": "collisions", "key": {"num_worlds": 32},
+         "config": {"fused": False}, "backend": "cpu"},  # legacy: no flag
+    ], path)
+    # tests run on the cpu backend: the tpu entry, the failed-validation
+    # entry, and the legacy no-flag entry are all untrusted
+    assert autotuner.lookup("collisions", path=path, num_worlds=8192) is None
+
+
 def test_save_replaces_same_key(tmp_path):
     path = str(tmp_path / "tune.json")
     autotuner.save([{"kind": "collisions", "key": {"num_worlds": 8},
-                     "config": {"fused": False}}], path)
+                     "config": {"fused": False}, "backend": "cpu",
+                     "validated": True}], path)
     autotuner.save([{"kind": "collisions", "key": {"num_worlds": 8},
-                     "config": {"fused": True}}], path)
+                     "config": {"fused": True}, "backend": "cpu",
+                     "validated": True}], path)
     with open(path) as f:
         entries = json.load(f)["entries"]
     assert len(entries) == 1 and entries[0]["config"] == {"fused": True}
@@ -72,7 +93,8 @@ def test_sweep_emits_consumable_artifact(tmp_path, monkeypatch):
 
     autotuner.save([{"kind": "collisions",
                      "key": {"num_worlds": 4, "num_objects": 6},
-                     "config": {"fused": False}}], path)
+                     "config": {"fused": False}, "backend": "cpu",
+                     "validated": True}], path)
     sim = col.make_executor(col.CollisionsConfig(num_worlds=4, num_objects=6,
                                                  seed=0))
     sim.run(2)
@@ -80,7 +102,8 @@ def test_sweep_emits_consumable_artifact(tmp_path, monkeypatch):
 
     autotuner.save([{"kind": "collisions",
                      "key": {"num_worlds": 4, "num_objects": 6},
-                     "config": {"fused": True}}], path)
+                     "config": {"fused": True}, "backend": "cpu",
+                     "validated": True}], path)
     with pytest.raises(_Marker):
         sim = col.make_executor(col.CollisionsConfig(num_worlds=4,
                                                      num_objects=6, seed=0))
@@ -100,7 +123,8 @@ def test_physics_auto_consumes_artifact(tmp_path, monkeypatch):
     path = str(tmp_path / "tune.json")
     autotuner.save([{"kind": "physics_substep",
                      "key": {"num_worlds": 2, "bodies": 8},
-                     "config": {"contact_mode": "pairs"}}], path)
+                     "config": {"contact_mode": "pairs"}, "backend": "cpu",
+                     "validated": True}], path)
     monkeypatch.setenv(autotuner.CONFIG_ENV, path)
 
     loader = assets.PhysicsLoader()
