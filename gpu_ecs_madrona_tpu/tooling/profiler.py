@@ -101,6 +101,140 @@ def aggregate_trace(trace_dir: str, top: int = 30) -> List[Dict[str, Any]]:
     ]
 
 
+def _load_trace_events(trace_dir: str) -> List[Dict[str, Any]]:
+    paths = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not paths:
+        raise FileNotFoundError(f"no trace under {trace_dir}")
+    with gzip.open(paths[-1]) as f:
+        return json.load(f).get("traceEvents", [])
+
+
+def _scope_node(tf_op: str) -> str:
+    """'jit(step)/bp_find_overlaps/top_k:' -> 'bp_find_overlaps'.
+
+    Taskgraph nodes are wrapped in jax.named_scope(node.name)
+    (core/taskgraph.py), which XLA propagates into each op's tf_op
+    metadata — the same per-node attribution channel the reference gets
+    from its DeviceLog nodeID field (mw_gpu/tracing.hpp:24-130)."""
+    for p in tf_op.rstrip(":").split("/"):
+        if not p or p.startswith("jit(") or p.startswith("pjit("):
+            continue
+        return p
+    return tf_op or "<unattributed>"
+
+
+def node_timeline(trace_dir: str,
+                  events: Optional[List[Dict[str, Any]]] = None
+                  ) -> Dict[str, Any]:
+    """Per-taskgraph-node device timeline from a trace_step() capture.
+
+    The TPU analog of the reference's parse_device_tracing.py (~300 LoC
+    reconstructing per-SM/block/node timelines from 40-byte DeviceLog
+    records): steps come from the XLA Modules thread (one span per
+    executed program), ops from the XLA Ops thread, and each op is
+    attributed to its taskgraph node via the named_scope in tf_op.
+
+    Returns {"steps": [{"start_us", "dur_us", "segments": [
+                {"node", "start_us", "dur_us"}, ...]}],
+             "nodes": [{"node", "total_us", "mean_us_per_step", "pct",
+                        "count"}]} — segments are per-node contiguous
+    spans within each step (ops of one node interleaved with another's
+    show up as separate segments, preserving true device ordering).
+    """
+    evs = events if events is not None else _load_trace_events(trace_dir)
+    # device pid: the process named /device:...; its tid 2 = XLA Modules,
+    # tid 3 = XLA Ops (stable tensorboard profile convention)
+    dev_pids = {e["pid"] for e in evs
+                if e.get("ph") == "M" and e.get("name") == "process_name"
+                and "/device:" in str(e.get("args", {}).get("name", ""))}
+    mods = sorted((e for e in evs if e.get("ph") == "X"
+                   and e.get("pid") in dev_pids and e.get("tid") == 2),
+                  key=lambda e: e["ts"])
+    ops = sorted((e for e in evs if e.get("ph") == "X"
+                  and e.get("pid") in dev_pids and e.get("tid") == 3
+                  and e.get("dur", 0) > 0),
+                 key=lambda e: e["ts"])
+
+    steps = []
+    totals: Dict[str, List[float]] = collections.defaultdict(
+        lambda: [0.0, 0])
+    for mod in mods:
+        t0, t1 = mod["ts"], mod["ts"] + mod["dur"]
+        segments = []
+        cur = None
+        for op in ops:
+            if op["ts"] < t0 or op["ts"] >= t1:
+                continue
+            node = _scope_node(op.get("args", {}).get("tf_op", op["name"]))
+            totals[node][0] += op["dur"]
+            totals[node][1] += 1
+            if cur is not None and cur["node"] == node:
+                cur["dur_us"] = (op["ts"] + op["dur"] - t0) - cur["start_us"]
+            else:
+                cur = {"node": node, "start_us": op["ts"] - t0,
+                       "dur_us": op["dur"]}
+                segments.append(cur)
+        steps.append({"start_us": t0, "dur_us": mod["dur"],
+                      "segments": segments})
+
+    n_steps = max(len(steps), 1)
+    step_total = sum(s["dur_us"] for s in steps) or 1.0
+    nodes = sorted(
+        ({"node": k, "total_us": round(v[0], 1),
+          "mean_us_per_step": round(v[0] / n_steps, 1),
+          "pct": round(100.0 * v[0] / step_total, 1), "count": v[1]}
+         for k, v in totals.items()),
+        key=lambda r: -r["total_us"])
+    return {"steps": steps, "nodes": nodes}
+
+
+def render_timeline_svg(timeline: Dict[str, Any], path: str,
+                        width: int = 1000, row_h: int = 22) -> str:
+    """Render node_timeline() output as a simple SVG: one row per step,
+    one colored box per node segment (the analog of the reference
+    device-trace PNG render)."""
+    steps = timeline["steps"]
+    if not steps:
+        raise ValueError("empty timeline")
+    # legend: top nodes only (the tail is host noise / tiny copies)
+    top_rows = timeline["nodes"][:12]
+    nodes = [r["node"] for r in top_rows]
+    palette = ["#4e79a7", "#f28e2b", "#e15759", "#76b7b2", "#59a14f",
+               "#edc948", "#b07aa1", "#ff9da7", "#9c755f", "#bab0ac"]
+    color = {n: palette[i % len(palette)] for i, n in enumerate(nodes)}
+    max_dur = max(s["dur_us"] for s in steps)
+    scale = (width - 160) / max_dur
+    legend_h = 16 * (min(len(nodes), 12) + 1)
+    h = row_h * len(steps) + 30 + legend_h
+    out = [f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+           f'height="{h}" font-family="monospace" font-size="11">']
+    for i, s in enumerate(steps):
+        y = 10 + i * row_h
+        out.append(f'<text x="2" y="{y + 14}">step {i} '
+                   f'{s["dur_us"] / 1000:.2f}ms</text>')
+        for seg in s["segments"]:
+            x = 150 + seg["start_us"] * scale
+            w = max(seg["dur_us"] * scale, 0.5)
+            c = color.get(seg["node"], "#999")
+            out.append(f'<rect x="{x:.1f}" y="{y}" width="{w:.1f}" '
+                       f'height="{row_h - 4}" fill="{c}">'
+                       f'<title>{seg["node"]}: {seg["dur_us"]:.0f}us'
+                       f'</title></rect>')
+    y0 = 20 + row_h * len(steps)
+    for i, r in enumerate(top_rows):
+        y = y0 + 16 * i
+        out.append(f'<rect x="150" y="{y}" width="12" height="12" '
+                   f'fill="{color[r["node"]]}"/>')
+        out.append(f'<text x="168" y="{y + 10}">{r["node"]} — '
+                   f'{r["mean_us_per_step"] / 1000:.2f}ms/step '
+                   f'({r["pct"]}%)</text>')
+    out.append("</svg>")
+    svg = "\n".join(out)
+    with open(path, "w") as f:
+        f.write(svg)
+    return path
+
+
 def sweep(make_fn: Callable[..., float], param_grid: Dict[str, List[Any]],
           out_json: Optional[str] = None) -> List[Dict[str, Any]]:
     """Generic config sweep (reference scripts/profile.py block-count sweep):
