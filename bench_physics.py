@@ -20,6 +20,7 @@ NUM_TICKS = int(os.environ.get("BENCH_PHYS_TICKS", 50))
 MODE = os.environ.get("BENCH_PHYS_MODE", "pairs")
 BP = os.environ.get("BENCH_PHYS_BP", "auto")
 CANDS = int(os.environ.get("BENCH_PHYS_CANDS", 0))
+REFRESH = os.environ.get("BENCH_PHYS_REFRESH") == "1"
 
 
 def main():
@@ -32,7 +33,8 @@ def main():
 
     sim = rb.make_executor(rb.RigidBenchConfig(
         num_worlds=NUM_WORLDS, num_bodies=NUM_BODIES, contact_mode=MODE,
-        broadphase_mode=BP, max_candidates=CANDS, seed=0))
+        broadphase_mode=BP, max_candidates=CANDS, seed=0,
+        contact_refresh=REFRESH))
 
     sim.run(3)
     sim.block_until_ready()
@@ -57,7 +59,8 @@ def main():
     steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
     print(json.dumps({
         "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "
-                   f"{NUM_BODIES} bodies ({MODE}, bp={BP})"),
+                   f"{NUM_BODIES} bodies ({MODE}, bp={BP}"
+                   f"{', refresh' if REFRESH else ''})"),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1_000_000.0, 4),

@@ -64,8 +64,13 @@ class RigidBenchConfig:
     delta_t: float = 1 / 60
     max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
-    broadphase_mode: str = "auto"  # dense | sap | auto (see physics)
+    broadphase_mode: str = "auto"  # dense | sap | dense_owner | auto
     sap_window: int = 0            # 0 = auto (min(n - 1, 64))
+    owner_degree: int = 4          # dense_owner per-body partner capacity
+    # once-per-step narrowphase + per-substep manifold refresh in the
+    # fused Pallas kernel (documented deviation from the reference's
+    # per-substep narrowphase; see ops/substep_kernel.py)
+    contact_refresh: bool = False
     substep_wt: int = None        # Pallas world-block override (None = auto)
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
@@ -73,7 +78,18 @@ class RigidBenchConfig:
     spawn_h: float = 12.0
     seed: int = 0
 
+    def resolved_broadphase(self) -> str:
+        # dense_owner (owner-major candidate lists) is opt-in: measured on
+        # v5e at 8192x64 it makes the broadphase cheaper (top_k 21.8 ->
+        # 11.7 ms) but the kernel's wider pair axis costs more than the
+        # static owner side saves (kernel 70 -> 152 ms) — net loss.  Kept
+        # for workloads with much higher pair fan-in where the global
+        # top_k dominates.
+        return self.broadphase_mode
+
     def candidates(self) -> int:
+        if self.resolved_broadphase() == "dense_owner":
+            return self.owner_degree * 128
         # a settled pile averages ~3 overlap pairs per body; 4x covers the
         # in-flight transient (overflow drops excess candidates gracefully)
         return self.max_candidates or 4 * self.num_bodies
@@ -147,12 +163,13 @@ class RigidBenchWorld:
         cfg = cls.config
         objmgr = cls.objmgr
         bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
-            builder, [], Body, objmgr, mode=cfg.broadphase_mode,
-            sap_window=cfg.sap_window)
+            builder, [], Body, objmgr, mode=cfg.resolved_broadphase(),
+            sap_window=cfg.sap_window, owner_degree=cfg.owner_degree)
         ss = RigidBodyPhysicsSystem.setup_substep_tasks(
             builder, [bp], cfg.num_substeps, Body, objmgr,
             relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,
-            substep_wt=cfg.substep_wt)
+            substep_wt=cfg.substep_wt,
+            contact_refresh=cfg.contact_refresh)
         RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
 

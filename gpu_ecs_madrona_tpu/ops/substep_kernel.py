@@ -116,65 +116,137 @@ def _c4(g, lo):
     return (g[:, lo], g[:, lo + 1], g[:, lo + 2], g[:, lo + 3])
 
 
-def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
+def _ablate():
+    return set(filter(None, os.environ.get(
+        "GEM_TPU_SUBSTEP_ABLATE", "").split(",")))
+
+
+def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
     """Gather/segment-sum helpers for one program block.
 
-    Gathers use Mosaic's native dynamic lane gather (2D take_along_axis,
-    one lane-tile chunk at a time); one-hot MXU matmuls remain only for
-    the segment-sums.  Returns (oh_i, oh_j, gather_i, gather_j, segsum).
+    ISSUE-BOUND DISCIPLINE: measured on v5e, a VPU op on [32, 256] costs
+    the same as on [8, 128] (instruction issue dominates; width is free up
+    to ~8 vregs).  Everything here is therefore batched across the WHOLE
+    world block in single wide ops — per-world Python loops survive only
+    where Mosaic forces them (the MXU segment-sum matmuls, which have no
+    batched lowering).
+
+    Gathers use Mosaic's native dynamic lane gather (2D take_along_axis
+    with per-row indices, all worlds x channels in one op per lane-tile
+    chunk); one-hot MXU matmuls remain only for the segment-sums.
+    Returns (oh_i, oh_j, gather_i, gather_j, segsum).
+
+    OWNER-MAJOR MODE (owner = degree D > 0): pair slot k = d * n + o holds
+    the d-th candidate of OWNER body o (the pair's higher row; emitted by
+    the dense_owner broadphase).  The j side is the owner, whose index is
+    the lane position itself, so everything j becomes STATIC:
+      * gather_j  = tile the body block D times (no dynamic gather)
+      * j segment-sum = sum of the D contiguous lane tiles (no one-hot,
+        no MXU matmul)
+      * oh_j is never built
+    Only the partner (i) side keeps the dynamic gather + one-hot matmul.
+    This halves the kernel's gather/scatter machinery and lets the
+    broadphase replace its global [n*n] -> K top_k compaction (measured
+    21.8 ms/step at 8192x64) with a per-owner top-D along a 64-wide axis.
     """
-    iota_nK = jax.lax.broadcasted_iota(jnp.int32, (n, K), 0)
+    ablate = _ablate()
+    if owner:
+        assert K == owner * n, (K, owner, n)
 
     def onehots(rows_ref):
-        ohs = []
-        for w in range(Wt):
-            rows_row = rows_ref[w]                           # [1, K]
-            valid_row = kvalid_ref[w] > 0.5
-            ohs.append(((iota_nK == rows_row) & valid_row)
-                       .astype(jnp.float32))                 # [n, K]
-        return ohs
+        if "noonehot" in ablate:   # perf attribution only (wrong results)
+            return jnp.broadcast_to(kvalid_ref[:], (Wt, n, K))
+        # [Wt*n, K] in ONE compare: row r of the flattened array is body
+        # (r % n) of world (r // n); n is always a power of two here
+        assert n & (n - 1) == 0
+        r_iota = jax.lax.broadcasted_iota(jnp.int32, (Wt * n, K), 0) & (n - 1)
+        rows_b = jnp.broadcast_to(rows_ref[:], (Wt, n, K)).reshape(Wt * n, K)
+        valid_b = jnp.broadcast_to(kvalid_ref[:] > 0.5,
+                                   (Wt, n, K)).reshape(Wt * n, K)
+        return ((r_iota == rows_b) & valid_b).astype(
+            jnp.float32).reshape(Wt, n, K)
 
     native = ((n == 128) and (K % n == 0)
               and os.environ.get("GEM_TPU_SUBSTEP_NATIVE", "1") != "0")
 
     def gather_with(rows_ref, ohs):
         def gather(mat, C):
-            # mat [Wt, C, n] -> [Wt, C, K]
+            # mat [Wt, C, n] -> [Wt, C, K]; one take_along_axis per
+            # lane-tile chunk covering ALL worlds and channels
+            if "nogather" in ablate:  # perf attribution only (wrong results)
+                return jnp.concatenate([mat] * (K // n), axis=2)
             if not native:
                 return jnp.stack([
                     jax.lax.dot_general(mat[w], ohs[w],
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                     for w in range(Wt)], axis=0)
-            outs = []
-            for w in range(Wt):
-                xw = mat[w]                                  # [C, n]
-                chunks = []
-                for c0 in range(0, K, n):
-                    idx = rows_ref[w, :, c0:c0 + n]          # [1, n]
-                    chunks.append(jnp.take_along_axis(
-                        xw, jnp.broadcast_to(idx, (C, n)), axis=1))
-                outs.append(jnp.concatenate(chunks, axis=1))
-            return jnp.stack(outs, axis=0)
+            if os.environ.get("GEM_TPU_SUBSTEP_BATCHIO", "0") == "0":
+                outs = []
+                for w in range(Wt):
+                    xw = mat[w]                              # [C, n]
+                    chunks = []
+                    for c0 in range(0, K, n):
+                        idx = rows_ref[w, :, c0:c0 + n]      # [1, n]
+                        chunks.append(jnp.take_along_axis(
+                            xw, jnp.broadcast_to(idx, (C, n)), axis=1))
+                    outs.append(jnp.concatenate(chunks, axis=1))
+                return jnp.stack(outs, axis=0)
+            mat2 = mat.reshape(Wt * C, n)
+            chunks = []
+            for c0 in range(0, K, n):
+                idx = rows_ref[:, :, c0:c0 + n]              # [Wt, 1, n]
+                idxb = jnp.broadcast_to(idx, (Wt, C, n)).reshape(Wt * C, n)
+                chunks.append(jnp.take_along_axis(mat2, idxb, axis=1)
+                              .reshape(Wt, C, n))
+            return jnp.concatenate(chunks, axis=2)
         return gather
 
-    def segsum(ohs, pack):
-        # pack [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
+    oh_i = onehots(rows_i_ref)
+
+    if owner:
+        def gather_owner(mat, C):
+            # owner of slot d*n+o is body o: the "gather" is a static tile
+            del C
+            return jnp.concatenate([mat] * owner, axis=2)
+
+        def segsum_owner(packA, packB):
+            # partner side: one-hot matmul; owner side: slot d*n+o lands
+            # on body o -> sum of the D contiguous lane tiles
+            accA = jnp.stack([
+                jax.lax.dot_general(packA[w], oh_i[w],
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+                for w in range(Wt)], axis=0)
+            accB = packB[:, :, 0:n]
+            for d in range(1, owner):
+                accB = accB + packB[:, :, d * n:(d + 1) * n]
+            return accA + accB
+
+        return (oh_i, None, gather_with(rows_i_ref, oh_i),
+                gather_owner, segsum_owner)
+
+    oh_j = onehots(rows_j_ref)
+    # both sides' one-hots pre-concatenated along K: the i- and j-side
+    # segment-sums fuse into ONE MXU matmul per world per pass
+    oh_ij = jnp.concatenate([oh_i, oh_j], axis=2)        # [Wt, n, 2K]
+
+    def segsum2(packA, packB):
+        # packA/packB [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
+        pack = jnp.concatenate([packA, packB], axis=2)   # [Wt, C, 2K]
         return jnp.stack([
-            jax.lax.dot_general(pack[w], ohs[w], (((1,), (1,)), ((), ())),
+            jax.lax.dot_general(pack[w], oh_ij[w], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
             for w in range(Wt)], axis=0)
 
-    oh_i = onehots(rows_i_ref)
-    oh_j = onehots(rows_j_ref)
     return (oh_i, oh_j, gather_with(rows_i_ref, oh_i),
-            gather_with(rows_j_ref, oh_j), segsum)
+            gather_with(rows_j_ref, oh_j), segsum2)
 
 
 def _substep_core(tables, relaxation, kvalid, h1, rest1,
                   SA, SB, pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
                   oh_i, oh_j, gather_i, gather_j, segsum,
-                  speculative=0.0):
+                  speculative=0.0, cached=None, want_cache=False):
     """One contact substep given pair-gathered static sides SA/SB
     (im/ii/mu_s/mu_d/obj [Wt,K]) and per-body state tuples [Wt,n].
     v_b/w_b are the POST-INTEGRATE velocities (the reference's
@@ -184,6 +256,12 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     pos/rot/prev_pos are gathered per pair HERE (they change every
     substep); returns per-body (p2, r2, v2, w2, v3, w3): post-solve pose,
     recovered velocities, and post-velocity-pass velocities.
+
+    contact_refresh plumbing: with ``cached`` set (a pk.cache_contacts
+    dict from an earlier substep), the full SAT + clip narrowphase is
+    SKIPPED and the manifold is refreshed by transform only; with
+    ``want_cache``, the freshly computed contacts are also returned as a
+    cache (appended to the return tuple).
     """
     dyn_pair = jnp.stack(list(pos_b) + list(rot_b) + list(prev_pos_b),
                          axis=1)                             # [Wt, 10, n]
@@ -202,19 +280,25 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     PA, PB = side1(gA, SA), side1(gB, SB)
 
     # ---- narrowphase + positional pass (shared pair-major math) -------
-    FA = pk.body_fields(PA["pos"], PA["rot"], SA["obj"], tables)
-    FB = pk.body_fields(PB["pos"], PB["rot"], SB["obj"], tables)
-    contacts = pk.pair_contacts(FA, FB, kvalid, speculative=speculative)
+    if cached is None:
+        FA = pk.body_fields(PA["pos"], PA["rot"], SA["obj"], tables)
+        FB = pk.body_fields(PB["pos"], PB["rot"], SB["obj"], tables)
+        contacts = pk.pair_contacts(FA, FB, kvalid,
+                                    speculative=speculative)
+    else:
+        contacts = pk.refresh_contacts(cached, PA, PB)
+    cache_out = pk.cache_contacts(contacts, PA, PB) if want_cache else None
 
     packA, packB, lam = pk.positional_pass(PA, PB, contacts,
                                            relaxation=relaxation)
-    if os.environ.get("GEM_TPU_SUBSTEP_ABLATE") == "noseg":
+    if "noseg" in _ablate():
         # perf attribution: solve math live, segment-sum matmuls skipped
+        # (sliced near-zero stand-in keeps the data dependency without the
+        # degenerate broadcast that SIGABRTs the Mosaic compiler)
         n_ = pos_b[0].shape[1]
-        live = jnp.sum(packA[:, 0] + packB[:, 0]) * 1e-30    # scalar
-        acc = jnp.zeros((packA.shape[0], 9, n_)) + live
+        acc = packA[:, :, :n_] * 1e-30 + packB[:, :, :n_] * 1e-30
     else:
-        acc = segsum(oh_i, packA) + segsum(oh_j, packB)      # [Wt, 9, n]
+        acc = segsum(packA, packB)                           # [Wt, 9, n]
 
     # ---- apply positional + recover velocities (per-body, in VMEM) ----
     p2 = pk.v3add(pos_b, _c3(acc, 0))
@@ -259,14 +343,15 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
                                 contacts, lam, h1, rest1,
                                 relaxation=relaxation,
                                 speculative=speculative)
-    if os.environ.get("GEM_TPU_SUBSTEP_ABLATE") == "noseg":
+    if "noseg" in _ablate():
         n_ = pos_b[0].shape[1]
-        live = jnp.sum(vpA[:, 0] + vpB[:, 0]) * 1e-30        # scalar
-        accv = jnp.zeros((vpA.shape[0], 6, n_)) + live
+        accv = vpA[:, :, :n_] * 1e-30 + vpB[:, :, :n_] * 1e-30
     else:
-        accv = segsum(oh_i, vpA) + segsum(oh_j, vpB)         # [Wt, 6, n]
+        accv = segsum(vpA, vpB)                              # [Wt, 6, n]
     v3_ = pk.v3add(v2, _c3(accv, 0))
     w3_ = pk.v3add(w2, _c3(accv, 3))
+    if want_cache:
+        return p2, r2, v2, w2, v3_, w3_, cache_out
     return p2, r2, v2, w2, v3_, w3_
 
 
@@ -302,7 +387,8 @@ def _integrate(pos, rot, v, w, im, ii, extf, extt, dyn, h1, g):
 
 
 def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
-                 relaxation: float, speculative: float = 0.0):
+                 relaxation: float, speculative: float = 0.0,
+                 owner: int = 0):
     """Single-substep kernel (joint-interleaved path)."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
@@ -314,7 +400,7 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         rest1 = scal_ref[:, 0, 1:2]
 
         oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
+            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
 
         gSA = gather_i(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
         gSB = gather_j(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
@@ -350,8 +436,16 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 
 def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                        relaxation: float, num_substeps: int,
-                       speculative: float = 0.0):
-    """All-substeps kernel: integrate + contact solve looped in VMEM."""
+                       speculative: float = 0.0, owner: int = 0,
+                       refresh: bool = False):
+    """All-substeps kernel: integrate + contact solve looped in VMEM.
+
+    refresh=True runs the full SAT + clip narrowphase only on the FIRST
+    substep and refreshes the cached manifold by transform on the rest
+    (pk.cache_contacts/refresh_contacts) — one collision detection per
+    step, the standard engine trade.  The reference re-runs narrowphase
+    every substep (physics.cpp:1149-1199); this is a documented
+    TPU-motivated deviation, off by default."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
         packed = packed_ref[:]                      # [Wt, FC_IN, n]
@@ -361,7 +455,7 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4], scal_ref[:, 0, 4:5])
 
         oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
+            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
 
         # static pair data: gathered ONCE, reused across substeps
         gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
@@ -382,17 +476,25 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         prev_pos = pos
         prev_rot = rot
         ps_pos, ps_rot, ps_v, ps_w = pos, rot, v, w
-        for _ in range(num_substeps):
+        cache = None
+        for step_i in range(num_substeps):
             prev_pos, prev_rot = pos, rot
             pos_i, rot_i, v_i, w_i = _integrate(
                 pos, rot, v, w, im_b, ii_b, extf, extt, dyn_b, h1, g)
             ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
 
-            p2, r2, _v2, _w2, v3_, w3_ = _substep_core(
+            want_cache = refresh and step_i == 0 and num_substeps > 1
+            out = _substep_core(
                 tables, relaxation, kvalid, h1, rest1, SA, SB,
                 pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
                 oh_i, oh_j, gather_i, gather_j, segsum,
-                speculative=speculative)
+                speculative=speculative,
+                cached=cache if refresh else None,
+                want_cache=want_cache)
+            if want_cache:
+                p2, r2, _v2, _w2, v3_, w3_, cache = out
+            else:
+                p2, r2, _v2, _w2, v3_, w3_ = out
 
             keep = dyn_b
             pos = tuple(jnp.where(keep, a, b) for a, b in zip(p2, pos))
@@ -441,14 +543,14 @@ def _pallas_specs(Wt, C_in, n, K, C_out):
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "interpret", "wt",
-                                              "speculative"))
+                                              "speculative", "owner"))
 def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-         interpret, wt=None, speculative=0.0):
+         interpret, wt=None, speculative=0.0, owner=0):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
-        _make_kernel(tables, Wt, n, K, relaxation, speculative),
+        _make_kernel(tables, Wt, n, K, relaxation, speculative, owner),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, C_OUT, n), jnp.float32),
         interpret=interpret,
@@ -460,15 +562,17 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "num_substeps", "interpret",
-                                              "wt", "speculative"))
+                                              "wt", "speculative", "owner",
+                                              "refresh"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-               num_substeps, interpret, wt=None, speculative=0.0):
+               num_substeps, interpret, wt=None, speculative=0.0, owner=0,
+               refresh=False):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
         _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
-                           speculative),
+                           speculative, owner, refresh),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
         interpret=interpret,
@@ -511,12 +615,14 @@ class SubstepKernel:
     """
 
     def __init__(self, object_manager, relaxation: float = 1.0,
-                 interpret: bool = False, wt=None, speculative: float = 0.0):
+                 interpret: bool = False, wt=None, speculative: float = 0.0,
+                 owner_degree: int = 0):
         self.tables = pk.ObjTables(object_manager)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
         self.speculative = float(speculative)
+        self.owner_degree = int(owner_degree)
 
     def __call__(self, *, pos, rot, v, w, prev_pos, prev_rot, im, ii,
                  mu_s, mu_d, obj, dyn, rows_i, rows_j,
@@ -534,8 +640,12 @@ class SubstepKernel:
         # lane gather in the kernel (and K is always a multiple of 128)
         n = 128 if n0 <= 128 else -(-n0 // 8) * 8
         packed = _pad_lanes(packed, n0, n)
-        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
-                                            rows_i.shape[1])
+        if self.owner_degree:
+            assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \
+                (n, rows_i.shape, self.owner_degree)
+        else:
+            rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                                rows_i.shape[1])
         scal = jnp.stack([h, restitution_threshold] + [jnp.zeros_like(h)] * 6,
                          axis=1)                      # [W, 8]
 
@@ -543,7 +653,8 @@ class SubstepKernel:
                    kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
                    tables=self.tables, relaxation=self.relaxation,
                    interpret=self.interpret, wt=self.wt,
-                   speculative=self.speculative)         # [W, C_OUT, n]
+                   speculative=self.speculative,
+                   owner=self.owner_degree)              # [W, C_OUT, n]
         out = out[:, :, :n0]
         return (_T(out[:, 0:3]), _T(out[:, 3:7]), _T(out[:, 7:10]),
                 _T(out[:, 10:13]))
@@ -559,13 +670,16 @@ class FusedSubstepKernel:
 
     def __init__(self, object_manager, num_substeps: int,
                  relaxation: float = 1.0, interpret: bool = False, wt=None,
-                 speculative: float = 0.0):
+                 speculative: float = 0.0, owner_degree: int = 0,
+                 contact_refresh: bool = False):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
         self.speculative = float(speculative)
+        self.owner_degree = int(owner_degree)
+        self.contact_refresh = bool(contact_refresh)
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
                  ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
@@ -581,8 +695,12 @@ class FusedSubstepKernel:
         ], axis=1)                                    # [W, FC_IN, n0]
         n = 128 if n0 <= 128 else -(-n0 // 8) * 8
         packed = _pad_lanes(packed, n0, n)
-        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
-                                            rows_i.shape[1])
+        if self.owner_degree:
+            assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \
+                (n, rows_i.shape, self.owner_degree)
+        else:
+            rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                                rows_i.shape[1])
         scal = jnp.stack(
             [h, restitution_threshold, gravity[:, 0], gravity[:, 1],
              gravity[:, 2]] + [jnp.zeros_like(h)] * 3, axis=1)
@@ -592,7 +710,8 @@ class FusedSubstepKernel:
             kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
-            wt=self.wt, speculative=self.speculative)
+            wt=self.wt, speculative=self.speculative,
+            owner=self.owner_degree, refresh=self.contact_refresh)
         out = out[:, :, :n0]
         return {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),

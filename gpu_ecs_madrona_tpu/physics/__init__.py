@@ -171,6 +171,7 @@ class RigidBodyPhysicsSystem:
         mode: str = "auto",
         sap_window: int = 0,
         sap_globals: int = 4,
+        owner_degree: int = 4,
     ) -> NodeID:
         """reference setupBroadphaseTasks (broadphase.cpp:934-956):
         updateLeafPositions -> tree update -> overlap candidates.  Here:
@@ -202,8 +203,23 @@ class RigidBodyPhysicsSystem:
         cap_n = builder.mgr.registry.archetypes[arch.name].capacity
         if mode == "auto":
             mode = "dense" if cap_n <= 128 else "sap"
-        if mode not in ("dense", "sap"):
+        if mode not in ("dense", "sap", "dense_owner"):
             raise ValueError(f"unknown broadphase mode {mode!r}")
+        if mode == "dense_owner":
+            if cap_n > 128:
+                raise ValueError("dense_owner broadphase requires body "
+                                 f"capacity <= 128 (got {cap_n})")
+            k_need = owner_degree * 128
+            k_have = builder.mgr.registry.archetypes[
+                CandidateRowsTemporary.name].capacity
+            if k_have != k_need:
+                raise ValueError(
+                    f"dense_owner(D={owner_degree}) needs "
+                    f"max_candidates={k_need} at register_types "
+                    f"(got {k_have})")
+            # consumed by setup_substep_tasks to configure the kernel's
+            # owner-major pair layout
+            builder._gem_owner_degree = owner_degree
 
         def update_aabbs(ctx: Context):
             pos = ctx.column(arch, base.Position)
@@ -265,12 +281,129 @@ class RigidBodyPhysicsSystem:
             ok = ok & mask[:, :, None] & mask[:, None, :]
             ok = ok & jnp.triu(jnp.ones((n, n), bool), k=1)[None]
             W = ok.shape[0]
-            flat = ok.reshape(W, n * n)
-            counts = jnp.sum(flat.astype(jnp.int32), axis=1)
+            counts = jnp.sum(ok.astype(jnp.int32), axis=(1, 2))
             k_cap = ctx.mgr.registry.archetypes[CandidateTemporary.name].capacity
             k_eff = min(k_cap, n * n)
-            _, pair_idx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
+
+            # RANK COMPACTION (sort-free): the global top_k over the
+            # [n*n]-flat grid is a full per-world variadic sort — measured
+            # 21.8 ms/step at 8192x64 (the single most expensive
+            # broadphase op).  Replace it with two-level prefix ranking:
+            # each pair's compacted slot is base[owner] + rank-within-
+            # owner, extracted per-owner (degree-capped at D, accounted)
+            # and scattered by ONE one-hot matmul over n*D rows.
+            D = min(max(owner_degree * 2, 16), n)  # per-owner partner cap
+            ok_t = jnp.swapaxes(ok, 1, 2)           # [W, owner, partner<o]
+            oki = ok_t.astype(jnp.int32)
+            local_rank = jnp.cumsum(oki, axis=2)    # [W, n, n]
+            deg = local_rank[:, :, -1]              # [W, n]
+            degc = jnp.minimum(deg, D)
+            base = jnp.cumsum(degc, axis=1) - degc  # exclusive [W, n]
+
+            # owner's d-th partner: rank-compare extraction (no sort)
+            p_iota = jnp.arange(n, dtype=jnp.int32)[None, None, :]
+            d_iota = jnp.arange(D, dtype=jnp.int32)
+            sel = (local_rank[:, :, None, :] == (d_iota + 1)[None, None, :,
+                                                            None]) & \
+                ok_t[:, :, None, :]                  # [W, n, D, n]
+            partners = jnp.sum(sel * p_iota[:, None], axis=3,
+                               dtype=jnp.int32)      # [W, n, D]
+
+            # scatter (owner, d) -> compacted slot via one-hot matmul;
+            # pair_idx values fit f32 exactly (n*n < 2^24)
+            slot = base[:, :, None] + d_iota[None, None, :]
+            valid = (d_iota[None, None, :] < degc[:, :, None]) & \
+                (slot < k_eff)
+            owner_rows = jnp.broadcast_to(
+                jnp.arange(n, dtype=jnp.int32)[None, :, None], (W, n, D))
+            # pair index in i*n+j (i = lower row = partner, j = owner)
+            pflat = (partners * n + owner_rows).reshape(W, n * D)
+            oh = ((slot.reshape(W, n * D, 1)
+                   == jnp.arange(k_eff, dtype=jnp.int32)[None, None])
+                  & valid.reshape(W, n * D, 1)).astype(jnp.float32)
+            pair_idx = jnp.einsum(
+                "wsk,ws->wk", oh, pflat.astype(jnp.float32),
+                preferred_element_type=jnp.float32).astype(jnp.int32)
+
+            # degree-cap accounting (top_k had no per-owner cap; the
+            # two-level scheme does — no silent clipping)
+            excess = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
+            debug.check(excess == 0,
+                        f"dense rank-compaction degree cap {D} exceeded: "
+                        "dropped pairs={} per world", excess)
+            ctx.add_overflow(CandidateRowsTemporary, excess)
+            counts = counts - excess
             emit_candidates(ctx, counts, pair_idx // n, pair_idx % n)
+
+        def find_overlaps_owner(ctx: Context):
+            # owner-major candidate lists for the Pallas kernel (see
+            # ops/substep_kernel.py _mk_pair_io owner mode): every pair is
+            # owned by its HIGHER row; owner o's d-th partner lands in
+            # slot d*128 + o (partner row, or -1 for empty).  This
+            # replaces the global [n*n] -> K top_k compaction (a full
+            # per-world sort, 21.8 ms/step at 8192x64) with a per-owner
+            # top-D along the 64-wide partner axis, and makes the
+            # kernel's owner side fully static.
+            D = owner_degree
+            aabb = ctx.column(arch, CollisionAABB)
+            mask = ctx.row_mask(arch)
+            lo, hi = aabb["lo"], aabb["hi"]
+            ok = m.aabb_overlaps(
+                lo[:, :, None, :], hi[:, :, None, :],
+                lo[:, None, :, :], hi[:, None, :, :])
+            n = mask.shape[1]
+            ok = ok & mask[:, :, None] & mask[:, None, :]
+            ok = ok & jnp.triu(jnp.ones((n, n), bool), k=1)[None]
+            W = ok.shape[0]
+
+            # ok is upper-triangular in (i=lower, j=owner): transpose so
+            # axis 1 is the owner, axis 2 its lower-row partners
+            ok_t = jnp.swapaxes(ok, 1, 2)                 # [W, owner, partner]
+            vals, partners = jax.lax.top_k(ok_t.astype(jnp.int8), D)
+            pvalid = vals > 0                             # [W, n, D]
+
+            # degree-capacity accounting (no silent clipping)
+            deg = jnp.sum(ok_t.astype(jnp.int32), axis=2)
+            excess = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
+            debug.check(excess == 0,
+                        f"dense_owner degree cap D={D} exceeded: dropped "
+                        "pairs={} per world — raise owner_degree", excess)
+            ctx.add_overflow(CandidateRowsTemporary, excess)
+
+            # d-major slot layout, owners padded to the kernel's 128 lanes
+            ri = jnp.where(pvalid, partners.astype(jnp.int32), -1)
+            ri = jnp.swapaxes(ri, 1, 2)                   # [W, D, n]
+            ri = jnp.pad(ri, ((0, 0), (0, 0), (0, 128 - n)),
+                         constant_values=-1).reshape(W, D * 128)
+            owner_rows = jnp.broadcast_to(
+                jnp.arange(128, dtype=jnp.int32)[None, None, :], (W, D, 128)
+            ).reshape(W, D * 128)
+            owner_rows = jnp.where(ri >= 0, owner_rows, -1)
+            cap = ctx.mgr.registry.archetypes[CandidateRowsTemporary.name]\
+                .capacity
+            # positional layout: every slot "live", per-slot validity is
+            # encoded as i = -1 (the substep consumer derives
+            # kvalid = i >= 0 and clamps before gathering)
+            ctx.emit_temporaries(
+                CandidateRowsTemporary,
+                counts=jnp.full((W,), cap, jnp.int32),
+                values={CandidatePairRows: {"i": ri, "j": owner_rows}})
+
+            # API-parity candidate entities via the compacted path — only
+            # materialized if someone observes CandidateTemporary (DCE)
+            flat = ok.reshape(W, n * n)
+            counts = jnp.sum(flat.astype(jnp.int32), axis=1)
+            k_cap = ctx.mgr.registry.archetypes[CandidateTemporary.name]\
+                .capacity
+            k_eff = min(k_cap, n * n)
+            _, pair_idx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
+            from gpu_ecs_madrona_tpu.core.state import batched_gather
+            ents = ctx.entity_column(arch)
+            a_ent = batched_gather(ents, pair_idx // n)
+            b_ent = batched_gather(ents, pair_idx % n)
+            ctx.emit_temporaries(
+                CandidateTemporary, counts=counts,
+                values={CandidateCollision: {"a": a_ent, "b": b_ent}})
 
         def find_overlaps_sap(ctx: Context):
             # sweep-and-prune: one XLA sort along x, then each body tests
@@ -368,7 +501,8 @@ class RigidBodyPhysicsSystem:
                         "— raise sap_window", sat_counts)
             ctx.add_overflow(CandidateRowsTemporary, sat_counts)
 
-        node = find_overlaps if mode == "dense" else find_overlaps_sap
+        node = {"dense": find_overlaps, "sap": find_overlaps_sap,
+                "dense_owner": find_overlaps_owner}[mode]
         return builder.add_node(node, [n_aabb], name="bp_find_overlaps")
 
     @staticmethod
@@ -382,6 +516,7 @@ class RigidBodyPhysicsSystem:
         contact_mode: str = "auto",
         substep_wt=None,
         speculative_margin: float = 0.0,
+        contact_refresh: bool = False,
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -453,6 +588,12 @@ class RigidBodyPhysicsSystem:
 
         if contact_mode not in ("dense", "pairs", "pallas"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
+        owner_deg = getattr(builder, "_gem_owner_degree", 0)
+        if owner_deg and contact_mode != "pallas":
+            raise ValueError(
+                "dense_owner broadphase emits owner-major candidate rows "
+                "that only contact_mode='pallas' consumes "
+                f"(got {contact_mode!r})")
         if contact_mode == "pairs":
             obj_tables = pk.ObjTables(object_manager)
         jinfo = builder.mgr.registry.archetypes.get(JointArchetype.name)
@@ -468,12 +609,15 @@ class RigidBodyPhysicsSystem:
                 # joint solve in XLA between calls
                 substep_kernel = SubstepKernel(
                     object_manager, relaxation=relaxation, interpret=interp,
-                    wt=substep_wt, speculative=speculative_margin)
+                    wt=substep_wt, speculative=speculative_margin,
+                    owner_degree=owner_deg)
             else:
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
                     relaxation=relaxation, interpret=interp, wt=substep_wt,
-                    speculative=speculative_margin)
+                    speculative=speculative_margin,
+                    owner_degree=owner_deg,
+                    contact_refresh=contact_refresh)
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -584,7 +728,13 @@ class RigidBodyPhysicsSystem:
                         return
                     rowsc = ctx.column(CandidateRowsTemporary,
                                        CandidatePairRows)
-                    kmask = ctx.row_mask(CandidateRowsTemporary)
+                    if owner_deg:
+                        # owner-major: per-slot validity is i >= 0
+                        kmask = rowsc["i"] >= 0
+                        rowsc = {"i": jnp.maximum(rowsc["i"], 0),
+                                 "j": jnp.maximum(rowsc["j"], 0)}
+                    else:
+                        kmask = ctx.row_mask(CandidateRowsTemporary)
                     p2, r2, v3_, w3_ = substep_kernel(
                         pos=new_pos, rot=new_rot, v=v, w=w,
                         prev_pos=prev_pos, prev_rot=prev_rot,
@@ -810,7 +960,13 @@ class RigidBodyPhysicsSystem:
                 resp = ctx.column(arch, ResponseType)
                 dyn = (resp == RESPONSE_DYNAMIC) & mask
                 rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
-                kmask = ctx.row_mask(CandidateRowsTemporary)
+                if owner_deg:
+                    # owner-major: per-slot validity is i >= 0
+                    kmask = rowsc["i"] >= 0
+                    rowsc = {"i": jnp.maximum(rowsc["i"], 0),
+                             "j": jnp.maximum(rowsc["j"], 0)}
+                else:
+                    kmask = ctx.row_mask(CandidateRowsTemporary)
                 out = fused_kernel(
                     pos=pos, rot=rot, v=vel["linear"], w=vel["angular"],
                     im=jnp.where(dyn, objmgr["inv_mass"][obj], 0.0),

@@ -1265,6 +1265,49 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
     return pack(dxA, dwA), pack(dxB, dwB), jnp.where(pt_ok, dlam, 0.0)
 
 
+def cache_contacts(contacts, PA, PB):
+    """Body-frame contact cache for once-per-step narrowphase
+    (contact_refresh mode): anchors + normal stored in each body's local
+    frame at narrowphase time, so later substeps can refresh world-space
+    points/depths by transform only (~10^2 VPU ops vs the ~10^4 of a full
+    SAT + clip rebuild).  The standard engine trade (one collision
+    detection per frame, solver iterations reuse the manifold); accuracy
+    is bounded by per-substep motion, which the speculative margin and
+    depth re-projection absorb."""
+    pts = contacts["points"]                             # vec3 [W,P,K]
+    qAc = (PA["rot"][0], *(jnp.negative(c) for c in PA["rot"][1:]))
+    qBc = (PB["rot"][0], *(jnp.negative(c) for c in PB["rot"][1:]))
+    qAc4 = tuple(expand(c) for c in qAc)
+    qBc4 = tuple(expand(c) for c in qBc)
+    rA = qrot(qAc4, v3sub(pts, vexpand(PA["pos"])))
+    rB = qrot(qBc4, v3sub(pts, vexpand(PB["pos"])))
+    n_loc = qrot(qAc, contacts["normal"])
+    return {
+        "ok": contacts["ok"],
+        "num_points": contacts["num_points"],
+        "depth0": contacts["depth"],
+        "rA": rA, "rB": rB, "n_loc": n_loc,
+    }
+
+
+def refresh_contacts(cache, PA, PB):
+    """Refresh a cache_contacts() manifold at the CURRENT pair poses:
+    world points from body-frame anchors, normal rotated with body A,
+    depth re-projected along the normal (separation along n reduces
+    penetration; the anchors coincide at cache time, so the projection of
+    their divergence is exactly the depth change)."""
+    qA4 = tuple(expand(c) for c in PA["rot"])
+    qB4 = tuple(expand(c) for c in PB["rot"])
+    pA = v3add(vexpand(PA["pos"]), qrot(qA4, cache["rA"]))
+    pB = v3add(vexpand(PB["pos"]), qrot(qB4, cache["rB"]))
+    n = qrot(PA["rot"], cache["n_loc"])
+    n4 = vexpand(n)
+    depth = cache["depth0"] - dot3(n4, v3sub(pB, pA))
+    pts = v3scale(v3add(pA, pB), 0.5)
+    return {"ok": cache["ok"], "normal": n, "points": pts,
+            "depth": depth, "num_points": cache["num_points"]}
+
+
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
                   relaxation=1.0, speculative: float = 0.0):
     """Per-pair velocity corrections (dynamic friction + restitution,
