@@ -57,6 +57,16 @@ class RendererConfig:
     # H x W; analytic primitives only), or "auto" (pallas on TPU for big
     # pixel x instance working sets when no render meshes are present)
     backend: str = "auto"
+    # Tile frustum culling (the TPU-native stand-in for the reference's
+    # per-world TLAS, vk/batch_renderer.cpp:491-514): when tile_size > 0
+    # the image is split into tile_size^2-pixel tiles, each tile culls
+    # instances against its view cone (sphere-vs-cone test on instance
+    # bounding spheres) and ray-tests only its nearest
+    # max_instances_per_tile survivors — O(N) per TILE instead of per
+    # PIXEL.  Analytic primitives only (meshes fall back to the dense
+    # path); requires width/height divisible by tile_size.
+    tile_size: int = 0
+    max_instances_per_tile: int = 32
 
 
 class BatchRenderer:
@@ -339,6 +349,105 @@ class BatchRenderer:
             jnp.abs(denom) < 1e-9, 1e-9, denom)
         return jnp.where((t > 1e-4) & (jnp.abs(denom) > 1e-6), t, BIG)
 
+    def _pass1_tiled(self, d, eye, pos, rot, scale, obj, imask,
+                     ptype, radius):
+        """Tile-culled primary-ray pass (RendererConfig.tile_size).
+
+        The TPU-native analog of the reference's TLAS traversal pruning
+        (vk/batch_renderer.cpp:491-514): tiles play the role of the
+        acceleration structure — each tile_size^2-pixel tile culls
+        instances against its view cone once (sphere-vs-cone), keeps the
+        nearest max_instances_per_tile survivors, and its pixels ray-test
+        only those.  Per-pixel cost drops from O(N) to O(M).
+
+        Returns (best_t, best_i) in [W, V, H, W] image layout with
+        best_i a GLOBAL instance index (pass 2 is shared with the dense
+        path)."""
+        cfg, objmgr = self.cfg, self.objmgr
+        tsz, M = cfg.tile_size, cfg.max_instances_per_tile
+        W, V, Hh, Ww = d.shape[:4]
+        N = pos.shape[1]
+        M = min(M, N)
+        Th, Tw = Hh // tsz, Ww // tsz
+        T, p = Th * Tw, tsz * tsz
+
+        d_t = d.reshape(W, V, Th, tsz, Tw, tsz, 3)\
+               .transpose(0, 1, 2, 4, 3, 5, 6).reshape(W, V, T, p, 3)
+        # tile view cone: mean direction + min cosine over the tile's rays
+        d_sum = jnp.sum(d_t, axis=3)
+        d_c = d_sum / jnp.linalg.norm(d_sum, axis=-1, keepdims=True)
+        cos_t = jnp.min(jnp.sum(d_t * d_c[:, :, :, None, :], axis=-1),
+                        axis=3)
+        cos_t = jnp.clip(cos_t, 1e-3, 1.0)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+
+        # instance bounding spheres vs tile cones (exact infinite-cone
+        # sphere test: radial distance to axis vs cone boundary)
+        half = (objmgr["local_aabb_hi"][obj]
+                - objmgr["local_aabb_lo"][obj]) * 0.5 * scale
+        r_i = jnp.linalg.norm(half, axis=-1)
+        r_i = jnp.where(ptype == PRIM_SPHERE, radius, r_i)   # [W, N]
+        c = pos[:, None] - eye[:, :, None]                   # [W, V, N, 3]
+        a_ax = jnp.einsum("wvnc,wvtc->wvtn", c, d_c)         # [W, V, T, N]
+        cc = jnp.sum(c * c, axis=-1)[:, :, None, :]
+        qq = jnp.sqrt(jnp.maximum(cc - a_ax * a_ax, 0.0))
+        r4 = r_i[:, None, None, :]
+        hit = ((qq * cos_t[..., None] - a_ax * sin_t[..., None] <= r4)
+               & (a_ax >= -r4))
+        hit = hit | (ptype == PRIM_PLANE)[:, None, None, :]  # planes: always
+        hit = hit & imask[:, None, None, :]
+        # nearest-first: distant overflow drops are the documented
+        # tile-capacity contract (raise max_instances_per_tile)
+        score = jnp.where(hit, -a_ax, -BIG)
+        vals, tidx = jax.lax.top_k(score, M)                 # [W, V, T, M]
+        tvalid = vals > -BIG * 0.5
+
+        from gpu_ecs_madrona_tpu.core.state import batched_gather
+        flat_idx = tidx.reshape(W, V * T * M)
+
+        def g(x):
+            return batched_gather(x, flat_idx).reshape(
+                (W, V, T, M) + x.shape[2:])
+
+        pos_t, rot_t, scale_t = g(pos), g(rot), g(scale)
+        obj_t, rad_t, ptype_t = g(obj), g(radius), g(ptype)
+
+        ro6 = jnp.broadcast_to(eye[:, :, None, None, None, :],
+                               (W, V, T, p, 1, 3))
+        d6 = d_t[:, :, :, :, None, :]
+
+        def i6(x):
+            return x[:, :, :, None]
+
+        ts_ = self._ray_sphere_t(ro6, d6, i6(pos_t), i6(rad_t))
+        if cfg.exact_hulls:
+            fnorm = objmgr["face_normals"][obj_t]
+            fd = objmgr["face_d"][obj_t]
+            fm = (jnp.arange(fd.shape[-1])
+                  < objmgr["num_faces"][obj_t][..., None])
+            tb = self._ray_convex_t(ro6, d6, i6(pos_t), i6(rot_t),
+                                    i6(scale_t), i6(fnorm), i6(fd), i6(fm))
+        else:
+            half_t = (objmgr["local_aabb_hi"][obj_t]
+                      - objmgr["local_aabb_lo"][obj_t]) * 0.5 * scale_t
+            tb = self._ray_obb_t(ro6, d6, i6(pos_t), i6(rot_t), i6(half_t))
+        tp_ = self._ray_plane_t(ro6, d6, i6(pos_t), i6(rot_t))
+        pt6 = i6(ptype_t)
+        t_all = jnp.where(pt6 == PRIM_SPHERE, ts_,
+                          jnp.where(pt6 == PRIM_HULL, tb, tp_))
+        t_all = jnp.where(i6(tvalid), t_all, BIG)            # [W,V,T,p,M]
+        best_t = jnp.min(t_all, axis=-1)
+        best_m = jnp.argmin(t_all, axis=-1)
+        best_i = jnp.take_along_axis(
+            jnp.broadcast_to(tidx[:, :, :, None, :], (W, V, T, p, M)),
+            best_m[..., None], axis=-1)[..., 0]
+
+        def untile(x):
+            return x.reshape(W, V, Th, Tw, tsz, tsz)\
+                    .transpose(0, 1, 2, 4, 3, 5).reshape(W, V, Hh, Ww)
+
+        return untile(best_t), untile(best_i)
+
     # -- node ---------------------------------------------------------------
 
     def setup_tasks(self, builder: TaskGraphBuilder,
@@ -419,43 +528,53 @@ class BatchRenderer:
                     - objmgr["local_aabb_lo"][obj]) * 0.5 * scale
             alb = albedo[obj]                             # [W, N, 3]
 
-            # Pass 1 — t for every (pixel, instance): rays [W,V,H,Ww,1,3]
-            # vs instances [W,1,1,1,N,...] -> [W,V,H,Ww,N]; normals are NOT
-            # computed here (that would be a [pixels, N, 3] tensor).
-            ro5 = ro[..., None, :]
-            d5 = d[..., None, :]
-
-            def inst5(x):
-                return x[:, None, None, None]
-
-            ts = self._ray_sphere_t(ro5, d5, inst5(pos), inst5(radius))
-            if cfg.exact_hulls:
-                fnorm_i = objmgr["face_normals"][obj]      # [W, N, F, 3]
-                fd_i = objmgr["face_d"][obj]               # [W, N, F]
-                fm_i = (jnp.arange(fd_i.shape[-1])[None, None]
-                        < objmgr["num_faces"][obj][..., None])
-                tb = self._ray_convex_t(
-                    ro5, d5, inst5(pos), inst5(rot), inst5(scale),
-                    inst5(fnorm_i), inst5(fd_i), inst5(fm_i))
+            use_tiles = (cfg.tile_size > 0 and not self.any_mesh
+                         and Hh % cfg.tile_size == 0
+                         and Ww % cfg.tile_size == 0)
+            if use_tiles:
+                # Pass 1 (tiled): per-tile cone culling, O(M) per pixel
+                best_t, best_i = self._pass1_tiled(
+                    d, eye, pos, rot, scale, obj, imask, ptype, radius)
             else:
-                tb = self._ray_obb_t(ro5, d5, inst5(pos), inst5(rot),
-                                     inst5(half))
-            tp = self._ray_plane_t(ro5, d5, inst5(pos), inst5(rot))
-            pt5 = inst5(ptype)
-            t_all = jnp.where(pt5 == PRIM_SPHERE, ts,
-                              jnp.where(pt5 == PRIM_HULL, tb, tp))
-            if self.any_mesh:
-                # real triangle geometry overrides the analytic primitive
-                # for mesh-carrying objects (XLA fuses the [.., N, T]
-                # elementwise MT math into the min-reduction)
-                tm = self._ray_mesh_t(
-                    ro5, d5, inst5(pos), inst5(rot), inst5(scale),
-                    inst5(self.tri_a[obj]), inst5(self.tri_e1[obj]),
-                    inst5(self.tri_e2[obj]), inst5(self.tri_mask[obj]))
-                t_all = jnp.where(inst5(self.has_mesh[obj]), tm, t_all)
-            t_all = jnp.where(inst5(imask), t_all, BIG)
-            best_t = jnp.min(t_all, axis=-1)              # [W,V,H,Ww]
-            best_i = jnp.argmin(t_all, axis=-1)
+                # Pass 1 (dense) — t for every (pixel, instance): rays
+                # [W,V,H,Ww,1,3] vs instances [W,1,1,1,N,...] ->
+                # [W,V,H,Ww,N]; normals are NOT computed here (that would
+                # be a [pixels, N, 3] tensor).
+                ro5 = ro[..., None, :]
+                d5 = d[..., None, :]
+
+                def inst5(x):
+                    return x[:, None, None, None]
+
+                ts = self._ray_sphere_t(ro5, d5, inst5(pos), inst5(radius))
+                if cfg.exact_hulls:
+                    fnorm_i = objmgr["face_normals"][obj]  # [W, N, F, 3]
+                    fd_i = objmgr["face_d"][obj]           # [W, N, F]
+                    fm_i = (jnp.arange(fd_i.shape[-1])[None, None]
+                            < objmgr["num_faces"][obj][..., None])
+                    tb = self._ray_convex_t(
+                        ro5, d5, inst5(pos), inst5(rot), inst5(scale),
+                        inst5(fnorm_i), inst5(fd_i), inst5(fm_i))
+                else:
+                    tb = self._ray_obb_t(ro5, d5, inst5(pos), inst5(rot),
+                                         inst5(half))
+                tp = self._ray_plane_t(ro5, d5, inst5(pos), inst5(rot))
+                pt5 = inst5(ptype)
+                t_all = jnp.where(pt5 == PRIM_SPHERE, ts,
+                                  jnp.where(pt5 == PRIM_HULL, tb, tp))
+                if self.any_mesh:
+                    # real triangle geometry overrides the analytic
+                    # primitive for mesh-carrying objects (XLA fuses the
+                    # [.., N, T] elementwise MT math into the
+                    # min-reduction)
+                    tm = self._ray_mesh_t(
+                        ro5, d5, inst5(pos), inst5(rot), inst5(scale),
+                        inst5(self.tri_a[obj]), inst5(self.tri_e1[obj]),
+                        inst5(self.tri_e2[obj]), inst5(self.tri_mask[obj]))
+                    t_all = jnp.where(inst5(self.has_mesh[obj]), tm, t_all)
+                t_all = jnp.where(inst5(imask), t_all, BIG)
+                best_t = jnp.min(t_all, axis=-1)          # [W,V,H,Ww]
+                best_i = jnp.argmin(t_all, axis=-1)
 
             # Pass 2 — winner-only shading data: gather the winning
             # instance's params per pixel and recompute its normal.
