@@ -45,41 +45,60 @@ import numpy as np
 # trade id space for generation headroom (e.g. 16 -> 32K gens) if so.
 import os as _os
 
-ENTITY_ID_BITS = int(_os.environ.get("GEM_TPU_ENTITY_ID_BITS", 20))
-assert 4 <= ENTITY_ID_BITS <= 27, ENTITY_ID_BITS
+# 64-bit handles (opt-in): GEM_TPU_ENTITY_64=1 widens handles to int64
+# with the reference's full 32-bit id + 31-bit generation headroom
+# (Entity{gen,id} is 32+32, ecs.hpp:17-44) — the generation then
+# realistically never wraps (2^31 reuse cycles per slot vs int32's 2^11
+# default).  Requires jax_enable_x64 (set automatically at import when the
+# flag is on).  Costs 2x handle memory/bandwidth; component data stays f32.
+ENTITY_64 = _os.environ.get("GEM_TPU_ENTITY_64") == "1"
+if ENTITY_64:
+    import jax as _jax
+    _jax.config.update("jax_enable_x64", True)
+    ENTITY_ID_BITS = 32
+    ENTITY_GEN_BITS = 31
+    _HANDLE_NP = np.int64
+else:
+    ENTITY_ID_BITS = int(_os.environ.get("GEM_TPU_ENTITY_ID_BITS", 20))
+    assert 4 <= ENTITY_ID_BITS <= 27, ENTITY_ID_BITS
+    ENTITY_GEN_BITS = 31 - ENTITY_ID_BITS
+    _HANDLE_NP = np.int32
 ENTITY_ID_MASK = (1 << ENTITY_ID_BITS) - 1
-ENTITY_GEN_BITS = 31 - ENTITY_ID_BITS
 ENTITY_GEN_MASK = (1 << ENTITY_GEN_BITS) - 1
 
-NULL_ENTITY = np.int32(-1)
+NULL_ENTITY = _HANDLE_NP(-1)
 
 
 class Entity:
-    """Namespace for entity-handle helpers (handles are plain int32 arrays)."""
+    """Namespace for entity-handle helpers (handles are plain int arrays —
+    int32 by default, int64 with GEM_TPU_ENTITY_64=1)."""
 
-    dtype = jnp.int32
+    dtype = jnp.int64 if ENTITY_64 else jnp.int32
 
     @staticmethod
     def pack(eid, gen):
-        eid = jnp.asarray(eid, jnp.int32)
-        gen = jnp.asarray(gen, jnp.int32)
+        eid = jnp.asarray(eid, Entity.dtype)
+        gen = jnp.asarray(gen, Entity.dtype)
         return (eid & ENTITY_ID_MASK) | ((gen & ENTITY_GEN_MASK) << ENTITY_ID_BITS)
 
     @staticmethod
     def id(e):
-        return jnp.asarray(e, jnp.int32) & ENTITY_ID_MASK
+        # result fits int32 even in 64-bit mode (id mask is 32 bits; row
+        # indices downstream are well below 2^31)
+        return (jnp.asarray(e, Entity.dtype) & ENTITY_ID_MASK).astype(jnp.int32)
 
     @staticmethod
     def gen(e):
-        return (jnp.asarray(e, jnp.int32) >> ENTITY_ID_BITS) & ENTITY_GEN_MASK
+        return ((jnp.asarray(e, Entity.dtype) >> ENTITY_ID_BITS)
+                & ENTITY_GEN_MASK).astype(jnp.int32)
 
     @staticmethod
     def is_null(e):
-        return jnp.asarray(e, jnp.int32) < 0
+        return jnp.asarray(e, Entity.dtype) < 0
 
     @staticmethod
     def null():
-        return jnp.int32(-1)
+        return Entity.dtype(-1)
 
 
 # ---------------------------------------------------------------------------
@@ -168,7 +187,7 @@ def singleton_component(name, spec=None, **field_kwargs) -> Component:
 
 # The built-in Entity "column": every archetype implicitly stores the entity
 # handle of each row (reference table.hpp column 0 stores Entity).
-ENTITY_COMPONENT = component("__entity__", ((), jnp.int32))
+ENTITY_COMPONENT = component("__entity__", ((), Entity.dtype))
 
 
 # ---------------------------------------------------------------------------

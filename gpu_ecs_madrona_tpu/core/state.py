@@ -188,7 +188,7 @@ class StateManager:
                 }
             arch_states[name] = {
                 "mask": jnp.zeros((W, cap), jnp.bool_),
-                "entity": jnp.full((W, cap), -1, jnp.int32),
+                "entity": jnp.full((W, cap), -1, Entity.dtype),
                 "comps": comp_store,
             }
         singles = {}
@@ -329,7 +329,8 @@ class StateManager:
             astate = new_arch[name]
             rows = jnp.where(sel, loc_row, -1)
             mask = batched_scatter(astate["mask"], rows, jnp.zeros(rows.shape, jnp.bool_))
-            entc = batched_scatter(astate["entity"], rows, jnp.full(rows.shape, -1, jnp.int32))
+            entc = batched_scatter(astate["entity"], rows,
+                                   jnp.full(rows.shape, -1, Entity.dtype))
             new_arch[name] = {"mask": mask, "entity": entc, "comps": astate["comps"]}
 
         rel = jnp.where(ok, eids, -1)
@@ -426,7 +427,7 @@ class StateManager:
         new_arch = dict(state["arch"])
         new_arch[arch.name] = {
             "mask": mask,
-            "entity": jnp.full((W, cap), -1, jnp.int32),
+            "entity": jnp.full((W, cap), -1, Entity.dtype),
             "comps": new_comps,
         }
         new_state = dict(state)
