@@ -9,17 +9,24 @@ env vars.
 
 import os
 
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
+# GEM_TPU_TESTS=1 leaves the backend on the real chip for the @pytest.mark.tpu
+# subset: `GEM_TPU_TESTS=1 python -m pytest tests -m tpu` (see
+# tests/test_tpu_subset.py).  Default: force CPU with 8 virtual devices.
+_TPU_MODE = os.environ.get("GEM_TPU_TESTS") == "1"
+
+if not _TPU_MODE:
+    xla_flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in xla_flags:
+        os.environ["XLA_FLAGS"] = (
+            xla_flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-assert jax.default_backend() == "cpu", jax.default_backend()
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
+    assert jax.default_backend() == "cpu", jax.default_backend()
 
 # Persistent compile cache: repeat test runs skip XLA compilation (the same
 # cache the executor uses on TPU — SURVEY.md §5.4 kernel-cache analog).

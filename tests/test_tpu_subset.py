@@ -1,0 +1,79 @@
+"""On-chip Mosaic regression subset (VERDICT round-2 item #7).
+
+Run with:  GEM_TPU_TESTS=1 python -m pytest tests -m tpu -q
+
+Exercises every Pallas TPU kernel (fused collisions, physics substep
+megakernel incl. contact refresh, pixel-tile renderer) plus the SAP
+broadphase on the REAL chip at small shapes, so Mosaic lowering breakage
+is caught by tests rather than benches.  All other tests pin the CPU
+backend (conftest.py); this module skips itself there."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.tpu
+
+requires_tpu = pytest.mark.skipif(
+    os.environ.get("GEM_TPU_TESTS") != "1"
+    or jax.default_backend() not in ("tpu", "axon"),
+    reason="needs GEM_TPU_TESTS=1 and a real TPU backend")
+
+
+@requires_tpu
+def test_fused_collisions_kernel_on_chip():
+    from gpu_ecs_madrona_tpu.models import collisions as col
+    sim = col.make_executor(col.CollisionsConfig(num_worlds=64, seed=0,
+                                                 fused=True))
+    sim.run(10)
+    pos, mask = sim.get_exported(0)
+    pos = np.asarray(pos)
+    assert np.isfinite(pos[np.asarray(mask)]).all()
+    # determinism on chip
+    sim2 = col.make_executor(col.CollisionsConfig(num_worlds=64, seed=0,
+                                                  fused=True))
+    sim2.run(10)
+    assert np.array_equal(pos, np.asarray(sim2.get_exported(0)[0]))
+
+
+@requires_tpu
+@pytest.mark.parametrize("refresh", [False, True])
+def test_substep_megakernel_on_chip(refresh):
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    sim = rb.make_executor(rb.RigidBenchConfig(
+        num_worlds=64, num_bodies=16, contact_mode="pallas",
+        broadphase_mode="dense", contact_refresh=refresh, seed=0))
+    sim.run(10)
+    pos, mask = sim.get_exported(0)
+    pos = np.asarray(pos)[np.asarray(mask)]
+    assert np.isfinite(pos).all()
+    assert pos[:, 2].min() > -0.6           # nothing fell through the plane
+
+
+@requires_tpu
+def test_sap_broadphase_on_chip():
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    sim = rb.make_executor(rb.RigidBenchConfig(
+        num_worlds=32, num_bodies=24, contact_mode="pairs",
+        broadphase_mode="sap", seed=0))
+    sim.run(10)
+    pos, mask = sim.get_exported(0)
+    assert np.isfinite(np.asarray(pos)[np.asarray(mask)]).all()
+
+
+@requires_tpu
+def test_render_pallas_kernel_on_chip():
+    from gpu_ecs_madrona_tpu.models import simple_taskgraph as stg
+    sim = stg.make_executor(stg.SimpleTaskgraphConfig(
+        num_worlds=16, num_objects=12, seed=0, render=True,
+        render_width=64, render_height=64, render_backend="pallas"))
+    sim.run(3)
+    out = sim.state["user"]["render_out"]
+    rgb = np.asarray(out["rgb"])
+    depth = np.asarray(out["depth"])
+    assert rgb.shape[-1] == 4 and rgb.dtype == np.uint8
+    assert (rgb[..., 3] > 0).any()          # something rendered
+    assert np.isfinite(depth[depth < np.inf]).any()
