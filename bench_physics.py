@@ -17,7 +17,7 @@ import time
 NUM_WORLDS = int(os.environ.get("BENCH_PHYS_WORLDS", 8192))
 NUM_BODIES = int(os.environ.get("BENCH_PHYS_BODIES", 64))
 NUM_TICKS = int(os.environ.get("BENCH_PHYS_TICKS", 50))
-MODE = os.environ.get("BENCH_PHYS_MODE", "pairs")
+MODE = os.environ.get("BENCH_PHYS_MODE", "pallas")
 BP = os.environ.get("BENCH_PHYS_BP", "auto")
 CANDS = int(os.environ.get("BENCH_PHYS_CANDS", 0))
 REFRESH = os.environ.get("BENCH_PHYS_REFRESH") == "1"

@@ -20,6 +20,7 @@ RES = int(os.environ.get("BENCH_RENDER_RES", 64))
 NUM_OBJECTS = int(os.environ.get("BENCH_RENDER_OBJECTS", 32))
 NUM_TICKS = int(os.environ.get("BENCH_RENDER_TICKS", 30))
 BACKEND = os.environ.get("BENCH_RENDER_BACKEND", "auto")
+TILE = int(os.environ.get("BENCH_RENDER_TILE", 0))
 
 
 def main():
@@ -33,7 +34,7 @@ def main():
     sim = stg.make_executor(stg.SimpleTaskgraphConfig(
         num_worlds=NUM_WORLDS, num_objects=NUM_OBJECTS, seed=0,
         render=True, render_width=RES, render_height=RES,
-        render_backend=BACKEND))
+        render_backend=BACKEND, render_tile=TILE))
 
     sim.run(3)
     sim.block_until_ready()

@@ -72,6 +72,8 @@ class SimpleTaskgraphConfig:
     render_width: int = 64
     render_height: int = 64
     render_backend: str = "auto"   # xla | pallas | auto (RendererConfig)
+    render_tile: int = 0           # tile frustum culling (RendererConfig.tile_size)
+    render_tile_cap: int = 32      # max instances per tile
 
 
 class SimpleTaskgraphWorld:
@@ -153,7 +155,9 @@ class SimpleTaskgraphWorld:
             cls._renderer_obj = BatchRenderer(
                 RendererConfig(width=cfg.render_width,
                                height=cfg.render_height, max_views=1,
-                               backend=cfg.render_backend),
+                               backend=cfg.render_backend,
+                               tile_size=cfg.render_tile,
+                               max_instances_per_tile=cfg.render_tile_cap),
                 OBJMGR)
         return cls._renderer_obj
 

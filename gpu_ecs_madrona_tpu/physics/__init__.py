@@ -292,7 +292,9 @@ class RigidBodyPhysicsSystem:
             # each pair's compacted slot is base[owner] + rank-within-
             # owner, extracted per-owner (degree-capped at D, accounted)
             # and scattered by ONE one-hot matmul over n*D rows.
-            D = min(max(owner_degree * 2, 16), n)  # per-owner partner cap
+            import os as _os
+            D = int(_os.environ.get("GEM_TPU_BP_DEGREE", 0)) or \
+                min(max(owner_degree * 2, 12), n)  # per-owner partner cap
             ok_t = jnp.swapaxes(ok, 1, 2)           # [W, owner, partner<o]
             oki = ok_t.astype(jnp.int32)
             local_rank = jnp.cumsum(oki, axis=2)    # [W, n, n]
