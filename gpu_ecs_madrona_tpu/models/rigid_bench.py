@@ -67,6 +67,10 @@ class RigidBenchConfig:
     broadphase_mode: str = "auto"  # dense | sap | dense_owner | auto
     sap_window: int = 0            # 0 = auto (min(n - 1, 64))
     owner_degree: int = 4          # dense_owner per-body partner capacity
+    # dense-broadphase rank-compaction degree cap (0 = exact top_k).
+    # 12 covers the pile workload with rare accounted drops (~4 pairs per
+    # 819K world-steps measured at 8192x64)
+    dense_degree: int = 12
     # once-per-step narrowphase + per-substep manifold refresh in the
     # fused Pallas kernel (documented deviation from the reference's
     # per-substep narrowphase; see ops/substep_kernel.py)
@@ -164,7 +168,8 @@ class RigidBenchWorld:
         objmgr = cls.objmgr
         bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
             builder, [], Body, objmgr, mode=cfg.resolved_broadphase(),
-            sap_window=cfg.sap_window, owner_degree=cfg.owner_degree)
+            sap_window=cfg.sap_window, owner_degree=cfg.owner_degree,
+            dense_degree=cfg.dense_degree)
         ss = RigidBodyPhysicsSystem.setup_substep_tasks(
             builder, [bp], cfg.num_substeps, Body, objmgr,
             relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,

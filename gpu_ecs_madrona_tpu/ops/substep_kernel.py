@@ -230,10 +230,17 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
     # both sides' one-hots pre-concatenated along K: the i- and j-side
     # segment-sums fuse into ONE MXU matmul per world per pass
     oh_ij = jnp.concatenate([oh_i, oh_j], axis=2)        # [Wt, n, 2K]
+    # bf16 segment-sum knob (measured a wash on v5e: 54.2 vs 54.7 ms at
+    # 8192x64 — the small-row matmuls are MXU tile-latency bound, not
+    # FLOP bound — so full f32 stays the default; trajectories with bf16
+    # diverge ~0.015 over 40 chaotic ticks)
+    if os.environ.get("GEM_TPU_SEGSUM_BF16") == "1":
+        oh_ij = oh_ij.astype(jnp.bfloat16)
 
     def segsum2(packA, packB):
         # packA/packB [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
         pack = jnp.concatenate([packA, packB], axis=2)   # [Wt, C, 2K]
+        pack = pack.astype(oh_ij.dtype)
         return jnp.stack([
             jax.lax.dot_general(pack[w], oh_ij[w], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)

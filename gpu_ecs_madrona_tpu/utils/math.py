@@ -74,6 +74,19 @@ def quat_inv_rotate(q, v):
     return quat_rotate(qc, v)
 
 
+def quat_to_mat(q):
+    """Rotation matrix [..., 3, 3] from quaternions [..., 4] (wxyz)."""
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    xx, yy, zz = x * x, y * y, z * z
+    xy, xz, yz = x * y, x * z, y * z
+    wx, wy, wz = w * x, w * y, w * z
+    return jnp.stack([
+        jnp.stack([1 - 2 * (yy + zz), 2 * (xy - wz), 2 * (xz + wy)], -1),
+        jnp.stack([2 * (xy + wz), 1 - 2 * (xx + zz), 2 * (yz - wx)], -1),
+        jnp.stack([2 * (xz - wy), 2 * (yz + wx), 1 - 2 * (xx + yy)], -1),
+    ], axis=-2)
+
+
 def quat_normalize(q):
     # eps floor: all-zero quats (e.g. dead masked rows) must not produce
     # NaN — 0 * NaN poisons masked arithmetic downstream
