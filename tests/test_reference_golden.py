@@ -53,9 +53,11 @@ def load_golden(name):
     return arr, W, K, ss, dt
 
 
-def run_equivalent(golden, W, K, substeps, dt, ticks):
+def run_equivalent(golden, W, K, substeps, dt, ticks, joint=False):
     """Build the same scenario in this framework, initial state taken from
-    the golden file's tick 0 (so C++/numpy RNG differences cannot leak in)."""
+    the golden file's tick 0 (so C++/numpy RNG differences cannot leak in).
+    joint=True recreates the cube_chain Fixed joint (reference
+    setupFixed(a, b, id, id, (0,0,-0.6), (0,0,0.6), 0))."""
     loader = assets.PhysicsLoader()
     loader.load_objects([
         assets.make_plane(mu_s=0.5, mu_d=0.5),
@@ -71,7 +73,8 @@ def run_equivalent(golden, W, K, substeps, dt, ticks):
         @staticmethod
         def register_types(r):
             RigidBodyPhysicsSystem.register_types(
-                r, max_candidates=64, max_contacts=64, max_joints=0)
+                r, max_candidates=64, max_contacts=64,
+                max_joints=4 if joint else 0)
             r.register_archetype(Body, capacity=K + 1)
             r.export_column(Body, base.Position, 0)
             r.export_column(Body, base.Rotation, 1)
@@ -96,7 +99,8 @@ def run_equivalent(golden, W, K, substeps, dt, ticks):
             omega[:, 1:] = init0[:, :, 10:13]
             oid[:, 1:] = 1
             resp[:, 1:] = RESPONSE_DYNAMIC
-            ctx.make_entities(Body, counts=K + 1, max_new=K + 1, values={
+            ents = ctx.make_entities(Body, counts=K + 1, max_new=K + 1,
+                                     values={
                 base.Position: jnp.asarray(pos),
                 base.Rotation: jnp.asarray(rot),
                 base.Scale: jnp.ones((Wn, K + 1, 3)),
@@ -105,6 +109,15 @@ def run_equivalent(golden, W, K, substeps, dt, ticks):
                            "angular": jnp.asarray(omega)},
                 ResponseType: jnp.asarray(resp),
             })
+            if joint:
+                from gpu_ecs_madrona_tpu.physics import make_fixed_joint
+                ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]),
+                                         (Wn, 1, 4))
+                make_fixed_joint(
+                    ctx, ents[:, 1:2], ents[:, 2:3], ident, ident,
+                    jnp.broadcast_to(jnp.array([0.0, 0, -0.6]), (Wn, 1, 3)),
+                    jnp.broadcast_to(jnp.array([0.0, 0, 0.6]), (Wn, 1, 3)),
+                    jnp.zeros((Wn, 1)))
 
         @staticmethod
         def setup_tasks(builder):
@@ -141,6 +154,32 @@ def first_contact_tick(golden):
 
 CASES = ["cubes_fall_ss1", "cubes_fall_ss4", "cube_pair_ss1",
          "cube_pair_ss4", "cube_stack_ss1", "cube_stack_ss4"]
+
+
+def test_golden_fixed_joint_chain():
+    """Fixed-joint parity vs the reference binary (setupFixed +
+    handleJointConstraint, physics.cpp:560-648): a 2-cube chain swings,
+    falls, and lands; the joint must hold the 1.2 anchor separation in
+    both engines and the early trajectory must agree."""
+    golden, W, K, ss, dt = load_golden("cube_chain_ss4")
+    T = golden.shape[0] - 1
+    mine = run_equivalent(golden, W, K, ss, dt, T, joint=True)
+    perr = np.abs(mine[..., 0:3] - golden[..., 0:3]).max(axis=(1, 2, 3))
+    # free fall + joint, no contacts yet: tight agreement
+    assert perr[:10].max() <= 0.02, perr[:10].max()
+    # bounded over the whole swing-and-land horizon
+    assert perr.max() <= 1.5, perr.max()
+    # joint separation held in BOTH engines at every 10th tick
+    for t in range(0, T + 1, 10):
+        sep_m = np.linalg.norm(mine[t, :, 0, :3] - mine[t, :, 1, :3],
+                               axis=-1)
+        sep_g = np.linalg.norm(golden[t, :, 0, :3] - golden[t, :, 1, :3],
+                               axis=-1)
+        assert np.abs(sep_m - 1.2).max() < 0.15, (t, sep_m)
+        assert np.abs(sep_g - 1.2).max() < 0.15, (t, sep_g)
+    # both come to rest near the plane (an upright chain rests with its
+    # upper cube at ~0.5 + 1.2 = 1.7)
+    assert (mine[-1, :, :, 2] < 2.0).all() and (golden[-1, :, :, 2] < 2.0).all()
 
 
 @pytest.mark.parametrize("name", CASES)

@@ -82,7 +82,7 @@ struct Body : Archetype<
 > {};
 
 struct GoldenConfig {
-    int scenario;       // 0=cubes_fall, 1=cube_pair, 2=cube_stack
+    int scenario;       // 0=cubes_fall, 1=cube_pair, 2=cube_stack, 3=cube_chain
     int numBodies;      // dynamic cubes per world
     int numSubsteps;
     float dt;
@@ -189,7 +189,7 @@ GoldenSim::GoldenSim(Engine &ctx, const GoldenConfig &cfg,
                                  Vector3 { 0, 0, -9.8f },
                                  cfg.numBodies + 1,
                                  cfg.numBodies * 20,
-                                 0 /* max joints */);
+                                 4 /* max joints */);
 
     auto makeBody = [&](const Vector3 &pos, const Quat &rot,
                         const Vector3 &vel, int32_t obj_idx,
@@ -212,6 +212,30 @@ GoldenSim::GoldenSim(Engine &ctx, const GoldenConfig &cfg,
     // ground plane (static)
     makeBody(Vector3 { 0, 0, 0 }, Quat { 1, 0, 0, 0 }, Vector3::zero(),
              0, ResponseType::Static, -1);
+
+    if (cfg.scenario == 3) {
+        // cube_chain: two cubes linked by a Fixed joint (reference
+        // JointConstraint::setupFixed, physics.inl:151-169; solve at
+        // physics.cpp:560-648), lower cube offset in x so the pair
+        // swings as it falls onto the plane
+        Entity a = makeBody(Vector3 { 0, 0, 5.f }, Quat { 1, 0, 0, 0 },
+                            Vector3::zero(), 1, ResponseType::Dynamic, 0);
+        writeRecord(w, 0, ctx.getUnsafe<Position>(a),
+                    ctx.getUnsafe<Rotation>(a), Vector3::zero(),
+                    Vector3::zero());
+        float xb = 0.3f + 0.2f * hash01(w, 1, 0);
+        Entity b = makeBody(Vector3 { xb, 0, 3.8f }, Quat { 1, 0, 0, 0 },
+                            Vector3::zero(), 1, ResponseType::Dynamic, 1);
+        writeRecord(w, 1, ctx.getUnsafe<Position>(b),
+                    ctx.getUnsafe<Rotation>(b), Vector3 { 0, 0, 0 },
+                    Vector3::zero());
+        Entity j = ctx.makeEntityNow<ConstraintData>();
+        ctx.getUnsafe<JointConstraint>(j) = JointConstraint::setupFixed(
+            a, b, Quat { 1, 0, 0, 0 }, Quat { 1, 0, 0, 0 },
+            Vector3 { 0, 0, -0.6f }, Vector3 { 0, 0, 0.6f }, 0.f);
+        ctx.getSingleton<broadphase::BVH>().rebuildOnUpdate();
+        return;
+    }
 
     for (int i = 0; i < cfg.numBodies; i++) {
         Vector3 pos;
@@ -346,6 +370,8 @@ int main(int argc, char **argv)
         scenario = 1; num_bodies = 2;
     } else if (scen_name == "cube_stack") {
         scenario = 2; num_bodies = 3;
+    } else if (scen_name == "cube_chain") {
+        scenario = 3; num_bodies = 2;
     } else {
         fprintf(stderr, "unknown scenario %s\n", scen_name.c_str());
         return 1;
