@@ -644,8 +644,12 @@ class SubstepKernel:
             _T(v), _T(w), _T(prev_rot), _T1(dyn.astype(jnp.float32)),
         ], axis=1)                                    # [W, C_IN, n0]
         # pad bodies to a full 128-lane tile: enables the native dynamic
-        # lane gather in the kernel (and K is always a multiple of 128)
-        n = 128 if n0 <= 128 else -(-n0 // 8) * 8
+        # lane gather in the kernel (and K is always a multiple of 128).
+        # Beyond 128, the next power of two (the kernel's batched one-hot
+        # build folds the world axis with a power-of-two lane mask)
+        n = 128
+        while n < n0:
+            n *= 2
         packed = _pad_lanes(packed, n0, n)
         if self.owner_degree:
             assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \
@@ -700,7 +704,9 @@ class FusedSubstepKernel:
             _T1(obj.astype(jnp.float32)),
             _T(ext_f), _T(ext_t), _T1(dyn.astype(jnp.float32)),
         ], axis=1)                                    # [W, FC_IN, n0]
-        n = 128 if n0 <= 128 else -(-n0 // 8) * 8
+        n = 128
+        while n < n0:
+            n *= 2
         packed = _pad_lanes(packed, n0, n)
         if self.owner_degree:
             assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \

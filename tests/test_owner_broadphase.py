@@ -93,3 +93,16 @@ def test_owner_capacity_validation():
         TaskGraphExecutor(W, ExecutorConfig(num_worlds=2,
                                             max_entities_per_world=16,
                                             seed=0))
+
+
+def test_pallas_kernel_beyond_128_bodies():
+    """>128 bodies pad to the next power-of-two lane count (the kernel's
+    batched one-hot build needs a power-of-two lane mask; regression for
+    the n=129 -> 136-lane assert)."""
+    cfg = rb.RigidBenchConfig(num_worlds=2, num_bodies=130, seed=0,
+                              contact_mode="pallas", broadphase_mode="sap",
+                              max_candidates=512)
+    sim = rb.make_executor(cfg, donate=False)
+    sim.run(3)
+    pos, mask = sim.get_exported(0)
+    assert np.isfinite(np.asarray(pos)[np.asarray(mask)]).all()
