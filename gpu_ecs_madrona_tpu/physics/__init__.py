@@ -474,12 +474,38 @@ class RigidBodyPhysicsSystem:
                            | (rows_n[None, None, :] > grow[:, :, None]))
 
             # ---- one compaction over both regions -------------------------
-            flat = jnp.concatenate(
-                [ok.reshape(W, n * S), ok_g.reshape(W, G * n)], axis=1)
-            counts = jnp.sum(flat.astype(jnp.int32), axis=1)
+            # TWO-STAGE single-key sort (the simple_jobs 'twostage' result:
+            # ~1.6x over a global variadic top_k): stage 1 packs each sweep
+            # row's window hits by a small per-row sort (degree-capped at
+            # Dc, drops accounted), stage 2 sorts the [n*Dc + G*n]
+            # survivors — ascending flat-index order, identical to the
+            # top_k's.  The dense global rows (planes etc.) are passed
+            # through uncapped.
             k_cap = ctx.mgr.registry.archetypes[CandidateTemporary.name].capacity
             k_eff = min(k_cap, n * S + G * n)
-            _, pair_idx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
+            BIGI = jnp.int32(2 ** 30)
+            Dc = min(16, S)
+            kk = jnp.arange(S, dtype=jnp.int32)[None, None]
+            rkey = jnp.where(ok, kk, BIGI)                 # [W, n, S]
+            part = jnp.sort(rkey, axis=2)[:, :, :Dc]
+            pvalid = part < BIGI
+            deg = jnp.sum(ok.astype(jnp.int32), axis=2)
+            dropped = jnp.sum(jnp.maximum(deg - Dc, 0), axis=1)
+            debug.check(dropped == 0,
+                        f"sap per-row degree cap {Dc} exceeded: dropped "
+                        "pairs={} per world", dropped)
+            ctx.add_overflow(CandidateRowsTemporary, dropped)
+            i_iota = jnp.arange(n, dtype=jnp.int32)[None, :, None]
+            flat1 = jnp.where(pvalid, i_iota * S + part, BIGI)\
+                .reshape(W, n * Dc)
+            gidx_iota = jnp.arange(G * n, dtype=jnp.int32)[None]
+            flat_g = jnp.where(ok_g.reshape(W, G * n), n * S + gidx_iota,
+                               BIGI)
+            key2 = jnp.concatenate([flat1, flat_g], axis=1)
+            pair_idx = jnp.sort(key2, axis=1)[:, :k_eff]
+            pair_idx = jnp.where(pair_idx < BIGI, pair_idx, 0)
+            counts = (jnp.sum(ok.astype(jnp.int32), axis=(1, 2)) - dropped
+                      + jnp.sum(ok_g.astype(jnp.int32), axis=(1, 2)))
             in_sweep = pair_idx < n * S
             # sweep region: sorted i = idx // S, j = i + idx % S + 1
             si = jnp.where(in_sweep, pair_idx, 0) // S
