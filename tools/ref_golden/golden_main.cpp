@@ -82,7 +82,7 @@ struct Body : Archetype<
 > {};
 
 struct GoldenConfig {
-    int scenario;       // 0=cubes_fall, 1=cube_pair, 2=cube_stack, 3=cube_chain
+    int scenario;       // 0=cubes_fall .. 3=cube_chain, 4=cube_hinge
     int numBodies;      // dynamic cubes per world
     int numSubsteps;
     float dt;
@@ -212,6 +212,38 @@ GoldenSim::GoldenSim(Engine &ctx, const GoldenConfig &cfg,
     // ground plane (static)
     makeBody(Vector3 { 0, 0, 0 }, Quat { 1, 0, 0, 0 }, Vector3::zero(),
              0, ResponseType::Static, -1);
+
+    if (cfg.scenario == 4) {
+        // cube_hinge: pendulum — static anchor cube + dynamic cube hinged
+        // at its lower edge (reference JointConstraint::setupHinge,
+        // physics.inl:171-190; solve at physics.cpp:617-630), swings
+        // under gravity about the shared y axis
+        Entity a = makeBody(Vector3 { 0, 0, 6.f }, Quat { 1, 0, 0, 0 },
+                            Vector3::zero(), 1, ResponseType::Static, 0);
+        writeRecord(w, 0, ctx.getUnsafe<Position>(a),
+                    ctx.getUnsafe<Rotation>(a), Vector3::zero(),
+                    Vector3::zero());
+        // dynamic cube starts swung out to the side, hinge at the shared
+        // point (0.6 below A's center = 0.6 above B's center)
+        float ang = 0.15f + 0.1f * hash01(w, 1, 0);  // initial swing angle
+        float s_ = sinf(ang), c_ = cosf(ang);
+        // B's center = hinge point + 0.6 * (swung-down direction)
+        Vector3 hinge_w { 0, 0, 6.f - 0.6f };
+        Vector3 down { s_, 0, -c_ };
+        Quat rotb = Quat::angleAxis(ang, Vector3 { 0, 1, 0 });
+        Entity b = makeBody(hinge_w + 0.6f * down, rotb, Vector3::zero(),
+                            1, ResponseType::Dynamic, 1);
+        writeRecord(w, 1, ctx.getUnsafe<Position>(b),
+                    ctx.getUnsafe<Rotation>(b), Vector3::zero(),
+                    Vector3::zero());
+        Entity j = ctx.makeEntityNow<ConstraintData>();
+        ctx.getUnsafe<JointConstraint>(j) = JointConstraint::setupHinge(
+            a, b, Vector3 { 0, 1, 0 }, Vector3 { 0, 1, 0 },
+            Vector3 { 1, 0, 0 }, Vector3 { 1, 0, 0 },
+            Vector3 { 0, 0, -0.6f }, Vector3 { 0, 0, 0.6f });
+        ctx.getSingleton<broadphase::BVH>().rebuildOnUpdate();
+        return;
+    }
 
     if (cfg.scenario == 3) {
         // cube_chain: two cubes linked by a Fixed joint (reference
@@ -372,6 +404,8 @@ int main(int argc, char **argv)
         scenario = 2; num_bodies = 3;
     } else if (scen_name == "cube_chain") {
         scenario = 3; num_bodies = 2;
+    } else if (scen_name == "cube_hinge") {
+        scenario = 4; num_bodies = 2;
     } else {
         fprintf(stderr, "unknown scenario %s\n", scen_name.c_str());
         return 1;
