@@ -157,8 +157,13 @@ class SimpleJobsWorld:
                 counts = jnp.sum(deg, axis=1) - dropped
                 a_iota = jnp.arange(n, dtype=jnp.int32)[None, :, None]
                 fkey = jnp.where(valid, a_iota * n + part, BIGI)
-                pair_idx = jnp.sort(fkey.reshape(W, n * D), axis=1)[:, :k_eff]
+                k_take = min(k_eff, n * D)
+                pair_idx = jnp.sort(fkey.reshape(W, n * D),
+                                    axis=1)[:, :k_take]
                 pair_idx = jnp.where(pair_idx < BIGI, pair_idx, 0)
+                if k_take < k_eff:     # stage-1 caps below the requested K
+                    pair_idx = jnp.pad(pair_idx,
+                                       ((0, 0), (0, k_eff - k_take)))
             ab = jnp.stack([pair_idx // n, pair_idx % n], axis=-1)  # [W,k,2]
             cands = jnp.zeros((W, K, 2), jnp.int32).at[:, :k_eff].set(ab)
             d.update(candidates=cands, num_candidates=jnp.minimum(counts, k_eff))

@@ -171,6 +171,7 @@ class RigidBodyPhysicsSystem:
         mode: str = "auto",
         sap_window: int = 0,
         sap_globals: int = 4,
+        sap_degree: int = 16,
         owner_degree: int = 4,
         dense_degree: int = 0,
     ) -> NodeID:
@@ -484,7 +485,7 @@ class RigidBodyPhysicsSystem:
             k_cap = ctx.mgr.registry.archetypes[CandidateTemporary.name].capacity
             k_eff = min(k_cap, n * S + G * n)
             BIGI = jnp.int32(2 ** 30)
-            Dc = min(16, S)
+            Dc = min(sap_degree or S, S)
             kk = jnp.arange(S, dtype=jnp.int32)[None, None]
             rkey = jnp.where(ok, kk, BIGI)                 # [W, n, S]
             part = jnp.sort(rkey, axis=2)[:, :, :Dc]
@@ -502,8 +503,11 @@ class RigidBodyPhysicsSystem:
             flat_g = jnp.where(ok_g.reshape(W, G * n), n * S + gidx_iota,
                                BIGI)
             key2 = jnp.concatenate([flat1, flat_g], axis=1)
-            pair_idx = jnp.sort(key2, axis=1)[:, :k_eff]
+            k_take = min(k_eff, n * Dc + G * n)
+            pair_idx = jnp.sort(key2, axis=1)[:, :k_take]
             pair_idx = jnp.where(pair_idx < BIGI, pair_idx, 0)
+            if k_take < k_eff:         # stage-1 caps below the requested K
+                pair_idx = jnp.pad(pair_idx, ((0, 0), (0, k_eff - k_take)))
             counts = (jnp.sum(ok.astype(jnp.int32), axis=(1, 2)) - dropped
                       + jnp.sum(ok_g.astype(jnp.int32), axis=(1, 2)))
             in_sweep = pair_idx < n * S
@@ -641,6 +645,12 @@ class RigidBodyPhysicsSystem:
             from gpu_ecs_madrona_tpu.utils.platform import pallas_interpret
             interp = pallas_interpret()
             if has_joints:
+                if contact_refresh:
+                    raise ValueError(
+                        "contact_refresh requires the fused substep kernel; "
+                        "worlds with joints run the per-substep kernel "
+                        "(joints interleave between the positional and "
+                        "velocity phases) — drop contact_refresh or joints")
                 # joints interleave between the positional and velocity
                 # phases, so each substep is its own kernel call with the
                 # joint solve in XLA between calls

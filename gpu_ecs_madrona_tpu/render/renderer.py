@@ -140,7 +140,16 @@ class BatchRenderer:
         # inside the jit step closes over Python constants only.
         # the kernel always uses the exact-hull slab test, so it is only
         # eligible when exact_hulls is on (parity contract with the XLA
-        # path, which would use the OBB proxy otherwise)
+        # path, which would use the OBB proxy otherwise); an EXPLICIT
+        # pallas request that cannot be honored is an error, not a silent
+        # fallback with different hull semantics
+        if cfg.backend == "pallas" and (self.any_mesh or not cfg.exact_hulls):
+            reason = ("render meshes are present" if self.any_mesh
+                      else "exact_hulls=False")
+            raise ValueError(
+                f"backend='pallas' unavailable: {reason} (the pixel-tile "
+                "kernel implements analytic primitives with the exact-hull "
+                "slab test only); use backend='auto' or 'xla'")
         self._pallas = None
         if (cfg.backend in ("pallas", "auto") and not self.any_mesh
                 and cfg.exact_hulls):
@@ -397,8 +406,12 @@ class BatchRenderer:
         hit = hit | (ptype == PRIM_PLANE)[:, None, None, :]  # planes: always
         hit = hit & imask[:, None, None, :]
         # nearest-first: distant overflow drops are the documented
-        # tile-capacity contract (raise max_instances_per_tile)
-        score = jnp.where(hit, -a_ax, -BIG)
+        # tile-capacity contract (raise max_instances_per_tile).  Planes
+        # are infinite — their center distance says nothing about their
+        # nearest hit — so they always outrank sphere-bounded instances
+        # (a ground plane must never be evicted from a tile)
+        is_plane4 = (ptype == PRIM_PLANE)[:, None, None, :]
+        score = jnp.where(hit, jnp.where(is_plane4, BIG, -a_ax), -BIG)
         vals, tidx = jax.lax.top_k(score, M)                 # [W, V, T, M]
         tvalid = vals > -BIG * 0.5
 

@@ -186,8 +186,11 @@ def _finalize_entry(kind: str, key: Dict[str, Any],
     except Exception:
         recheck = 0.0
     confirmed = min(winner_speed, recheck)
-    validated = (heuristic_speed <= 0.0
-                 or confirmed * tolerance >= heuristic_speed)
+    # a FAILED heuristic measurement must fail validation, not waive it —
+    # a broken/degraded environment is exactly when a sweep result cannot
+    # be trusted (the round-2 poisoned artifact came from such a run)
+    validated = (heuristic_speed > 0.0 and recheck > 0.0
+                 and confirmed * tolerance >= heuristic_speed)
     return {
         "kind": kind,
         "key": key,

@@ -158,13 +158,16 @@ def node_timeline(trace_dir: str,
     steps = []
     totals: Dict[str, List[float]] = collections.defaultdict(
         lambda: [0.0, 0])
+    op_pos = 0     # both lists are ts-sorted: advance once, O(total ops)
     for mod in mods:
         t0, t1 = mod["ts"], mod["ts"] + mod["dur"]
         segments = []
         cur = None
-        for op in ops:
-            if op["ts"] < t0 or op["ts"] >= t1:
-                continue
+        while op_pos < len(ops) and ops[op_pos]["ts"] < t0:
+            op_pos += 1
+        while op_pos < len(ops) and ops[op_pos]["ts"] < t1:
+            op = ops[op_pos]
+            op_pos += 1
             node = _scope_node(op.get("args", {}).get("tf_op", op["name"]))
             totals[node][0] += op["dur"]
             totals[node][1] += 1
