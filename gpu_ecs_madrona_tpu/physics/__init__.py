@@ -88,6 +88,22 @@ CollisionEventTemporary = Archetype("CollisionEventTemporary", [CollisionEvent])
 JointArchetype = Archetype("JointArchetype", [JointConstraint])
 
 
+def _candidate_rows(ctx: Context, owner_deg: int):
+    """Candidate pair rows + validity for the substep consumers.
+
+    Owner-major layouts (dense_owner broadphase) encode per-slot validity
+    as i = -1 in the VALUES (the row mask is all-on; see
+    find_overlaps_owner); the compacted layouts use the row mask."""
+    rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
+    if owner_deg:
+        kmask = rowsc["i"] >= 0
+        rowsc = {"i": jnp.maximum(rowsc["i"], 0),
+                 "j": jnp.maximum(rowsc["j"], 0)}
+    else:
+        kmask = ctx.row_mask(CandidateRowsTemporary)
+    return rowsc, kmask
+
+
 class RigidBodyPhysicsSystem:
     @staticmethod
     def register_types(registry: ECSRegistry, max_candidates: int = 1024,
@@ -773,15 +789,7 @@ class RigidBodyPhysicsSystem:
                         p2, r2 = solve_joints_at(new_pos, new_rot)
                         writeback(p2, r2, v, w)
                         return
-                    rowsc = ctx.column(CandidateRowsTemporary,
-                                       CandidatePairRows)
-                    if owner_deg:
-                        # owner-major: per-slot validity is i >= 0
-                        kmask = rowsc["i"] >= 0
-                        rowsc = {"i": jnp.maximum(rowsc["i"], 0),
-                                 "j": jnp.maximum(rowsc["j"], 0)}
-                    else:
-                        kmask = ctx.row_mask(CandidateRowsTemporary)
+                    rowsc, kmask = _candidate_rows(ctx, owner_deg)
                     p2, r2, v3_, w3_ = substep_kernel(
                         pos=new_pos, rot=new_rot, v=v, w=w,
                         prev_pos=prev_pos, prev_rot=prev_rot,
@@ -1006,14 +1014,7 @@ class RigidBodyPhysicsSystem:
                 vel = ctx.column(arch, Velocity)
                 resp = ctx.column(arch, ResponseType)
                 dyn = (resp == RESPONSE_DYNAMIC) & mask
-                rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
-                if owner_deg:
-                    # owner-major: per-slot validity is i >= 0
-                    kmask = rowsc["i"] >= 0
-                    rowsc = {"i": jnp.maximum(rowsc["i"], 0),
-                             "j": jnp.maximum(rowsc["j"], 0)}
-                else:
-                    kmask = ctx.row_mask(CandidateRowsTemporary)
+                rowsc, kmask = _candidate_rows(ctx, owner_deg)
                 out = fused_kernel(
                     pos=pos, rot=rot, v=vel["linear"], w=vel["angular"],
                     im=jnp.where(dyn, objmgr["inv_mass"][obj], 0.0),
