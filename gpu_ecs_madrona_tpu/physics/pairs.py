@@ -1357,62 +1357,100 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h3, vt_len / wsum_t)
     fimp = v3scale(that, -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0))
 
-    wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
-    wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
-    wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
+    # ---- normal impulse at the manifold CENTROID ----------------------
+    # A Jacobi per-point mean under-applies whenever rotational
+    # inverse-mass terms cancel across a symmetric manifold: on a flat
+    # cube face each corner's generalized w is ~4x the linear one but the
+    # four torques cancel, so the summed linear velocity change is ~1/4
+    # of the target and the bounce dies (caught by the cube_bounce
+    # reference golden).  ONE impulse at the centroid of the contributing
+    # points carries exactly the manifold's net coupling: full
+    # restitution on flat impacts, identical to per-point behavior for
+    # single-point manifolds (reference physics.cpp:820-867 reaches the
+    # target by sequential per-point application, which Jacobi cannot).
+    cnt = jnp.maximum(jnp.sum(pt_ok.astype(jnp.float32), axis=1,
+                              keepdims=True), 1.0)
+
+    def cmean(x):
+        return jnp.sum(jnp.where(pt_ok, x, 0.0), axis=1, keepdims=True) / cnt
+
+    pts_c = tuple(cmean(c) for c in pts)
+    rAc = v3sub(pts_c, vexpand(posA))
+    rBc = v3sub(pts_c, vexpand(posB))
+    relc = v3sub(point_vel(sideB["v"], sideB["w"], rBc),
+                 point_vel(sideA["v"], sideA["w"], rAc))
+    vn_c = dot3(relc, n4)
     if "pv" in sideA and "rest" in sideA:
         # vn_bar from the post-integrate velocities (PreSolveVelocity)
-        pvrel = v3sub(point_vel(sideB["pv"], sideB["pw"], rB),
-                      point_vel(sideA["pv"], sideA["pw"], rA))
-        vn_pre = dot3(pvrel, n4)
+        pvrelc = v3sub(point_vel(sideB["pv"], sideB["pw"], rBc),
+                      point_vel(sideA["pv"], sideA["pw"], rAc))
+        vn_pre_c = dot3(pvrelc, n4)
         rest3 = jnp.reshape(restitution_threshold,
                             restitution_threshold.shape[:1] + (1, 1))
         e_pair = (0.5 * (sideA["rest"] + sideB["rest"]))[:, None, :]
-        e = jnp.where(jnp.abs(vn_pre) <= rest3, 0.0, e_pair)
-        dv_n = -vn + jnp.maximum(-e * vn_pre, 0.0)
+        e_c = jnp.where(jnp.abs(vn_pre_c) <= rest3, 0.0, e_pair)
+        dv_c = -vn_c + jnp.maximum(-e_c * vn_pre_c, 0.0)
     else:
-        dv_n = -vn
-    # repulsive impulses only (dv_n > 0): equals the vn < 0 gate at e=0,
-    # lets the bounce through when the position solve left vn >= 0.
-    # Jacobi-mean over contributing manifold points and NO relaxation on
-    # the normal impulse (see solver._velocity_contact_math): the target
-    # is an absolute post-velocity; relaxing leaves (1-relax)*vn un-killed.
+        dv_c = -vn_c
+    wAc = _gen_inv_mass(rAc, n4, sideA["im"], sideA["ii"], rotA)
+    wBc = _gen_inv_mass(rBc, n4, sideB["im"], sideB["ii"], rotB)
+    wsum_c = jnp.maximum(wAc + wBc, 1e-12)
+    # repulsive impulses only (dv_c > 0): equals the vn < 0 gate at e=0,
+    # lets the bounce through when the position solve left vn >= 0.  NO
+    # relaxation on the normal impulse: the target is an absolute
+    # post-velocity; relaxing leaves (1-relax)*vn un-killed.
+    any_pt = jnp.any(pt_ok, axis=1, keepdims=True)
+    n_ok_c = any_pt & (dv_c > 0)
+    nimp_c = v3scale(n4, jnp.where(n_ok_c, dv_c / wsum_c, 0.0))
+
+    # speculative near-miss points (depth <= 0) keep the per-point clamp
     if speculative > 0:
+        wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
+        wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
+        wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
         dep = contacts["depth"]
         okexp = bexp(contacts["ok"], 1, dep.shape)
         # allowed approach over one substep: vn >= depth/h (depth<0 =
         # separation); dead manifold slots (depth=-BIG) gate off via dv>0
         dv_spec = dep / h3 - vn
-        dv_n = jnp.where(dep > 0, dv_n, dv_spec)
-        n_ok = okexp & (dv_n > 0)
-        live = pt_ok | n_ok
+        s_ok = okexp & (dep <= 0) & (dv_spec > 0)
+        npts_s = jnp.maximum(jnp.sum(s_ok.astype(jnp.float32), axis=1,
+                                     keepdims=True), 1.0)
+        simp = v3scale(n4, jnp.where(s_ok, dv_spec / wsum_n, 0.0) / npts_s)
     else:
-        n_ok = pt_ok & (dv_n > 0)
-        live = pt_ok
-    npts = jnp.maximum(jnp.sum(n_ok.astype(jnp.float32), axis=1,
-                               keepdims=True), 1.0)
-    nimp = v3scale(n4, jnp.where(n_ok, dv_n / wsum_n, 0.0) / npts)
+        s_ok = None
+        simp = None
 
-    imp = vmap3(lambda a, b: a * relaxation + b, fimp, nimp)
-    dvA = v3scale(imp, -expand(sideA["im"]))
-    dvB = v3scale(imp, expand(sideB["im"]))
     rqA = tuple(expand(c) for c in rotA)
     rqB = tuple(expand(c) for c in rotB)
     iiA = tuple(expand(c) for c in sideA["ii"])
     iiB = tuple(expand(c) for c in sideB["ii"])
-    dwA = qrot(rqA, vmap3(lambda a, b: a * b, iiA,
-                          qrot_inv(rqA, cross3(rA, v3scale(imp, -1.0)))))
-    dwB = qrot(rqB, vmap3(lambda a, b: a * b, iiB,
-                          qrot_inv(rqB, cross3(rB, imp))))
 
-    def pack(dv, dw):
-        def s(c):
-            return jnp.sum(jnp.where(live, c, 0.0), axis=1)
+    def apply(imp, rA_, rB_, mask):
+        dvA = v3scale(imp, -expand(sideA["im"]))
+        dvB = v3scale(imp, expand(sideB["im"]))
+        dwA = qrot(rqA, vmap3(lambda a, b: a * b, iiA,
+                              qrot_inv(rqA, cross3(rA_, v3scale(imp, -1.0)))))
+        dwB = qrot(rqB, vmap3(lambda a, b: a * b, iiB,
+                              qrot_inv(rqB, cross3(rB_, imp))))
 
-        return jnp.stack([s(dv[0]), s(dv[1]), s(dv[2]),
-                          s(dw[0]), s(dw[1]), s(dw[2])], axis=1)  # [W,6,K]
+        def pk6(dv, dw):
+            def sm(c):
+                return jnp.sum(jnp.where(mask, c, 0.0), axis=1)
 
-    return pack(dvA, dwA), pack(dvB, dwB)
+            return jnp.stack([sm(dv[0]), sm(dv[1]), sm(dv[2]),
+                              sm(dw[0]), sm(dw[1]), sm(dw[2])],
+                             axis=1)                         # [W, 6, K]
+
+        return pk6(dvA, dwA), pk6(dvB, dwB)
+
+    fA, fB = apply(vmap3(lambda a: a * relaxation, fimp), rA, rB, pt_ok)
+    nA, nB = apply(nimp_c, rAc, rBc, n_ok_c)
+    packA, packB = fA + nA, fB + nB
+    if simp is not None:
+        sA, sB = apply(simp, rA, rB, s_ok)
+        packA, packB = packA + sA, packB + sB
+    return packA, packB
 
 
 def aabb_overlap(loA, hiA, loB, hiB):

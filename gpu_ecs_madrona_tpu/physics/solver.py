@@ -294,57 +294,90 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
     # impulse on B points along -that (imp is applied +imp to B below)
     fimp = -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0)[..., None] * that
 
+    # ---- normal impulse at the manifold CENTROID ----------------------
+    # (see pairs.velocity_pass for the rationale: a Jacobi per-point mean
+    # under-applies when the manifold's rotational inverse-mass terms
+    # cancel — a flat cube face gets ~1/4 of the restitution target and
+    # the bounce dies.  One impulse at the centroid of the contributing
+    # points carries the manifold's net coupling exactly; the reference
+    # reaches the same target by sequential per-point application,
+    # physics.cpp:820-867.)
+    cnt = jnp.maximum(jnp.sum(pt_ok, axis=-1, keepdims=True), 1)
+
+    def cmean(x):  # [*L, 4, 3] -> [*L, 1, 3]
+        return (jnp.sum(jnp.where(pt_ok[..., None], x, 0.0), axis=-2,
+                        keepdims=True) / cnt[..., None])
+
+    pts_c = cmean(pts)
+    rAc = pts_c - posA[..., None, :]
+    rBc = pts_c - posB[..., None, :]
+    nc = nrm[..., None, :]
+    vnc = jnp.sum((point_vel(vB_lin, vB_ang, rBc)
+                   - point_vel(vA_lin, vA_ang, rAc)) * nc, axis=-1)
     # restitution: pre-substep (post-integrate) normal velocity vn_bar
     # (reference physics.cpp:825-867: e=0.3 above the 2*|g|*h threshold,
     # target velocity max(-e*vn_bar, 0), applied via generalized masses)
-    pvA = point_vel(pvA_lin, pvA_ang, rA)
-    pvB = point_vel(pvB_lin, pvB_ang, rB)
-    vn_pre = jnp.sum((pvB - pvA) * n4, axis=-1)
+    vn_pre_c = jnp.sum((point_vel(pvB_lin, pvB_ang, rBc)
+                        - point_vel(pvA_lin, pvA_ang, rAc)) * nc, axis=-1)
     if restA is None or restB is None:
         e_pair = 0.0
     else:
         e_pair = (0.5 * (restA + restB))[..., None]
-    e = jnp.where(jnp.abs(vn_pre) <= restitution4, 0.0, e_pair)
-    wA_n = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
-    wB_n = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
-    wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
-    dv_n = (-vn + jnp.maximum(-e * vn_pre, 0.0))
-    # gate on dv_n > 0 (repulsive impulses only): equivalent to the old
+    e_c = jnp.where(jnp.abs(vn_pre_c) <= restitution4, 0.0, e_pair)
+    wAc = _generalized_inv_mass(rAc, nc, imA4, iiA4, rotA4)
+    wBc = _generalized_inv_mass(rBc, nc, imB4, iiB4, rotB4)
+    wsum_c = jnp.maximum(wAc + wBc, 1e-12)
+    dv_c = (-vnc + jnp.maximum(-e_c * vn_pre_c, 0.0))
+    # gate on dv_c > 0 (repulsive impulses only): equivalent to the old
     # vn < 0 gate when e=0, and lets the bounce through when the position
     # solve left vn slightly positive.  The reference applies adhesive
     # corrections too, but under Jacobi accumulation those destabilize.
+    # NO relaxation on the normal impulse: the target is an absolute
+    # post-velocity; relaxing leaves (1-relax)*vn un-killed.
+    any_pt = jnp.any(pt_ok, axis=-1, keepdims=True)
+    n_ok_c = any_pt & (dv_c > 0)
+    nimp_c = jnp.where(n_ok_c, dv_c / wsum_c, 0.0)[..., None] * nc
+
+    # speculative near-miss points (depth <= 0) keep the per-point clamp
     if speculative > 0:
         # speculative-CCD clamp for near-miss points (depth <= 0): limit
         # approach speed to depth/h so the gap cannot be crossed in one
-        # substep; dead slots (depth=-BIG) gate off via dv_n > 0
+        # substep; dead slots (depth=-BIG) gate off via dv > 0
+        wA_n = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
+        wB_n = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
+        wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
         depth4 = contacts["depth"]
         ok_np = ok[..., None] & (jnp.arange(4) < contacts["num_points"][..., None])
-        dv_n = jnp.where(depth4 > 0, dv_n, depth4 / h4 - vn)
-        n_ok = ok_np & (dv_n > 0)
-        live = pt_ok | n_ok
+        dv_spec = depth4 / h4 - vn
+        s_ok = ok_np & (depth4 <= 0) & (dv_spec > 0)
+        npts_s = jnp.maximum(jnp.sum(s_ok, axis=-1, keepdims=True), 1)
+        simp = (jnp.where(s_ok, dv_spec / wsum_n, 0.0) / npts_s)[..., None] * n4
     else:
-        n_ok = pt_ok & (dv_n > 0)
-        live = pt_ok
-    # Jacobi-mean over the manifold's contributing points and NO relaxation
-    # on the normal impulse: the target is an absolute post-velocity (the
-    # reference reaches it exactly by sequential application); relaxing it
-    # leaves (1-relax)*vn un-killed, which eats the bounce, and summing 4
-    # manifold points would overshoot 4x.
-    npts = jnp.maximum(jnp.sum(n_ok, axis=-1, keepdims=True), 1)
-    nimp = (jnp.where(n_ok, dv_n / wsum_n, 0.0) / npts)[..., None] * n4
+        s_ok = None
+        simp = None
 
-    imp = fimp * relaxation + nimp
+    def apply(imp, rA_, rB_, mask):
+        dvA = -imp * imA4[..., None]
+        dvB = imp * imB4[..., None]
+        dwA_b = m.quat_inv_rotate(rotA4, jnp.cross(rA_, -imp))
+        dwB_b = m.quat_inv_rotate(rotB4, jnp.cross(rB_, imp))
+        dwA = m.quat_rotate(rotA4, iiA4 * dwA_b)
+        dwB = m.quat_rotate(rotB4, iiB4 * dwB_b)
+        m4 = mask[..., None]
+        return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
+                jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
 
-    dvA = -imp * imA4[..., None]
-    dvB = imp * imB4[..., None]
-    dwA_b = m.quat_inv_rotate(rotA4, jnp.cross(rA, -imp))
-    dwB_b = m.quat_inv_rotate(rotB4, jnp.cross(rB, imp))
-    dwA = m.quat_rotate(rotA4, iiA4 * dwA_b)
-    dwB = m.quat_rotate(rotB4, iiB4 * dwB_b)
-
-    m4 = live[..., None]
-    return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
-            jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
+    outs = apply(fimp * relaxation, rA, rB, pt_ok)
+    n_out = apply(nimp_c, rAc, rBc, n_ok_c)
+    # centroid deltas live on a [*L, 1, 3] slot; pad to the 4-point axis
+    # so the caller's sum-over-points applies them once
+    n_out = tuple(jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 3), (0, 0)])
+                  for x in n_out)
+    outs = tuple(a + b for a, b in zip(outs, n_out))
+    if simp is not None:
+        s_out = apply(simp, rA, rB, s_ok)
+        outs = tuple(a + b for a, b in zip(outs, s_out))
+    return outs
 
 
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,

@@ -153,7 +153,8 @@ def first_contact_tick(golden):
 
 
 CASES = ["cubes_fall_ss1", "cubes_fall_ss4", "cube_pair_ss1",
-         "cube_pair_ss4", "cube_stack_ss1", "cube_stack_ss4"]
+         "cube_pair_ss4", "cube_stack_ss1", "cube_stack_ss4",
+         "cube_bounce_ss4"]
 
 
 def test_golden_fixed_joint_chain():
@@ -208,6 +209,14 @@ def test_golden_trajectory(name):
     horizon = 2.5 if name.startswith("cube_stack") else 1.2
     assert perr.max() <= horizon, f"trajectory diverged: {perr.max()}"
     assert np.isfinite(mine).all()
+
+    # 4b. cube_bounce: the restitution bounce peak must match (reference
+    # hardcodes e=0.3, solveVelocities physics.cpp:842; peak ~ e^2 * h)
+    if name.startswith("cube_bounce"):
+        fc2 = first_contact_tick(golden)
+        g_peak = golden[fc2:, ..., 2].max(axis=0)
+        m_peak = mine[fc2:, ..., 2].max(axis=0)
+        assert np.abs(g_peak - m_peak).max() <= 0.08, (g_peak, m_peak)
 
     # 4. matching rest state: all cubes settle onto the plane in both
     if name.startswith("cubes_fall"):

@@ -82,7 +82,7 @@ struct Body : Archetype<
 > {};
 
 struct GoldenConfig {
-    int scenario;       // 0=cubes_fall .. 3=cube_chain, 4=cube_hinge
+    int scenario;       // 0=cubes_fall .. 4=cube_hinge, 5=cube_bounce
     int numBodies;      // dynamic cubes per world
     int numSubsteps;
     float dt;
@@ -287,6 +287,9 @@ GoldenSim::GoldenSim(Engine &ctx, const GoldenConfig &cfg,
             pos = Vector3 { side * (2.f + hash01(w, i, 0)), 0.f, 0.5f };
             vel = Vector3 { -side * 2.f, 0.f, 0.f };
         } break;
+        case 5: {  // cube_bounce: clean axis-aligned drop (restitution)
+            pos = Vector3 { 0.f, 0.f, 3.f + 2.f * hash01(w, i, 0) };
+        } break;
         case 2: {  // cube_stack: offset vertical stack
             pos = Vector3 {
                 0.05f * hash01(w, i, 0),
@@ -406,6 +409,8 @@ int main(int argc, char **argv)
         scenario = 3; num_bodies = 2;
     } else if (scen_name == "cube_hinge") {
         scenario = 4; num_bodies = 2;
+    } else if (scen_name == "cube_bounce") {
+        scenario = 5; num_bodies = 1;
     } else {
         fprintf(stderr, "unknown scenario %s\n", scen_name.c_str());
         return 1;
