@@ -1444,13 +1444,17 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
 
         return pk6(dvA, dwA), pk6(dvB, dwB)
 
-    fA, fB = apply(vmap3(lambda a: a * relaxation, fimp), rA, rB, pt_ok)
-    nA, nB = apply(nimp_c, rAc, rBc, n_ok_c)
-    packA, packB = fA + nA, fB + nB
+    # friction and speculative impulses share the same application points
+    # (each term is where-zeroed outside its own mask): ONE apply covers
+    # both; the centroid impulse has its own arms
+    pp_imp = v3scale(fimp, relaxation)
+    pp_mask = pt_ok
     if simp is not None:
-        sA, sB = apply(simp, rA, rB, s_ok)
-        packA, packB = packA + sA, packB + sB
-    return packA, packB
+        pp_imp = v3add(pp_imp, simp)
+        pp_mask = pp_mask | s_ok
+    fA, fB = apply(pp_imp, rA, rB, pp_mask)
+    nA, nB = apply(nimp_c, rAc, rBc, n_ok_c)
+    return fA + nA, fB + nB
 
 
 def aabb_overlap(loA, hiA, loB, hiB):

@@ -367,17 +367,21 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
         return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
                 jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
 
-    outs = apply(fimp * relaxation, rA, rB, pt_ok)
+    # friction and speculative impulses share the same application points
+    # (each term is where-zeroed outside its own mask): ONE apply covers
+    # both; the centroid impulse has its own arms
+    pp_imp = fimp * relaxation
+    pp_mask = pt_ok
+    if simp is not None:
+        pp_imp = pp_imp + simp
+        pp_mask = pp_mask | s_ok
+    outs = apply(pp_imp, rA, rB, pp_mask)
     n_out = apply(nimp_c, rAc, rBc, n_ok_c)
     # centroid deltas live on a [*L, 1, 3] slot; pad to the 4-point axis
     # so the caller's sum-over-points applies them once
     n_out = tuple(jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 3), (0, 0)])
                   for x in n_out)
-    outs = tuple(a + b for a, b in zip(outs, n_out))
-    if simp is not None:
-        s_out = apply(simp, rA, rB, s_ok)
-        outs = tuple(a + b for a, b in zip(outs, s_out))
-    return outs
+    return tuple(a + b for a, b in zip(outs, n_out))
 
 
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,

@@ -154,7 +154,7 @@ def first_contact_tick(golden):
 
 CASES = ["cubes_fall_ss1", "cubes_fall_ss4", "cube_pair_ss1",
          "cube_pair_ss4", "cube_stack_ss1", "cube_stack_ss4",
-         "cube_bounce_ss4"]
+         "cube_bounce_ss1", "cube_bounce_ss4"]
 
 
 def test_golden_fixed_joint_chain():
