@@ -44,6 +44,11 @@ class SimpleJobsConfig:
     num_worlds: int = 1024
     num_objects: int = 100
     max_pairs: int = 1600  # candidate/contact buffer capacity (static shapes)
+    # per-body partner cap for the compacting broadphase modes (twostage/
+    # rank).  A capacity contract of the same kind as max_pairs (the
+    # reference sizes these buffers at n*n, simple.cpp:34); overflow is
+    # accounted and check()-gated, never silently dropped.
+    degree_cap: int = 32
     seed: int = 0
 
 
@@ -121,14 +126,20 @@ class SimpleJobsWorld:
             # the compaction cannot be DCE'd.  A scatter form serializes on
             # TPU (measured 431 ms/step at 1024 worlds); top_k works but a
             # variadic sort of the [n*n] grid dominated the whole step
-            # (4.84 of 6.19 ms at 1024 worlds).  The default is therefore a
-            # TWO-STAGE SINGLE-KEY sort: per-row sort packs each body's
-            # partners (n-wide rows), then one sort over the [n*D]
-            # survivors — ~4x less sort work, same deterministic ascending
-            # pair-index order.  GEM_SJ_COMPACT selects topk/sortkey/
-            # twostage for A/B measurement.
+            # (4.84 of 6.19 ms at 1024 worlds); twostage (per-row sort
+            # packs partners, one sort over the [n*D] survivors) cut that
+            # to 2.3 ms.  The default 'rank' mode goes fully SORT-FREE:
+            # slot(a, b) = base[a] + rank(b within row a) — base the
+            # exclusive prefix over rows (MXU triangular-matmul cumsum,
+            # utils/math.mask_cumsum_last), rank via compare extraction,
+            # then an inverse slot->(owner, rank) map with one-hot-matmul
+            # gathers — ascending pair-index order by construction, no
+            # sort anywhere (3.58 -> 2.25 ms/step at 1024 worlds; 1.26 ms
+            # under the tight degree_cap=16/max_pairs=512 contract).
+            # GEM_SJ_COMPACT selects topk/sortkey/twostage/rank/rank_sort
+            # for A/B measurement.
             import os as _os
-            mode = _os.environ.get("GEM_SJ_COMPACT", "twostage")
+            mode = _os.environ.get("GEM_SJ_COMPACT", "rank")
             d = dict(ctx.data)
             ok = overlap_grid(d)
             W, n = ok.shape[:2]
@@ -145,9 +156,77 @@ class SimpleJobsWorld:
                 key = jnp.where(flat, iota, BIGI)
                 pair_idx = jnp.sort(key, axis=1)[:, :k_eff]
                 pair_idx = jnp.where(pair_idx < BIGI, pair_idx, 0)
+            elif mode in ("rank", "rank_sort"):
+                # sort-free two-level compaction.  slot(a, b) =
+                # base[a] + rank(b within row a) is ascending in (a, b)
+                # because base is the exclusive prefix over rows and the
+                # within-row rank is ascending in b — so no sort at all.
+                D = min(cfg.degree_cap, n)
+                local_rank = m.mask_cumsum_last(ok)      # [W, n, n] (MXU)
+                deg = local_rank[:, :, -1]               # [W, n]
+                degc = jnp.minimum(deg, D)
+                base = jnp.cumsum(degc, axis=1) - degc   # exclusive [W, n]
+                dropped = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
+                counts = jnp.sum(deg, axis=1) - dropped
+
+                if mode == "rank_sort":
+                    # per-row sort packs each row's partners ascending
+                    # (the twostage stage 1) — rows are only n wide
+                    iota_n = jnp.arange(n, dtype=jnp.int32)[None, None]
+                    rkey = jnp.where(ok, iota_n, BIGI)
+                    partners = jnp.sort(rkey, axis=2)[:, :, :D]  # [W,n,D]
+                    partners = jnp.where(partners < BIGI, partners, 0)
+                    d_iota = jnp.arange(D, dtype=jnp.int32)
+                else:
+                    # row a's d-th partner via rank-compare extraction.
+                    # f32 select-sum: int32 multiply is decomposed on the
+                    # TPU VPU; f32 is single-op and exact for idx < 2^24.
+                    p_iota = jnp.arange(n, dtype=jnp.float32)[None, None, :]
+                    d_iota = jnp.arange(D, dtype=jnp.int32)
+                    sel = (local_rank[:, :, None, :]
+                           == (d_iota + 1)[None, None, :, None]) & \
+                        ok[:, :, None, :]                # [W, n, D, n]
+                    partners = jnp.sum(
+                        jnp.where(sel, p_iota[:, None], 0.0), axis=3
+                    ).astype(jnp.int32)                  # [W, n, D]
+
+                # INVERSE map (gather form, not the physics broadphase's
+                # scatter one-hot: at this k_eff the one-hot operand
+                # would be [W, n*D, k_eff] f32 ~ 20 GB).  Slot k's owner
+                # row is the last row with base <= k (ties from empty
+                # rows resolve to the following non-empty row, which is
+                # the one whose [base, base+degc) interval contains k).
+                from gpu_ecs_madrona_tpu.core.state import batched_gather
+                total = jnp.sum(degc, axis=1)            # [W]
+                k_iota = jnp.arange(k_eff, dtype=jnp.int32)
+                owner = jnp.sum(
+                    (base[:, :, None] <= k_iota[None, None, :])
+                    .astype(jnp.int32), axis=1) - 1      # [W, k_eff]
+                owner = jnp.clip(owner, 0, n - 1)
+                dd = k_iota[None] - batched_gather(base, owner)
+                # 2D gather partners[w, owner, dd] as one-hot-row matmul
+                # over n (a [W,k,n]x[W,n,D] dot) + a rank select over D —
+                # take_along_axis over the n*D flat axis measured 16 ms
+                # extra at this config (TPU dynamic gather).
+                # bf16 operands when indices are bf16-exact (n <= 256,
+                # 8 mantissa bits): halves the HBM traffic of the
+                # [W,k,n] one-hot (the dominant cost at k_eff ~ 10^3)
+                oh_dt = jnp.bfloat16 if n <= 256 else jnp.float32
+                oh_owner = (owner[:, :, None]
+                            == jnp.arange(n, dtype=jnp.int32)[None, None]
+                            ).astype(oh_dt)              # [W, k_eff, n]
+                rows_g = jax.lax.dot_general(
+                    oh_owner, partners.astype(oh_dt),
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32)  # [W, k_eff, D]
+                part = jnp.sum(
+                    jnp.where(dd[:, :, None] == d_iota[None, None],
+                              rows_g, 0.0), axis=2).astype(jnp.int32)
+                valid = k_iota[None] < total[:, None]
+                pair_idx = jnp.where(valid, owner * n + part, 0)
             else:  # twostage
                 # per-body partner cap D; overflow accounted into counts
-                D = min(32, n)
+                D = min(cfg.degree_cap, n)
                 iota_n = jnp.arange(n, dtype=jnp.int32)[None, None]
                 rkey = jnp.where(ok, iota_n, BIGI)       # [W, n, n]
                 part = jnp.sort(rkey, axis=2)[:, :, :D]  # [W, n, D]

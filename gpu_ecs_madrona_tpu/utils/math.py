@@ -156,3 +156,29 @@ UNIT_CUBE_CORNERS = jnp.array(
     ],
     dtype=jnp.float32,
 )
+
+
+def mask_cumsum_last(mask, dtype=jnp.int32):
+    """Inclusive cumsum of a 0/1 mask along the LAST axis, as a triangular
+    matmul on the MXU.
+
+    ``jnp.cumsum`` lowers to reduce_window on TPU — O(n) VPU work per
+    element (666 us/step for [1024,100,100] in simple_jobs' broadphase).
+    ``mask @ T`` with T[b,k] = (b <= k) is one [.., n] x [n, n] dot: the
+    MXU does it in ~1% of that.  Operands are bf16 (0/1 is exact) with
+    f32 accumulation — exact for any n < 2^24.  Only valid for 0/1
+    inputs (bool or {0,1} ints).
+    """
+    import jax as _jax
+
+    n = mask.shape[-1]
+    tri = (
+        jnp.arange(n, dtype=jnp.int32)[:, None]
+        <= jnp.arange(n, dtype=jnp.int32)[None, :]
+    ).astype(jnp.bfloat16)
+    y = _jax.lax.dot_general(
+        mask.astype(jnp.bfloat16), tri,
+        dimension_numbers=(((mask.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return y.astype(dtype)

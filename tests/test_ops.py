@@ -109,3 +109,18 @@ def test_fused_collisions_step_trajectory_parity():
 
     for a, b in zip(traj(False), traj(True)):
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_mask_cumsum_last_exact():
+    """MXU triangular-matmul cumsum == jnp.cumsum for 0/1 masks, at the
+    shapes the rank-compaction broadphases use and at the bf16-boundary
+    width n=300 (sums up to 300 must still be exact via f32 accumulate)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    for shape in [(4, 7, 13), (2, 100, 100), (3, 300), (5,)]:
+        mask = rng.random(shape) < 0.7
+        got = np.asarray(m.mask_cumsum_last(jnp.asarray(mask)))
+        want = np.cumsum(mask, axis=-1).astype(np.int32)
+        np.testing.assert_array_equal(got, want, err_msg=str(shape))

@@ -89,3 +89,45 @@ def test_parity_with_collisions_example():
         col_sim.mgr.column(col_sim.state, col.CubeObject, col.Translation)
     )[:, :8]
     np.testing.assert_allclose(p_j, p_c, atol=1e-5)
+
+
+def test_compaction_modes_agree(monkeypatch):
+    """All GEM_SJ_COMPACT modes must produce identical valid-prefix
+    candidate lists (ascending pair-index order) and identical
+    trajectories.  Tail entries past the count are unspecified (topk
+    leaves non-overlapping pair indices there; the others zero them)."""
+    results = {}
+    for mode in ("topk", "sortkey", "twostage", "rank"):
+        monkeypatch.setenv("GEM_SJ_COMPACT", mode)
+        sim = sj.make_executor(small_cfg(num_objects=24, max_pairs=128))
+        sim.run(2)
+        mid = np.asarray(sim.state["user"]["translation"]).copy()
+        sim.run(1)
+        results[mode] = (mid, np.asarray(sim.state["user"]["translation"]))
+    base = results["topk"]
+    for mode, out in results.items():
+        np.testing.assert_array_equal(base[0], out[0], err_msg=mode)
+        np.testing.assert_array_equal(base[1], out[1], err_msg=mode)
+
+
+def test_rank_mode_prefix_matches_twostage(monkeypatch):
+    """Direct valid-prefix equality of the emitted contact list."""
+    import jax
+
+    outs = {}
+    for mode in ("twostage", "rank"):
+        monkeypatch.setenv("GEM_SJ_COMPACT", mode)
+        sim = sj.make_executor(small_cfg(num_objects=24, max_pairs=128))
+        # run preprocess..narrowphase only: step the full graph but read
+        # contacts_ab/num_contacts, which narrowphase sets and solver
+        # does not modify (it only resets the scalar count after use).
+        sim.run(1)
+        d = {k: np.asarray(v) for k, v in sim.state["user"].items()}
+        # num_contacts was reset by solver; recompute counts from the
+        # candidate buffer convention: valid entries are the leading
+        # non-(0,0) rows plus a possible true (0,1)/(1,0)-style pair at
+        # row 0 — instead compare the full buffer where both modes zero
+        # the tail, which they do (both write zeros past the count).
+        outs[mode] = (d["contacts_ab"], d["contacts_normal"])
+    np.testing.assert_array_equal(outs["twostage"][0], outs["rank"][0])
+    np.testing.assert_array_equal(outs["twostage"][1], outs["rank"][1])
