@@ -63,8 +63,9 @@ class RendererConfig:
     # instances against its view cone (sphere-vs-cone test on instance
     # bounding spheres) and ray-tests only its nearest
     # max_instances_per_tile survivors — O(N) per TILE instead of per
-    # PIXEL.  Analytic primitives only (meshes fall back to the dense
-    # path); requires width/height divisible by tile_size.
+    # PIXEL.  Composes with triangle render meshes (culled by the mesh's
+    # own bounding sphere, traced by Möller–Trumbore on the survivors);
+    # requires width/height divisible by tile_size.
     tile_size: int = 0
     max_instances_per_tile: int = 32
 
@@ -128,6 +129,20 @@ class BatchRenderer:
                 tri_e2[oid, :len(tris)] = verts[tris[:, 2]] - a
                 tri_mask[oid, :len(tris)] = True
                 has_mesh[oid] = True
+        # conservative bounding-sphere radius of the RENDER mesh (may
+        # exceed the physics hull's local AABB) for tile culling
+        mesh_radius = np.zeros(num_objs, np.float32)
+        for oid in range(num_objs):
+            if has_mesh[oid]:
+                tm = tri_mask[oid]
+                vs = np.concatenate([
+                    tri_a[oid][tm],
+                    tri_a[oid][tm] + tri_e1[oid][tm],
+                    tri_a[oid][tm] + tri_e2[oid][tm]], axis=0)
+                if len(vs):
+                    mesh_radius[oid] = float(
+                        np.linalg.norm(vs, axis=1).max())
+        self.mesh_radius = jnp.asarray(mesh_radius)
         self.tri_a = jnp.asarray(tri_a)
         self.tri_e1 = jnp.asarray(tri_e1)
         self.tri_e2 = jnp.asarray(tri_e2)
@@ -396,6 +411,12 @@ class BatchRenderer:
                 - objmgr["local_aabb_lo"][obj]) * 0.5 * scale
         r_i = jnp.linalg.norm(half, axis=-1)
         r_i = jnp.where(ptype == PRIM_SPHERE, radius, r_i)   # [W, N]
+        if self.any_mesh:
+            # render meshes may extend past the physics hull's AABB:
+            # cull with the mesh's own bounding sphere (conservative
+            # per-axis scale bound)
+            r_mesh = self.mesh_radius[obj] * jnp.max(scale, axis=-1)
+            r_i = jnp.where(self.has_mesh[obj], r_mesh, r_i)
         c = pos[:, None] - eye[:, :, None]                   # [W, V, N, 3]
         a_ax = jnp.einsum("wvnc,wvtc->wvtn", c, d_c)         # [W, V, T, N]
         cc = jnp.sum(c * c, axis=-1)[:, :, None, :]
@@ -448,6 +469,15 @@ class BatchRenderer:
         pt6 = i6(ptype_t)
         t_all = jnp.where(pt6 == PRIM_SPHERE, ts_,
                           jnp.where(pt6 == PRIM_HULL, tb, tp_))
+        if self.any_mesh:
+            # real triangle geometry on the tile's surviving instances
+            # (Möller–Trumbore over the padded tri table, same override
+            # as the dense pass — tiles + meshes compose)
+            tm6 = self._ray_mesh_t(
+                ro6, d6, i6(pos_t), i6(rot_t), i6(scale_t),
+                i6(self.tri_a[obj_t]), i6(self.tri_e1[obj_t]),
+                i6(self.tri_e2[obj_t]), i6(self.tri_mask[obj_t]))
+            t_all = jnp.where(i6(self.has_mesh[obj_t]), tm6, t_all)
         t_all = jnp.where(i6(tvalid), t_all, BIG)            # [W,V,T,p,M]
         best_t = jnp.min(t_all, axis=-1)
         best_m = jnp.argmin(t_all, axis=-1)
@@ -541,7 +571,7 @@ class BatchRenderer:
                     - objmgr["local_aabb_lo"][obj]) * 0.5 * scale
             alb = albedo[obj]                             # [W, N, 3]
 
-            use_tiles = (cfg.tile_size > 0 and not self.any_mesh
+            use_tiles = (cfg.tile_size > 0
                          and Hh % cfg.tile_size == 0
                          and Ww % cfg.tile_size == 0)
             if use_tiles:
