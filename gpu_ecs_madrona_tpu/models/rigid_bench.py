@@ -75,6 +75,11 @@ class RigidBenchConfig:
     # fused Pallas kernel (documented deviation from the reference's
     # per-substep narrowphase; see ops/substep_kernel.py)
     contact_refresh: bool = False
+    # world-level sleeping (fused pallas only; see setup_substep_tasks):
+    # freeze worlds whose bodies stay below this speed for sleep_frames
+    # steps and pl.when-skip their kernel blocks.  0 = off.
+    sleep_threshold: float = 0.0
+    sleep_frames: int = 10
     substep_wt: int = None        # Pallas world-block override (None = auto)
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
@@ -174,7 +179,9 @@ class RigidBenchWorld:
             builder, [bp], cfg.num_substeps, Body, objmgr,
             relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,
             substep_wt=cfg.substep_wt,
-            contact_refresh=cfg.contact_refresh)
+            contact_refresh=cfg.contact_refresh,
+            sleep_threshold=cfg.sleep_threshold,
+            sleep_frames=cfg.sleep_frames)
         RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
 

@@ -444,7 +444,7 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                        relaxation: float, num_substeps: int,
                        speculative: float = 0.0, owner: int = 0,
-                       refresh: bool = False):
+                       refresh: bool = False, sleep: bool = False):
     """All-substeps kernel: integrate + contact solve looped in VMEM.
 
     refresh=True runs the full SAT + clip narrowphase only on the FIRST
@@ -452,67 +452,113 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     (pk.cache_contacts/refresh_contacts) — one collision detection per
     step, the standard engine trade.  The reference re-runs narrowphase
     every substep (physics.cpp:1149-1199); this is a documented
-    TPU-motivated deviation, off by default."""
+    TPU-motivated deviation, off by default.
+
+    sleep=True reads a per-world active flag from scal channel 5 and
+    skips the ENTIRE substep pipeline (pl.when early-exit) for world
+    blocks where every world is asleep, writing the frozen passthrough
+    instead; awake-block worlds that are individually asleep get the
+    passthrough by per-world select.  World-level sleeping is beyond the
+    reference (no sleeping in physics.cpp); the skip is real wall-clock
+    because grid programs execute sequentially per TensorCore."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
         packed = packed_ref[:]                      # [Wt, FC_IN, n]
-        kvalid = kvalid_ref[:, 0] > 0.5
-        h1 = scal_ref[:, 0, 0:1]                    # [Wt, 1]
-        rest1 = scal_ref[:, 0, 1:2]
-        g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4], scal_ref[:, 0, 4:5])
-
-        oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
-
-        # static pair data: gathered ONCE, reused across substeps
-        gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
-        gSB = gather_j(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
-        SA = _unpack_static(gSA, kvalid)
-        SB = _unpack_static(gSB, kvalid)
-
         pos = _c3(packed, F_POS)
         rot = _c4(packed, F_ROT)
         v = _c3(packed, F_V)
         w = _c3(packed, F_W)
-        im_b = packed[:, F_IM]
-        ii_b = _c3(packed, F_II)
-        extf = _c3(packed, F_EXTF)
-        extt = _c3(packed, F_EXTT)
-        dyn_b = packed[:, F_DYN] > 0.5
 
-        prev_pos = pos
-        prev_rot = rot
-        ps_pos, ps_rot, ps_v, ps_w = pos, rot, v, w
-        cache = None
-        for step_i in range(num_substeps):
-            prev_pos, prev_rot = pos, rot
-            pos_i, rot_i, v_i, w_i = _integrate(
-                pos, rot, v, w, im_b, ii_b, extf, extt, dyn_b, h1, g)
-            ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
+        def passthrough():
+            # frozen world: pose/velocity unchanged, stashes = current
+            outs = (list(pos) + list(rot) + list(v) + list(w)
+                    + list(pos) + list(rot)
+                    + list(pos) + list(rot) + list(v) + list(w))
+            return jnp.stack(outs, axis=1)          # [Wt, FC_OUT, n]
 
-            want_cache = refresh and step_i == 0 and num_substeps > 1
-            out = _substep_core(
-                tables, relaxation, kvalid, h1, rest1, SA, SB,
-                pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
-                oh_i, oh_j, gather_i, gather_j, segsum,
-                speculative=speculative,
-                cached=cache if refresh else None,
-                want_cache=want_cache)
-            if want_cache:
-                p2, r2, _v2, _w2, v3_, w3_, cache = out
-            else:
-                p2, r2, _v2, _w2, v3_, w3_ = out
+        def solve():
+            kvalid = kvalid_ref[:, 0] > 0.5
+            h1 = scal_ref[:, 0, 0:1]                # [Wt, 1]
+            rest1 = scal_ref[:, 0, 1:2]
+            g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4],
+                 scal_ref[:, 0, 4:5])
 
-            keep = dyn_b
-            pos = tuple(jnp.where(keep, a, b) for a, b in zip(p2, pos))
-            rot = tuple(jnp.where(keep, a, b) for a, b in zip(r2, rot))
-            v = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in v3_)
-            w = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in w3_)
+            oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
+                Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
 
-        outs = (list(pos) + list(rot) + list(v) + list(w)
-                + list(prev_pos) + list(prev_rot)
-                + list(ps_pos) + list(ps_rot) + list(ps_v) + list(ps_w))
-        out_ref[:] = jnp.stack(outs, axis=1)        # [Wt, FC_OUT, n]
+            # static pair data: gathered ONCE, reused across substeps
+            gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC],
+                           FC_STATIC)
+            gSB = gather_j(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC],
+                           FC_STATIC)
+            SA = _unpack_static(gSA, kvalid)
+            SB = _unpack_static(gSB, kvalid)
+
+            im_b = packed[:, F_IM]
+            ii_b = _c3(packed, F_II)
+            extf = _c3(packed, F_EXTF)
+            extt = _c3(packed, F_EXTT)
+            dyn_b = packed[:, F_DYN] > 0.5
+
+            posc, rotc, vc, wc = pos, rot, v, w
+            prev_pos = posc
+            prev_rot = rotc
+            ps_pos, ps_rot, ps_v, ps_w = posc, rotc, vc, wc
+            cache = None
+            for step_i in range(num_substeps):
+                prev_pos, prev_rot = posc, rotc
+                pos_i, rot_i, v_i, w_i = _integrate(
+                    posc, rotc, vc, wc, im_b, ii_b, extf, extt, dyn_b,
+                    h1, g)
+                ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
+
+                want_cache = refresh and step_i == 0 and num_substeps > 1
+                out = _substep_core(
+                    tables, relaxation, kvalid, h1, rest1, SA, SB,
+                    pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
+                    oh_i, oh_j, gather_i, gather_j, segsum,
+                    speculative=speculative,
+                    cached=cache if refresh else None,
+                    want_cache=want_cache)
+                if want_cache:
+                    p2, r2, _v2, _w2, v3_, w3_, cache = out
+                else:
+                    p2, r2, _v2, _w2, v3_, w3_ = out
+
+                keep = dyn_b
+                posc = tuple(jnp.where(keep, a, b)
+                             for a, b in zip(p2, posc))
+                rotc = tuple(jnp.where(keep, a, b)
+                             for a, b in zip(r2, rotc))
+                vc = tuple(jnp.where(keep, a, jnp.zeros_like(a))
+                           for a in v3_)
+                wc = tuple(jnp.where(keep, a, jnp.zeros_like(a))
+                           for a in w3_)
+
+            outs = (list(posc) + list(rotc) + list(vc) + list(wc)
+                    + list(prev_pos) + list(prev_rot)
+                    + list(ps_pos) + list(ps_rot) + list(ps_v)
+                    + list(ps_w))
+            return jnp.stack(outs, axis=1)          # [Wt, FC_OUT, n]
+
+        if not sleep:
+            out_ref[:] = solve()
+            return
+
+        active = scal_ref[:, 0, 5]                  # [Wt] 1.0 = awake
+        blk_active = jnp.max(active) > 0.5
+
+        @pl.when(blk_active)
+        def _():
+            # per-world select: frozen worlds inside an awake block keep
+            # their state bit-exactly (the solve would otherwise drift
+            # them by the integrate/contact residual each step)
+            aw = active[:, None, None] > 0.5
+            out_ref[:] = jnp.where(aw, solve(), passthrough())
+
+        @pl.when(jnp.logical_not(blk_active))
+        def _():
+            out_ref[:] = passthrough()
 
     return kernel
 
@@ -570,16 +616,16 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "num_substeps", "interpret",
                                               "wt", "speculative", "owner",
-                                              "refresh"))
+                                              "refresh", "sleep"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
                num_substeps, interpret, wt=None, speculative=0.0, owner=0,
-               refresh=False):
+               refresh=False, sleep=False):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
         _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
-                           speculative, owner, refresh),
+                           speculative, owner, refresh, sleep),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
         interpret=interpret,
@@ -694,9 +740,10 @@ class FusedSubstepKernel:
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
                  ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
-                 restitution_threshold):
+                 restitution_threshold, active=None):
         """Body args [W, n(,3/4)]; pair args [W, K]; h/rest [W],
-        gravity [W, 3].  Returns a dict of updated columns."""
+        gravity [W, 3]; active [W] (1.0 = awake, None = all awake).
+        Returns a dict of updated columns."""
         W, n0 = im.shape
         packed = jnp.concatenate([
             _T(pos), _T(rot), _T(v), _T(w),
@@ -714,9 +761,11 @@ class FusedSubstepKernel:
         else:
             rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
                                                 rows_i.shape[1])
+        act = (jnp.ones_like(h) if active is None
+               else active.astype(jnp.float32))
         scal = jnp.stack(
             [h, restitution_threshold, gravity[:, 0], gravity[:, 1],
-             gravity[:, 2]] + [jnp.zeros_like(h)] * 3, axis=1)
+             gravity[:, 2], act] + [jnp.zeros_like(h)] * 2, axis=1)
 
         out = _run_fused(
             packed, rows_i[:, None, :], rows_j[:, None, :],
@@ -724,7 +773,8 @@ class FusedSubstepKernel:
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
             wt=self.wt, speculative=self.speculative,
-            owner=self.owner_degree, refresh=self.contact_refresh)
+            owner=self.owner_degree, refresh=self.contact_refresh,
+            sleep=active is not None)
         out = out[:, :, :n0]
         return {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),

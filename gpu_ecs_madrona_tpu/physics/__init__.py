@@ -56,6 +56,7 @@ from gpu_ecs_madrona_tpu.physics.components import (
     PreSolveVelocity,
     ResponseType,
     RESPONSE_DYNAMIC,
+    SleepState,
     SubstepPrevState,
     Velocity,
 )
@@ -114,6 +115,7 @@ class RigidBodyPhysicsSystem:
         for comp in BODY_COMPONENTS:
             registry.register_component(comp)
         registry.register_singleton(PhysicsState)
+        registry.register_singleton(SleepState)
         registry.register_archetype(CandidateTemporary, capacity=max_candidates,
                                     temporary=True)
         registry.register_archetype(CandidateRowsTemporary,
@@ -142,6 +144,10 @@ class RigidBodyPhysicsSystem:
             "h": jnp.full((W,), h),
             "gravity": jnp.broadcast_to(g, (W, 3)),
             "restitution_threshold": jnp.full((W,), 2.0 * gmag * h),
+        })
+        ctx.set_singleton(SleepState, {
+            "quiet_steps": jnp.zeros((W,), jnp.int32),
+            "asleep": jnp.zeros((W,), jnp.int32),
         })
 
     @staticmethod
@@ -592,6 +598,8 @@ class RigidBodyPhysicsSystem:
         substep_wt=None,
         speculative_margin: float = 0.0,
         contact_refresh: bool = False,
+        sleep_threshold: float = 0.0,
+        sleep_frames: int = 10,
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -634,6 +642,16 @@ class RigidBodyPhysicsSystem:
         near-miss contacts within the margin clamp approach speed to
         depth/h in the velocity pass so fast bodies cannot tunnel between
         substeps.  Size it to the fastest expected per-substep travel.
+
+        sleep_threshold > 0 enables WORLD-LEVEL SLEEPING (beyond the
+        reference, which has none): a world whose dynamic bodies all stay
+        below the velocity threshold (|v|^2 + |w|^2 < thr^2) for
+        sleep_frames consecutive steps, with zero ExternalForce/Torque,
+        is frozen bit-exactly; the fused Pallas kernel skips the whole
+        substep pipeline for world blocks where every world sleeps
+        (pl.when early-exit — real wall-clock, since grid programs run
+        sequentially per TensorCore).  Waking: set a velocity above the
+        threshold or a nonzero external force.  Fused-pallas only.
         """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         if "restitution" not in objmgr:
@@ -699,6 +717,11 @@ class RigidBodyPhysicsSystem:
                     speculative=speculative_margin,
                     owner_degree=owner_deg,
                     contact_refresh=contact_refresh)
+        if sleep_threshold > 0.0 and (contact_mode != "pallas" or has_joints):
+            raise ValueError(
+                "sleep_threshold requires the fused Pallas substep kernel "
+                "(contact_mode='pallas', no joints) — the skip happens at "
+                "the kernel's world-block grid")
 
         def make_substep(idx):
             def substep(ctx: Context):
@@ -1033,6 +1056,28 @@ class RigidBodyPhysicsSystem:
                 resp = ctx.column(arch, ResponseType)
                 dyn = (resp == RESPONSE_DYNAMIC) & mask
                 rowsc, kmask = _candidate_rows(ctx, owner_deg)
+                active = None
+                if sleep_threshold > 0.0:
+                    # world-level sleep classifier (see docstring): all
+                    # dynamic bodies below threshold + no external
+                    # force/torque for sleep_frames consecutive steps
+                    sl = ctx.singleton(SleepState)
+                    ef = ctx.column(arch, ExternalForce)
+                    et = ctx.column(arch, ExternalTorque)
+                    sp2 = (jnp.sum(vel["linear"] ** 2, -1)
+                           + jnp.sum(vel["angular"] ** 2, -1))
+                    moving = jnp.any(
+                        dyn & (sp2 > sleep_threshold ** 2), axis=1)
+                    forced = jnp.any(
+                        dyn & (jnp.any(ef != 0.0, -1)
+                               | jnp.any(et != 0.0, -1)), axis=1)
+                    quiet = ~(moving | forced)
+                    qs = jnp.where(quiet, sl["quiet_steps"] + 1, 0)
+                    asleep = qs >= sleep_frames
+                    ctx.set_singleton(SleepState, {
+                        "quiet_steps": qs,
+                        "asleep": asleep.astype(jnp.int32)})
+                    active = (~asleep).astype(jnp.float32)
                 out = fused_kernel(
                     pos=pos, rot=rot, v=vel["linear"], w=vel["angular"],
                     im=jnp.where(dyn, objmgr["inv_mass"][obj], 0.0),
@@ -1045,7 +1090,8 @@ class RigidBodyPhysicsSystem:
                     dyn=dyn,
                     rows_i=rowsc["i"], rows_j=rowsc["j"], kvalid=kmask,
                     h=phys["h"], gravity=phys["gravity"],
-                    restitution_threshold=phys["restitution_threshold"])
+                    restitution_threshold=phys["restitution_threshold"],
+                    active=active)
                 ctx.set_column(arch, base.Position, out["pos"])
                 ctx.set_column(arch, base.Rotation, out["rot"])
                 keep = dyn[..., None]

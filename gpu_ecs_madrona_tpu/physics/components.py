@@ -99,3 +99,18 @@ PhysicsState = singleton_component(
     gravity=((3,), jnp.float32),
     restitution_threshold=((), jnp.float32),  # 2*|g|*h (physics.cpp:31)
 )
+
+# World-level sleeping (beyond the reference, which has no sleeping): a
+# world whose every dynamic body has been below the sleep velocity
+# threshold for sleep_frames consecutive steps — with no external
+# force/torque applied — is put to sleep: its state is frozen bit-exactly
+# and the fused substep kernel skips the whole pipeline for world blocks
+# where every world is asleep (pl.when early-exit).  Waking is by
+# observation: any externally-set velocity above threshold or nonzero
+# ExternalForce/Torque resets the counter.  Registered unconditionally
+# (two [W] ints) so the state schema does not depend on the opt-in flag.
+SleepState = singleton_component(
+    "SleepState",
+    quiet_steps=((), jnp.int32),      # consecutive below-threshold steps
+    asleep=((), jnp.int32),           # 1 = frozen last step (observable)
+)
