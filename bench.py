@@ -79,12 +79,26 @@ def main():
     sim.run(3)
     sim.block_until_ready()
 
-    stage(f"timing {NUM_TICKS} ticks")
-    start = time.perf_counter()
-    sim.run(NUM_TICKS)
-    sim.block_until_ready()
-    elapsed = time.perf_counter() - start
-    stage(f"timed: {elapsed * 1e3:.1f} ms")
+    # Multi-window timing (VERDICT r3 #6): chip contention on the shared
+    # tunnel makes single-window numbers swing 2x; N windows with
+    # min/median/max distinguish a quiet-chip capability (max) from a
+    # contended run and make any future regression diagnosable.
+    n_windows = max(3, int(os.environ.get("BENCH_WINDOWS", 5)))
+    ticks_per_window = max(1, NUM_TICKS // n_windows)
+    stage(f"timing {n_windows} windows x {ticks_per_window} ticks")
+    window_s = []
+    for i in range(n_windows):
+        start = time.perf_counter()
+        sim.run(ticks_per_window)
+        sim.block_until_ready()
+        window_s.append(time.perf_counter() - start)
+        stage(f"  window {i}: {window_s[-1] * 1e3:.1f} ms")
+    window_tput = sorted(ticks_per_window * NUM_WORLDS / s for s in window_s)
+    tput_min = window_tput[0]
+    tput_med = window_tput[len(window_tput) // 2]
+    tput_max = window_tput[-1]
+    stage(f"throughput min/med/max = {tput_min / 1e6:.1f} / "
+          f"{tput_med / 1e6:.1f} / {tput_max / 1e6:.1f} M steps/s")
 
     # Correctness guard: a numerically exploding sim has the same static
     # shapes and runs just as "fast" — never report throughput off a NaN
@@ -98,7 +112,7 @@ def main():
                           "error": "non-finite trajectory"}))
         sys.exit(1)
 
-    steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
+    steps_per_s = tput_med
     print(
         json.dumps(
             {
@@ -107,6 +121,14 @@ def main():
                 "unit": "env-steps/s",
                 "vs_baseline": round(steps_per_s / BASELINE_STEPS_PER_S, 4),
                 "exec_config": {"source": cfg_source, **tuned},
+                "windows": {
+                    "n": n_windows,
+                    "ticks_per_window": ticks_per_window,
+                    "min": round(tput_min, 1),
+                    "median": round(tput_med, 1),
+                    "max": round(tput_max, 1),
+                    "ms": [round(s * 1e3, 2) for s in window_s],
+                },
             }
         )
     )

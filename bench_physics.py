@@ -39,10 +39,16 @@ def main():
     sim.run(3)
     sim.block_until_ready()
 
-    start = time.perf_counter()
-    sim.run(NUM_TICKS)
-    sim.block_until_ready()
-    elapsed = time.perf_counter() - start
+    # multi-window timing (VERDICT r3 #6): min/median/max across windows
+    # separates chip contention from real regression
+    n_windows = max(3, int(os.environ.get("BENCH_WINDOWS", 3)))
+    window_s = []
+    for _ in range(n_windows):
+        start = time.perf_counter()
+        sim.run(NUM_TICKS)
+        sim.block_until_ready()
+        window_s.append(time.perf_counter() - start)
+    window_tput = sorted(NUM_TICKS * NUM_WORLDS / s for s in window_s)
 
     # Correctness guard (see bench.py): never report throughput off a
     # non-finite trajectory.
@@ -56,7 +62,7 @@ def main():
                           "error": "non-finite trajectory"}))
         sys.exit(1)
 
-    steps_per_s = NUM_TICKS * NUM_WORLDS / elapsed
+    steps_per_s = window_tput[len(window_tput) // 2]
     print(json.dumps({
         "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "
                    f"{NUM_BODIES} bodies ({MODE}, bp={BP}"
@@ -64,6 +70,11 @@ def main():
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1_000_000.0, 4),
+        "windows": {"n": n_windows, "ticks_per_window": NUM_TICKS,
+                    "min": round(window_tput[0], 1),
+                    "median": round(steps_per_s, 1),
+                    "max": round(window_tput[-1], 1),
+                    "ms": [round(s * 1e3, 2) for s in window_s]},
     }))
 
 

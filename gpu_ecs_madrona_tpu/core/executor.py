@@ -205,26 +205,47 @@ class TaskGraphExecutor:
     def save_checkpoint(self, path: str):
         """Persist the full simulation state to disk.  The reference has no
         state checkpointing (SURVEY.md §5.4 — only a kernel cache); here the
-        whole sim is one pytree, serialized leaf-by-leaf (orbax-compatible
-        layout: flat npz + pickled treedef)."""
-        import pickle
+        whole sim is one pytree, serialized leaf-by-leaf: flat npz + a JSON
+        structure spec.  The spec is deliberately NOT pickle — a checkpoint
+        file must never be an arbitrary-code-execution vector."""
+        import json
         import numpy as np
 
-        leaves, treedef = jax.tree_util.tree_flatten(self._state)
-        arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
-        np.savez(path, __treedef__=np.frombuffer(
-            pickle.dumps(treedef), dtype=np.uint8), **arrays)
+        arrays = {}
+
+        def spec_of(node):
+            if isinstance(node, dict):
+                return {"t": "dict",
+                        "k": sorted(node),
+                        "c": [spec_of(node[k]) for k in sorted(node)]}
+            if isinstance(node, (list, tuple)):
+                return {"t": "list" if isinstance(node, list) else "tuple",
+                        "c": [spec_of(x) for x in node]}
+            i = len(arrays)
+            arrays[f"leaf_{i}"] = np.asarray(node)
+            return {"t": "leaf", "i": i}
+
+        spec = spec_of(self._state)
+        np.savez(path, __spec__=np.frombuffer(
+            json.dumps(spec).encode(), dtype=np.uint8), **arrays)
 
     def restore_checkpoint(self, path: str):
-        import pickle
+        import json
         import numpy as np
 
         with np.load(path if path.endswith(".npz") else path + ".npz",
                      allow_pickle=False) as z:
-            treedef = pickle.loads(z["__treedef__"].tobytes())
-            n = len(z.files) - 1
-            leaves = [jnp.asarray(z[f"leaf_{i}"]) for i in range(n)]
-        state = jax.tree_util.tree_unflatten(treedef, leaves)
+            spec = json.loads(z["__spec__"].tobytes().decode())
+
+            def build(s):
+                if s["t"] == "dict":
+                    return {k: build(c) for k, c in zip(s["k"], s["c"])}
+                if s["t"] in ("list", "tuple"):
+                    seq = [build(c) for c in s["c"]]
+                    return seq if s["t"] == "list" else tuple(seq)
+                return jnp.asarray(z[f"leaf_{s['i']}"])
+
+            state = build(spec)
         if self.cfg.sharding is not None:
             state = jax.device_put(
                 state, jax.tree_util.tree_map(lambda _: self.cfg.sharding, state))

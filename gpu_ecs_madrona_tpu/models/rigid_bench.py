@@ -77,7 +77,9 @@ class RigidBenchConfig:
     contact_refresh: bool = False
     # world-level sleeping (fused pallas only; see setup_substep_tasks):
     # freeze worlds whose bodies stay below this speed for sleep_frames
-    # steps and pl.when-skip their kernel blocks.  0 = off.
+    # steps and pl.when-skip their kernel blocks.  0 = off.  Combined-norm
+    # convention: |v|^2 + |w|^2 (m/s and rad/s summed) vs one threshold —
+    # calibrated for unit-scale bodies; see setup_substep_tasks docstring.
     sleep_threshold: float = 0.0
     sleep_frames: int = 10
     substep_wt: int = None        # Pallas world-block override (None = auto)

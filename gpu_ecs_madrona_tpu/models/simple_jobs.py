@@ -33,6 +33,7 @@ from gpu_ecs_madrona_tpu.core.context import Context
 from gpu_ecs_madrona_tpu.core.executor import ExecutorConfig, TaskGraphExecutor
 from gpu_ecs_madrona_tpu.core.registry import ECSRegistry
 from gpu_ecs_madrona_tpu.core.taskgraph import TaskGraphBuilder
+from gpu_ecs_madrona_tpu.utils import debug
 from gpu_ecs_madrona_tpu.utils import math as m
 
 BOUNDS_LO = (-10.0, -10.0, 0.0)
@@ -167,6 +168,9 @@ class SimpleJobsWorld:
                 degc = jnp.minimum(deg, D)
                 base = jnp.cumsum(degc, axis=1) - degc   # exclusive [W, n]
                 dropped = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
+                debug.check(dropped == 0,
+                            f"simple_jobs degree cap {D} exceeded: dropped "
+                            "pairs={} per world — raise degree_cap", dropped)
                 counts = jnp.sum(deg, axis=1) - dropped
 
                 if mode == "rank_sort":
@@ -233,6 +237,9 @@ class SimpleJobsWorld:
                 valid = part < BIGI
                 deg = jnp.sum(ok.astype(jnp.int32), axis=2)
                 dropped = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
+                debug.check(dropped == 0,
+                            f"simple_jobs degree cap {D} exceeded: dropped "
+                            "pairs={} per world — raise degree_cap", dropped)
                 counts = jnp.sum(deg, axis=1) - dropped
                 a_iota = jnp.arange(n, dtype=jnp.int32)[None, :, None]
                 fkey = jnp.where(valid, a_iota * n + part, BIGI)

@@ -647,7 +647,13 @@ class RigidBodyPhysicsSystem:
         reference, which has none): a world whose dynamic bodies all stay
         below the velocity threshold (|v|^2 + |w|^2 < thr^2) for
         sleep_frames consecutive steps, with zero ExternalForce/Torque,
-        is frozen bit-exactly; the fused Pallas kernel skips the whole
+        is frozen bit-exactly.  NOTE the combined-norm convention: linear
+        (m/s) and angular (rad/s) speed are summed into ONE scalar and
+        compared against one threshold, so the effective angular cutoff
+        scales with your unit choice — for unit-scale bodies (the engine's
+        own asset convention) the two terms are comparable; for very large
+        or small bodies pick sleep_threshold with the dominant term in
+        mind.  The fused Pallas kernel skips the whole
         substep pipeline for world blocks where every world sleeps
         (pl.when early-exit — real wall-clock, since grid programs run
         sequentially per TensorCore).  Waking: set a velocity above the
@@ -1072,7 +1078,12 @@ class RigidBodyPhysicsSystem:
                         dyn & (jnp.any(ef != 0.0, -1)
                                | jnp.any(et != 0.0, -1)), axis=1)
                     quiet = ~(moving | forced)
-                    qs = jnp.where(quiet, sl["quiet_steps"] + 1, 0)
+                    # saturate at sleep_frames: an int32 counter left
+                    # incrementing would wrap negative after 2^31 quiet
+                    # steps and spuriously wake the world
+                    qs = jnp.minimum(
+                        jnp.where(quiet, sl["quiet_steps"] + 1, 0),
+                        jnp.int32(sleep_frames))
                     asleep = qs >= sleep_frames
                     ctx.set_singleton(SleepState, {
                         "quiet_steps": qs,

@@ -65,6 +65,24 @@ def test_sap_broadphase_on_chip():
 
 
 @requires_tpu
+def test_sleep_early_exit_on_chip():
+    """Uninterpreted Mosaic build of the data-dependent pl.when sleep
+    early-exit (ADVICE r3: the scalar predicate reduced from a VMEM vector
+    with both branches writing out_ref is otherwise only ever exercised in
+    interpret mode)."""
+    from test_sleep import _resting_world
+    sim, Body = _resting_world(sleep_threshold=0.02, sleep_frames=3)
+    sim.run(20)
+    from gpu_ecs_madrona_tpu.physics.components import SleepState
+    sl = sim.mgr.get_singleton(sim.state, SleepState)
+    assert (np.asarray(sl["asleep"]) == 1).all()
+    p_frozen = np.asarray(sim.get_exported(0)[0]).copy()
+    sim.run(10)
+    np.testing.assert_array_equal(
+        p_frozen, np.asarray(sim.get_exported(0)[0]))
+
+
+@requires_tpu
 def test_render_pallas_kernel_on_chip():
     from gpu_ecs_madrona_tpu.models import simple_taskgraph as stg
     sim = stg.make_executor(stg.SimpleTaskgraphConfig(
