@@ -1310,151 +1310,193 @@ def refresh_contacts(cache, PA, PB):
 
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
                   relaxation=1.0, speculative: float = 0.0):
-    """Per-pair velocity corrections (dynamic friction + restitution,
-    reference solveVelocities physics.cpp:716-1009).  sides additionally
-    carry v/w vec3 tuples [W,K] (post-position-solve velocities); for
-    restitution they also carry pv/pw (pre-substep, i.e. post-integrate,
+    """Per-pair velocity corrections: the reference's solveVelocitiesForContact
+    (physics.cpp:716-1009) reproduced EXACTLY within each manifold — two
+    sequential restitution iterations over the (up to 4) contact points,
+    then a sequential dynamic-friction pass, each point updating the pair's
+    local velocity copies before the next point reads them.  Sequential
+    application is what damps asymmetric manifolds (a cube rocking on an
+    edge: the closing corner is killed individually) AND what delivers full
+    restitution on symmetric flat impacts (a Jacobi per-point mean
+    under-applies ~1/4 when the four corner torques cancel; sequential
+    converges to the target).  Only the accumulation ACROSS pairs remains
+    Jacobi (the lockstep-batch constraint); within a pair this is the
+    reference algorithm verbatim, so single-contact scenarios (cube on
+    plane) match the reference binary's velocity semantics exactly.
+
+    sides carry v/w vec3 tuples [W,K] (post-position-solve velocities);
+    for restitution also pv/pw (pre-substep, i.e. post-integrate,
     velocities — the reference's PreSolveVelocity, physics.cpp:162-163)
     and rest (per-body restitution coefficient [W,K]).  h [W] or [W,1].
-    Returns (packA [W,6,K], packB [W,6,K]).
+    Returns (packA [W,6,K], packB [W,6,K]) — velocity DELTAS per pair side.
 
-    Restitution semantics match physics.cpp:825-867: e = pair coefficient
-    (average of the sides, like mu_d) when |vn_bar| > threshold (2*|g|*h),
-    else 0; target normal velocity max(-e*vn_bar, 0).  The reference
-    hardcodes e=0.3 above threshold; the asset pipeline defaults every
-    material to the same 0.3.  Sides without pv/pw/rest solve with e=0.
+    Restitution semantics (physics.cpp:825-867, translated to this
+    framework's normal convention n: A->B, rel = vB - vA): e = pair
+    coefficient when |vn_bar| > threshold (2*|g|*h) else 0; per-point
+    target vn -> max(-e * vn_bar_i, 0), applied BILATERALLY (the reference
+    also removes excess separating velocity; within the sequential loop
+    this is self-correcting).  Friction cap matches the reference's
+    applyFrictionVelocityUpdate: delta-v magnitude min(mu_d*|lambda_i|/h,
+    |vt|), scaled by the generalized inverse mass sum — NOT the
+    summed-per-point form (which over-applies up to 4x on flat manifolds).
 
     speculative > 0: near-miss contacts (depth <= 0, produced by
     pair_contacts with the same margin) get the speculative-CCD velocity
     clamp vn >= depth/h instead of the contact constraint — approach
     speed is limited so the gap cannot be crossed in one substep (no
     positional or friction response until real contact)."""
+    del relaxation  # the reference velocity pass has no relaxation
     pts = contacts["points"]
     pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
         contacts["depth"] > 0)
-    n4 = vexpand(contacts["normal"])
+    n2 = contacts["normal"]                  # per-pair normal [W,K]
 
     posA, rotA = sideA["pos"], sideA["rot"]
     posB, rotB = sideB["pos"], sideB["rot"]
-    rA = v3sub(pts, vexpand(posA))
-    rB = v3sub(pts, vexpand(posB))
+    imA, iiA = sideA["im"], sideA["ii"]
+    imB, iiB = sideB["im"], sideB["ii"]
+    mu2 = 0.5 * (sideA["mu"] + sideB["mu"])  # [W,K]
+    h2 = jnp.reshape(h, h.shape[:1] + (1,) * (mu2.ndim - 1))
 
-    def point_vel(v, w, r):
-        return v3add(vexpand(v), cross3(vexpand(w), r))
+    P = contacts["depth"].shape[1]
+    # per-point contact arms (fixed through the pass, like the reference's
+    # r*_worlds captured before the iterations)
+    rAs, rBs, oks, lams = [], [], [], []
+    for i in range(P):
+        p_i = tuple(c[:, i] for c in pts)
+        rAs.append(v3sub(p_i, posA))
+        rBs.append(v3sub(p_i, posB))
+        oks.append(pt_ok[:, i])
+        lams.append(lambda_n[:, i])
 
-    rel = v3sub(point_vel(sideB["v"], sideB["w"], rB),
-                point_vel(sideA["v"], sideA["w"], rA))
-    vn = dot3(rel, n4)                       # [W,P,K]
-    vt = v3sub(rel, v3scale(n4, vn))
-    vt_len = norm3(vt)
-    that = v3scale(vt, 1.0 / jnp.maximum(vt_len, 1e-12))
+    def gim(r, nrm, im_, ii_, rot_):
+        rxn_b = qrot_inv(rot_, cross3(r, nrm))
+        return im_ + (rxn_b[0] ** 2 * ii_[0] + rxn_b[1] ** 2 * ii_[1]
+                      + rxn_b[2] ** 2 * ii_[2])
 
-    wA_t = _gen_inv_mass(rA, that, sideA["im"], sideA["ii"], rotA)
-    wB_t = _gen_inv_mass(rB, that, sideB["im"], sideB["ii"], rotB)
-    wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
-    mu_pair = (0.5 * (sideA["mu"] + sideB["mu"]))[:, None, :]
-    h3 = jnp.reshape(h, h.shape[:1] + (1, 1))
-    fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h3, vt_len / wsum_t)
-    fimp = v3scale(that, -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0))
+    def pvel(v, w, r):
+        return v3add(v, cross3(w, r))
 
-    # ---- normal impulse at the manifold CENTROID ----------------------
-    # A Jacobi per-point mean under-applies whenever rotational
-    # inverse-mass terms cancel across a symmetric manifold: on a flat
-    # cube face each corner's generalized w is ~4x the linear one but the
-    # four torques cancel, so the summed linear velocity change is ~1/4
-    # of the target and the bounce dies (caught by the cube_bounce
-    # reference golden).  ONE impulse at the centroid of the contributing
-    # points carries exactly the manifold's net coupling: full
-    # restitution on flat impacts, identical to per-point behavior for
-    # single-point manifolds (reference physics.cpp:820-867 reaches the
-    # target by sequential per-point application, which Jacobi cannot).
-    cnt = jnp.maximum(jnp.sum(pt_ok.astype(jnp.float32), axis=1,
-                              keepdims=True), 1.0)
+    # vn_bar + e per point, from the pre-substep velocities (captured once,
+    # like the reference's vn_bars[] array)
+    vbars, es = [], []
+    bounce = "pv" in sideA and "rest" in sideA
+    if bounce:
+        rest2 = jnp.reshape(restitution_threshold,
+                            restitution_threshold.shape[:1]
+                            + (1,) * (mu2.ndim - 1))
+        e_pair = 0.5 * (sideA["rest"] + sideB["rest"])
+    for i in range(P):
+        if bounce:
+            vb = dot3(v3sub(pvel(sideB["pv"], sideB["pw"], rBs[i]),
+                            pvel(sideA["pv"], sideA["pw"], rAs[i])), n2)
+            vbars.append(vb)
+            es.append(jnp.where(jnp.abs(vb) <= rest2, 0.0, e_pair))
+        else:
+            vbars.append(jnp.zeros_like(mu2))
+            es.append(jnp.zeros_like(mu2))
 
-    def cmean(x):
-        return jnp.sum(jnp.where(pt_ok, x, 0.0), axis=1, keepdims=True) / cnt
+    # local velocity copies, updated sequentially point by point
+    vA, wA = sideA["v"], sideA["w"]
+    vB, wB = sideB["v"], sideB["w"]
+    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
 
-    pts_c = tuple(cmean(c) for c in pts)
-    rAc = v3sub(pts_c, vexpand(posA))
-    rBc = v3sub(pts_c, vexpand(posB))
-    relc = v3sub(point_vel(sideB["v"], sideB["w"], rBc),
-                 point_vel(sideA["v"], sideA["w"], rAc))
-    vn_c = dot3(relc, n4)
-    if "pv" in sideA and "rest" in sideA:
-        # vn_bar from the post-integrate velocities (PreSolveVelocity)
-        pvrelc = v3sub(point_vel(sideB["pv"], sideB["pw"], rBc),
-                      point_vel(sideA["pv"], sideA["pw"], rAc))
-        vn_pre_c = dot3(pvrelc, n4)
-        rest3 = jnp.reshape(restitution_threshold,
-                            restitution_threshold.shape[:1] + (1, 1))
-        e_pair = (0.5 * (sideA["rest"] + sideB["rest"]))[:, None, :]
-        e_c = jnp.where(jnp.abs(vn_pre_c) <= rest3, 0.0, e_pair)
-        dv_c = -vn_c + jnp.maximum(-e_c * vn_pre_c, 0.0)
-    else:
-        dv_c = -vn_c
-    wAc = _gen_inv_mass(rAc, n4, sideA["im"], sideA["ii"], rotA)
-    wBc = _gen_inv_mass(rBc, n4, sideB["im"], sideB["ii"], rotB)
-    wsum_c = jnp.maximum(wAc + wBc, 1e-12)
-    # repulsive impulses only (dv_c > 0): equals the vn < 0 gate at e=0,
-    # lets the bounce through when the position solve left vn >= 0.  NO
-    # relaxation on the normal impulse: the target is an absolute
-    # post-velocity; relaxing leaves (1-relax)*vn un-killed.
-    any_pt = jnp.any(pt_ok, axis=1, keepdims=True)
-    n_ok_c = any_pt & (dv_c > 0)
-    nimp_c = v3scale(n4, jnp.where(n_ok_c, dv_c / wsum_c, 0.0))
+    def apply_point(vA, wA, vB, wB, imp, i, mask):
+        """+imp to B, -imp to A at point i's arms, masked per pair."""
+        nvA = v3sub(vA, v3scale(imp, imA))
+        nvB = v3add(vB, v3scale(imp, imB))
+        dwA = qrot(rotA, vmap3(lambda a, b: a * b, iiA,
+                               qrot_inv(rotA, cross3(rAs[i],
+                                                     v3scale(imp, -1.0)))))
+        dwB = qrot(rotB, vmap3(lambda a, b: a * b, iiB,
+                               qrot_inv(rotB, cross3(rBs[i], imp))))
+        return (v3where(mask, nvA, vA), v3where(mask, v3add(wA, dwA), wA),
+                v3where(mask, nvB, vB), v3where(mask, v3add(wB, dwB), wB))
 
-    # speculative near-miss points (depth <= 0) keep the per-point clamp
+    # ---- restitution: 2 sequential iterations over the points ----------
+    # (reference restitution_iters loop, physics.cpp:953-966).  The
+    # per-point generalized masses and targets are iteration-invariant:
+    # hoisted out of the loop.
+    wsum_ns = [jnp.maximum(gim(rAs[i], n2, imA, iiA, rotA)
+                           + gim(rBs[i], n2, imB, iiB, rotB), 1e-12)
+               for i in range(P)]
+    targets = [jnp.maximum(-es[i] * vbars[i], 0.0) for i in range(P)]
+    for _ in range(2):
+        for i in range(P):
+            vpt = v3sub(pvel(vB, wB, rBs[i]), pvel(vA, wA, rAs[i]))
+            vn = dot3(vpt, n2)
+            imp = v3scale(n2, (targets[i] - vn) / wsum_ns[i])
+            vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, oks[i])
+
+    # ---- dynamic friction: one sequential pass -------------------------
+    # (reference applyFrictionVelocityUpdate, physics.cpp:755-817)
+    for i in range(P):
+        vpt = v3sub(pvel(vB, wB, rBs[i]), pvel(vA, wA, rAs[i]))
+        vn = dot3(vpt, n2)
+        vt = v3sub(vpt, v3scale(n2, vn))
+        vt_len = norm3(vt)
+        that = v3scale(vt, 1.0 / jnp.maximum(vt_len, 1e-12))
+        dyn_mag = mu2 * jnp.abs(lams[i]) / h2
+        corrected = jnp.minimum(dyn_mag, vt_len)
+        wsum = jnp.maximum(
+            gim(rAs[i], that, imA, iiA, rotA)
+            + gim(rBs[i], that, imB, iiB, rotB), 1e-12)
+        imp = v3scale(that, -corrected / wsum)
+        mask = oks[i] & (vt_len > 1e-9) & (dyn_mag > 0)
+        vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, mask)
+
+    # ---- speculative near-miss clamp (depth <= 0): per-point Jacobi ----
     if speculative > 0:
-        wA_n = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
-        wB_n = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
+        n4 = vexpand(n2)
+        rA4 = v3sub(pts, vexpand(posA))
+        rB4 = v3sub(pts, vexpand(posB))
+
+        def point_vel4(v, w, r):
+            return v3add(vexpand(v), cross3(vexpand(w), r))
+
+        rel4 = v3sub(point_vel4(vB0, wB0, rB4), point_vel4(vA0, wA0, rA4))
+        vn4 = dot3(rel4, n4)
+        wA_n = _gen_inv_mass(rA4, n4, imA, iiA, rotA)
+        wB_n = _gen_inv_mass(rB4, n4, imB, iiB, rotB)
         wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
         dep = contacts["depth"]
         okexp = bexp(contacts["ok"], 1, dep.shape)
+        h3 = jnp.reshape(h, h.shape[:1] + (1, 1))
         # allowed approach over one substep: vn >= depth/h (depth<0 =
         # separation); dead manifold slots (depth=-BIG) gate off via dv>0
-        dv_spec = dep / h3 - vn
+        dv_spec = dep / h3 - vn4
         s_ok = okexp & (dep <= 0) & (dv_spec > 0)
         npts_s = jnp.maximum(jnp.sum(s_ok.astype(jnp.float32), axis=1,
                                      keepdims=True), 1.0)
         simp = v3scale(n4, jnp.where(s_ok, dv_spec / wsum_n, 0.0) / npts_s)
-    else:
-        s_ok = None
-        simp = None
+        simp = tuple(jnp.where(s_ok, c, 0.0) for c in simp)
+        # per-point arms, applied in one shot (the angular update is
+        # linear in the impulse: sum the torques first, one qrot chain)
+        simp_sum = tuple(jnp.sum(c, axis=1) for c in simp)
+        tqA = tuple(jnp.sum(c, axis=1)
+                    for c in cross3(rA4, v3scale(simp, -1.0)))
+        tqB = tuple(jnp.sum(c, axis=1) for c in cross3(rB4, simp))
+        any_s = jnp.any(s_ok, axis=1)
+        nvA = v3sub(vA, v3scale(simp_sum, imA))
+        nvB = v3add(vB, v3scale(simp_sum, imB))
+        dwA = qrot(rotA, vmap3(lambda a, b: a * b, iiA,
+                               qrot_inv(rotA, tqA)))
+        dwB = qrot(rotB, vmap3(lambda a, b: a * b, iiB,
+                               qrot_inv(rotB, tqB)))
+        vA = v3where(any_s, nvA, vA)
+        wA = v3where(any_s, v3add(wA, dwA), wA)
+        vB = v3where(any_s, nvB, vB)
+        wB = v3where(any_s, v3add(wB, dwB), wB)
 
-    rqA = tuple(expand(c) for c in rotA)
-    rqB = tuple(expand(c) for c in rotB)
-    iiA = tuple(expand(c) for c in sideA["ii"])
-    iiB = tuple(expand(c) for c in sideB["ii"])
-
-    def apply(imp, rA_, rB_, mask):
-        dvA = v3scale(imp, -expand(sideA["im"]))
-        dvB = v3scale(imp, expand(sideB["im"]))
-        dwA = qrot(rqA, vmap3(lambda a, b: a * b, iiA,
-                              qrot_inv(rqA, cross3(rA_, v3scale(imp, -1.0)))))
-        dwB = qrot(rqB, vmap3(lambda a, b: a * b, iiB,
-                              qrot_inv(rqB, cross3(rB_, imp))))
-
-        def pk6(dv, dw):
-            def sm(c):
-                return jnp.sum(jnp.where(mask, c, 0.0), axis=1)
-
-            return jnp.stack([sm(dv[0]), sm(dv[1]), sm(dv[2]),
-                              sm(dw[0]), sm(dw[1]), sm(dw[2])],
-                             axis=1)                         # [W, 6, K]
-
-        return pk6(dvA, dwA), pk6(dvB, dwB)
-
-    # friction and speculative impulses share the same application points
-    # (each term is where-zeroed outside its own mask): ONE apply covers
-    # both; the centroid impulse has its own arms
-    pp_imp = v3scale(fimp, relaxation)
-    pp_mask = pt_ok
-    if simp is not None:
-        pp_imp = v3add(pp_imp, simp)
-        pp_mask = pp_mask | s_ok
-    fA, fB = apply(pp_imp, rA, rB, pp_mask)
-    nA, nB = apply(nimp_c, rAc, rBc, n_ok_c)
-    return fA + nA, fB + nB
+    dvA = v3sub(vA, vA0)
+    dwA_t = v3sub(wA, wA0)
+    dvB = v3sub(vB, vB0)
+    dwB_t = v3sub(wB, wB0)
+    packA = jnp.stack([dvA[0], dvA[1], dvA[2],
+                       dwA_t[0], dwA_t[1], dwA_t[2]], axis=1)  # [W,6,K]
+    packB = jnp.stack([dvB[0], dvB[1], dvB[2],
+                       dwB_t[0], dwB_t[1], dwB_t[2]], axis=1)
+    return packA, packB
 
 
 def aabb_overlap(loA, hiA, loB, hiB):

@@ -243,145 +243,145 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
                            contacts, lambda_n, h4, restitution4,
                            relaxation=1.0, restA=None, restB=None,
                            speculative=0.0):
-    """Per-contact velocity impulse math (reference solveVelocities,
-    physics.cpp:716-1009), leading-shape generic (see
-    _positional_contact_math for conventions).  h4/restitution4 broadcast
-    against [*L,4].  Restitution uses the pre-substep (post-integrate)
-    normal velocity vn_bar with threshold 2*|g|*h: e = pair coefficient
-    when |vn_bar| > threshold, else 0 (the reference hardcodes e=0.3 above
-    threshold, physics.cpp:842-845; here the coefficient is the average of
-    the two bodies' material restitution, defaulting to the same 0.3).
-    Dynamic friction clamps by mu_d * |lambda_n| / h.
+    """Per-contact velocity solve: the reference's solveVelocitiesForContact
+    (physics.cpp:716-1009) reproduced EXACTLY within each manifold — two
+    sequential restitution iterations over the (up to 4) contact points,
+    then a sequential dynamic-friction pass, each point updating the
+    pair's local velocity copies before the next reads them (see
+    pairs.velocity_pass, the pair-major twin of this dense-grid form, for
+    the full rationale).  Accumulation across pairs remains Jacobi.
 
-    restA/restB: per-side restitution coefficients shaped like muA/muB
-    (None = 0, no bounce).
+    Leading-shape generic: per-side args broadcast over *L (grid
+    [W, n, n]); contacts carries [*L, 4(,3)] manifolds.  h4/restitution4
+    broadcast against [*L, 4].  restA/restB: per-side restitution
+    coefficients shaped like muA/muB (None = 0, no bounce).
 
-    Returns (dvA, dwA, dvB, dwB [*L,4,3], masked to zero on dead points).
+    Returns per-pair velocity DELTAS (dvA, dwA, dvB, dwB), each [*L, 3],
+    exactly zero (never NaN) on dead pairs.
     """
+    del relaxation  # the reference velocity pass has no relaxation
     ok = contacts["ok"]
-    nrm = contacts["normal"]
-    pts = contacts["points"]
+    nrm = contacts["normal"]                      # [*L, 3]
+    pts = contacts["points"]                      # [*L, 4, 3]
+    P = pts.shape[-2]
     pt_ok = ok[..., None] & (contacts["depth"] > 0) & (
-        jnp.arange(4) < contacts["num_points"][..., None]
+        jnp.arange(P) < contacts["num_points"][..., None]
     )
 
-    imA4, imB4 = imA[..., None], imB[..., None]
-    iiA4, iiB4 = iiA[..., None, :], iiB[..., None, :]
-    rotA4, rotB4 = rotA[..., None, :], rotB[..., None, :]
+    mu_pair = 0.5 * (muA + muB)                   # [*L]
+    h1 = h4[..., 0]                               # [W,1,1] vs [*L]
+    rest1 = restitution4[..., 0]
 
-    rA = pts - posA[..., None, :]
-    rB = pts - posB[..., None, :]
-    n4 = jnp.broadcast_to(nrm[..., None, :], rA.shape)
+    rAs = [pts[..., i, :] - posA for i in range(P)]
+    rBs = [pts[..., i, :] - posB for i in range(P)]
+    oks = [pt_ok[..., i] for i in range(P)]
+    lams = [lambda_n[..., i] for i in range(P)]
 
-    def point_vel(v, w, r):
-        return v[..., None, :] + jnp.cross(w[..., None, :], r)
+    def pvel(v, w, r):
+        return v + jnp.cross(w, r)
 
-    vA = point_vel(vA_lin, vA_ang, rA)
-    vB = point_vel(vB_lin, vB_ang, rB)
-    rel = vB - vA
-    vn = jnp.sum(rel * n4, axis=-1)
-    vt = rel - vn[..., None] * n4
-    vt_len = jnp.linalg.norm(vt, axis=-1)
-    that = vt / jnp.maximum(vt_len[..., None], 1e-12)
+    # vn_bar + e per point from the pre-substep velocities (captured once,
+    # reference vn_bars[], physics.cpp:900-950)
+    vbars, es = [], []
+    bounce = restA is not None and restB is not None
+    e_pair = 0.5 * (restA + restB) if bounce else None
+    for i in range(P):
+        if bounce:
+            vb = jnp.sum((pvel(pvB_lin, pvB_ang, rBs[i])
+                          - pvel(pvA_lin, pvA_ang, rAs[i])) * nrm, axis=-1)
+            vbars.append(vb)
+            es.append(jnp.where(jnp.abs(vb) <= rest1, 0.0, e_pair))
+        else:
+            vbars.append(None)
+            es.append(None)
 
-    # dynamic friction impulse magnitude: min(mu_d*|lambda_n|/h, |vt|/wsum)
-    wA_t = _generalized_inv_mass(rA, that, imA4, iiA4, rotA4)
-    wB_t = _generalized_inv_mass(rB, that, imB4, iiB4, rotB4)
-    wsum_t = jnp.maximum(wA_t + wB_t, 1e-12)
-    mu_pair = (0.5 * (muA + muB))[..., None]
-    fmag = jnp.minimum(mu_pair * jnp.abs(lambda_n) / h4, vt_len / wsum_t)
-    # friction opposes the relative tangential motion of B w.r.t. A: the
-    # impulse on B points along -that (imp is applied +imp to B below)
-    fimp = -jnp.where(pt_ok & (vt_len > 1e-9), fmag, 0.0)[..., None] * that
+    vA, wA = vA_lin, vA_ang
+    vB, wB = vB_lin, vB_ang
+    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
 
-    # ---- normal impulse at the manifold CENTROID ----------------------
-    # (see pairs.velocity_pass for the rationale: a Jacobi per-point mean
-    # under-applies when the manifold's rotational inverse-mass terms
-    # cancel — a flat cube face gets ~1/4 of the restitution target and
-    # the bounce dies.  One impulse at the centroid of the contributing
-    # points carries the manifold's net coupling exactly; the reference
-    # reaches the same target by sequential per-point application,
-    # physics.cpp:820-867.)
-    cnt = jnp.maximum(jnp.sum(pt_ok, axis=-1, keepdims=True), 1)
+    def apply_point(vA, wA, vB, wB, imp, i, mask):
+        m1 = mask[..., None]
+        nvA = vA - imp * imA[..., None]
+        nvB = vB + imp * imB[..., None]
+        dwA = m.quat_rotate(rotA, iiA * m.quat_inv_rotate(
+            rotA, jnp.cross(rAs[i], -imp)))
+        dwB = m.quat_rotate(rotB, iiB * m.quat_inv_rotate(
+            rotB, jnp.cross(rBs[i], imp)))
+        return (jnp.where(m1, nvA, vA), jnp.where(m1, wA + dwA, wA),
+                jnp.where(m1, nvB, vB), jnp.where(m1, wB + dwB, wB))
 
-    def cmean(x):  # [*L, 4, 3] -> [*L, 1, 3]
-        return (jnp.sum(jnp.where(pt_ok[..., None], x, 0.0), axis=-2,
-                        keepdims=True) / cnt[..., None])
+    # ---- restitution: 2 sequential iterations (physics.cpp:953-966);
+    # generalized masses and targets are iteration-invariant -> hoisted
+    wsum_ns = [jnp.maximum(
+        _generalized_inv_mass(rAs[i], nrm, imA, iiA, rotA)
+        + _generalized_inv_mass(rBs[i], nrm, imB, iiB, rotB), 1e-12)
+        for i in range(P)]
+    targets = [jnp.maximum(-es[i] * vbars[i], 0.0) if bounce
+               else jnp.zeros_like(mu_pair) for i in range(P)]
+    for _ in range(2):
+        for i in range(P):
+            vn = jnp.sum((pvel(vB, wB, rBs[i])
+                          - pvel(vA, wA, rAs[i])) * nrm, axis=-1)
+            imp = ((targets[i] - vn) / wsum_ns[i])[..., None] * nrm
+            vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, oks[i])
 
-    pts_c = cmean(pts)
-    rAc = pts_c - posA[..., None, :]
-    rBc = pts_c - posB[..., None, :]
-    nc = nrm[..., None, :]
-    vnc = jnp.sum((point_vel(vB_lin, vB_ang, rBc)
-                   - point_vel(vA_lin, vA_ang, rAc)) * nc, axis=-1)
-    # restitution: pre-substep (post-integrate) normal velocity vn_bar
-    # (reference physics.cpp:825-867: e=0.3 above the 2*|g|*h threshold,
-    # target velocity max(-e*vn_bar, 0), applied via generalized masses)
-    vn_pre_c = jnp.sum((point_vel(pvB_lin, pvB_ang, rBc)
-                        - point_vel(pvA_lin, pvA_ang, rAc)) * nc, axis=-1)
-    if restA is None or restB is None:
-        e_pair = 0.0
-    else:
-        e_pair = (0.5 * (restA + restB))[..., None]
-    e_c = jnp.where(jnp.abs(vn_pre_c) <= restitution4, 0.0, e_pair)
-    wAc = _generalized_inv_mass(rAc, nc, imA4, iiA4, rotA4)
-    wBc = _generalized_inv_mass(rBc, nc, imB4, iiB4, rotB4)
-    wsum_c = jnp.maximum(wAc + wBc, 1e-12)
-    dv_c = (-vnc + jnp.maximum(-e_c * vn_pre_c, 0.0))
-    # gate on dv_c > 0 (repulsive impulses only): equivalent to the old
-    # vn < 0 gate when e=0, and lets the bounce through when the position
-    # solve left vn slightly positive.  The reference applies adhesive
-    # corrections too, but under Jacobi accumulation those destabilize.
-    # NO relaxation on the normal impulse: the target is an absolute
-    # post-velocity; relaxing leaves (1-relax)*vn un-killed.
-    any_pt = jnp.any(pt_ok, axis=-1, keepdims=True)
-    n_ok_c = any_pt & (dv_c > 0)
-    nimp_c = jnp.where(n_ok_c, dv_c / wsum_c, 0.0)[..., None] * nc
+    # ---- dynamic friction: one sequential pass (physics.cpp:755-817) ---
+    for i in range(P):
+        vpt = pvel(vB, wB, rBs[i]) - pvel(vA, wA, rAs[i])
+        vn = jnp.sum(vpt * nrm, axis=-1)
+        vt = vpt - vn[..., None] * nrm
+        vt_len = jnp.linalg.norm(vt, axis=-1)
+        that = vt / jnp.maximum(vt_len[..., None], 1e-12)
+        dyn_mag = mu_pair * jnp.abs(lams[i]) / h1
+        corrected = jnp.minimum(dyn_mag, vt_len)
+        wsum = jnp.maximum(
+            _generalized_inv_mass(rAs[i], that, imA, iiA, rotA)
+            + _generalized_inv_mass(rBs[i], that, imB, iiB, rotB), 1e-12)
+        imp = (-corrected / wsum)[..., None] * that
+        mask = oks[i] & (vt_len > 1e-9) & (dyn_mag > 0)
+        vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, mask)
 
-    # speculative near-miss points (depth <= 0) keep the per-point clamp
+    # ---- speculative near-miss clamp (depth <= 0): per-point Jacobi ----
     if speculative > 0:
-        # speculative-CCD clamp for near-miss points (depth <= 0): limit
-        # approach speed to depth/h so the gap cannot be crossed in one
-        # substep; dead slots (depth=-BIG) gate off via dv > 0
-        wA_n = _generalized_inv_mass(rA, n4, imA4, iiA4, rotA4)
-        wB_n = _generalized_inv_mass(rB, n4, imB4, iiB4, rotB4)
+        rA4 = pts - posA[..., None, :]
+        rB4 = pts - posB[..., None, :]
+        n4 = jnp.broadcast_to(nrm[..., None, :], rA4.shape)
+
+        def point_vel4(v, w, r):
+            return v[..., None, :] + jnp.cross(w[..., None, :], r)
+
+        rel4 = point_vel4(vB0, wB0, rB4) - point_vel4(vA0, wA0, rA4)
+        vn4 = jnp.sum(rel4 * n4, axis=-1)
+        imA4, imB4 = imA[..., None], imB[..., None]
+        iiA4, iiB4 = iiA[..., None, :], iiB[..., None, :]
+        rotA4, rotB4 = rotA[..., None, :], rotB[..., None, :]
+        wA_n = _generalized_inv_mass(rA4, n4, imA4, iiA4, rotA4)
+        wB_n = _generalized_inv_mass(rB4, n4, imB4, iiB4, rotB4)
         wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
         depth4 = contacts["depth"]
-        ok_np = ok[..., None] & (jnp.arange(4) < contacts["num_points"][..., None])
-        dv_spec = depth4 / h4 - vn
+        ok_np = ok[..., None] & (
+            jnp.arange(P) < contacts["num_points"][..., None])
+        dv_spec = depth4 / h4 - vn4
         s_ok = ok_np & (depth4 <= 0) & (dv_spec > 0)
         npts_s = jnp.maximum(jnp.sum(s_ok, axis=-1, keepdims=True), 1)
-        simp = (jnp.where(s_ok, dv_spec / wsum_n, 0.0) / npts_s)[..., None] * n4
-    else:
-        s_ok = None
-        simp = None
+        simp = jnp.where(
+            s_ok, dv_spec / wsum_n, 0.0)[..., None] / npts_s[..., None] * n4
+        # per-point arms, one-shot apply (angular update linear in the
+        # impulse: sum torques first)
+        simp_sum = jnp.sum(simp, axis=-2)
+        tqA = jnp.sum(jnp.cross(rA4, -simp), axis=-2)
+        tqB = jnp.sum(jnp.cross(rB4, simp), axis=-2)
+        any_s = jnp.any(s_ok, axis=-1)[..., None]
+        vA = jnp.where(any_s, vA - simp_sum * imA[..., None], vA)
+        vB = jnp.where(any_s, vB + simp_sum * imB[..., None], vB)
+        wA = jnp.where(any_s, wA + m.quat_rotate(
+            rotA, iiA * m.quat_inv_rotate(rotA, tqA)), wA)
+        wB = jnp.where(any_s, wB + m.quat_rotate(
+            rotB, iiB * m.quat_inv_rotate(rotB, tqB)), wB)
 
-    def apply(imp, rA_, rB_, mask):
-        dvA = -imp * imA4[..., None]
-        dvB = imp * imB4[..., None]
-        dwA_b = m.quat_inv_rotate(rotA4, jnp.cross(rA_, -imp))
-        dwB_b = m.quat_inv_rotate(rotB4, jnp.cross(rB_, imp))
-        dwA = m.quat_rotate(rotA4, iiA4 * dwA_b)
-        dwB = m.quat_rotate(rotB4, iiB4 * dwB_b)
-        m4 = mask[..., None]
-        return (jnp.where(m4, dvA, 0.0), jnp.where(m4, dwA, 0.0),
-                jnp.where(m4, dvB, 0.0), jnp.where(m4, dwB, 0.0))
-
-    # friction and speculative impulses share the same application points
-    # (each term is where-zeroed outside its own mask): ONE apply covers
-    # both; the centroid impulse has its own arms
-    pp_imp = fimp * relaxation
-    pp_mask = pt_ok
-    if simp is not None:
-        pp_imp = pp_imp + simp
-        pp_mask = pp_mask | s_ok
-    outs = apply(pp_imp, rA, rB, pp_mask)
-    n_out = apply(nimp_c, rAc, rBc, n_ok_c)
-    # centroid deltas live on a [*L, 1, 3] slot; pad to the 4-point axis
-    # so the caller's sum-over-points applies them once
-    n_out = tuple(jnp.pad(x, [(0, 0)] * (x.ndim - 2) + [(0, 3), (0, 0)])
-                  for x in n_out)
-    return tuple(a + b for a, b in zip(outs, n_out))
+    zeroA = jnp.zeros_like(pts[..., 0, :])
+    return (vA - vA0 + zeroA, wA - wA0 + zeroA,
+            vB - vB0 + zeroA, wB - wB0 + zeroA)
 
 
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
@@ -410,8 +410,8 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
         contacts, lambda_n, h4, rest4, relaxation,
         restA=restA, restB=restB, speculative=speculative)
 
-    dv = jnp.sum(dvA, axis=(2, 3)) + jnp.sum(dvB, axis=(1, 3))
-    dw = jnp.sum(dwA, axis=(2, 3)) + jnp.sum(dwB, axis=(1, 3))
+    dv = jnp.sum(dvA, axis=2) + jnp.sum(dvB, axis=1)
+    dw = jnp.sum(dwA, axis=2) + jnp.sum(dwB, axis=1)
     return vel_lin + dv, vel_ang + dw
 
 

@@ -64,6 +64,7 @@ def test_save_replaces_same_key(tmp_path):
     assert len(entries) == 1 and entries[0]["config"] == {"fused": True}
 
 
+@pytest.mark.slow
 def test_sweep_emits_consumable_artifact(tmp_path, monkeypatch):
     """End-to-end loop on CPU: tune_collisions measures both fused modes,
     saves the artifact, and CollisionsConfig(fused=None) consumes it via

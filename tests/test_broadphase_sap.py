@@ -12,6 +12,10 @@ Reference analog: the 4-wide broadphase BVH traversal
 all-pairs test; trees are pointer-chasing, a batched sort is TPU-idiomatic.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 import numpy as np
 

@@ -2,6 +2,10 @@
 (contact_refresh=True in the fused Pallas kernel): quality gates for the
 documented deviation from the reference's per-substep narrowphase."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 from gpu_ecs_madrona_tpu.models import rigid_bench as rb

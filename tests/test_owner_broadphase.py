@@ -10,6 +10,8 @@ layout with a per-owner top-D compaction instead of the global top_k.
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from gpu_ecs_madrona_tpu.models import rigid_bench as rb

@@ -286,6 +286,7 @@ def test_raycast():
 # ---------------------------------------------------------------------------
 
 
+@pytest.mark.slow
 def test_pairs_box_settles_on_plane():
     sim = make_world(2, [
         (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
@@ -297,6 +298,7 @@ def test_pairs_box_settles_on_plane():
     assert (np.abs(z - 1.0) < 0.15).all(), z
 
 
+@pytest.mark.slow
 def test_pairs_box_box_stack():
     sim = make_world(1, [
         (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
@@ -311,6 +313,7 @@ def test_pairs_box_box_stack():
     assert 2.5 < p[2, 2] < 3.6, p
 
 
+@pytest.mark.slow
 def test_pairs_matches_dense_trajectory():
     """Dense grid and compacted pairs run the same contact math; with
     candidate capacity >= all overlapping pairs the trajectories must agree
@@ -334,6 +337,7 @@ def test_pairs_matches_dense_trajectory():
                                rtol=1e-4, atol=8e-2)
 
 
+@pytest.mark.slow
 def test_pairs_determinism():
     a = make_world(2, [
         (OBJ_PLANE, (0, 0, 0.0), RESPONSE_STATIC),
@@ -352,6 +356,7 @@ def test_pairs_determinism():
     assert np.array_equal(np.asarray(pa), np.asarray(pb))
 
 
+@pytest.mark.slow
 def test_pallas_matches_pairs_trajectory():
     """The Pallas substep megakernel (interpret mode on CPU) runs the same
     pair-major contact math as contact_mode="pairs"; trajectories must agree
@@ -424,6 +429,7 @@ def _bullet_world(contact_mode, speculative):
         num_worlds=1, max_entities_per_world=8, seed=0))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("contact_mode", ["dense", "pairs", "pallas"])
 def test_speculative_contacts_stop_tunneling(contact_mode):
     """Speculative-contact CCD (the BASELINE north star's TOI item): a

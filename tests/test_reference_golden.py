@@ -143,20 +143,61 @@ def run_equivalent(golden, W, K, substeps, dt, ticks, joint=False):
     return out
 
 
-def first_contact_tick(golden):
+def first_contact_tick(golden, support=0.52):
     """First tick at which any cube's AABB could touch the plane or
-    another cube (conservatively: min z below 0.52 — cubes start well
-    separated in xy except cube_pair/stack which touch immediately)."""
+    another cube (conservatively: min z below the support height — 0.52
+    for flat cubes, which start well separated in xy except
+    cube_pair/stack which touch immediately).  Tilted scenarios
+    (cube_rock) pass a higher support height: an edge-balanced cube's
+    center rests at 0.5*(cos a + sin a) > 0.5."""
     zmin = golden[..., 2].min(axis=(1, 2))
-    hit = zmin < 0.52
+    hit = zmin < support
     return int(np.argmax(hit)) if hit.any() else golden.shape[0]
 
 
-CASES = ["cubes_fall_ss1", "cubes_fall_ss4", "cube_pair_ss1",
-         "cube_pair_ss4", "cube_stack_ss1", "cube_stack_ss4",
-         "cube_bounce_ss1", "cube_bounce_ss4"]
+# ss1 cases are the quick tier; the 4-substep (and 120-tick rock) cases
+# take 20-40s each and carry the slow marker
+_slow = pytest.mark.slow
+CASES = ["cubes_fall_ss1", "cube_pair_ss1", "cube_stack_ss1",
+         "cube_bounce_ss1",
+         pytest.param("cubes_fall_ss4", marks=_slow),
+         pytest.param("cube_pair_ss4", marks=_slow),
+         pytest.param("cube_stack_ss4", marks=_slow),
+         pytest.param("cube_bounce_ss4", marks=_slow),
+         pytest.param("cube_rock_ss1", marks=_slow),
+         pytest.param("cube_rock_ss4", marks=_slow)]
 
 
+def _settle_tick(wy, thr=0.05):
+    """Last tick with |omega_y| above thr (the rocking-alive criterion)."""
+    live = np.abs(wy) > thr
+    return int(np.max(np.nonzero(live)[0])) if live.any() else 0
+
+
+@pytest.mark.slow
+def test_golden_cube_rock_damping_rate():
+    """Velocity-stage fidelity (VERDICT r3 #2): a cube landing on an edge
+    rocks to rest at a rate within 20% of the reference binary.  The
+    manifold's MEAN normal velocity cancels while rocking (leading corner
+    closes, trailing opens), so only per-point sequential damping
+    (reference solveVelocitiesForContact, physics.cpp:716-1009 —
+    reproduced within-manifold in pairs.velocity_pass) kills the mode;
+    the old centroid-only impulse settled 2-3x slower."""
+    golden, W, K, ss, dt = load_golden("cube_rock_ss4")
+    T = golden.shape[0] - 1
+    mine = run_equivalent(golden, W, K, ss, dt, T)
+    for w in range(W):
+        sg = _settle_tick(golden[:, w, 0, 11])
+        sm = _settle_tick(mine[:, w, 0, 11])
+        assert sm <= max(sg * 1.2, sg + 4), \
+            f"world {w}: rocking settles in {sm} ticks vs reference {sg}"
+    # both engines end flat at rest on the plane
+    ang_m = 2 * np.arctan2(mine[-1, :, 0, 5], mine[-1, :, 0, 3])
+    assert np.abs(ang_m).max() < 0.02, ang_m
+    assert np.abs(mine[-1, :, 0, 2] - 0.5).max() < 0.02
+
+
+@pytest.mark.slow
 def test_golden_fixed_joint_chain():
     """Fixed-joint parity vs the reference binary (setupFixed +
     handleJointConstraint, physics.cpp:560-648): a 2-cube chain swings,
@@ -191,8 +232,11 @@ def test_golden_trajectory(name):
 
     perr = np.abs(mine[..., 0:3] - golden[..., 0:3]).max(axis=(1, 2, 3))
 
-    # 1. pre-contact free flight: exact
-    fc = first_contact_tick(golden)
+    # 1. pre-contact free flight: exact (cube_rock drops only 0.05 onto
+    # its edge: contact is when the center has fallen that far)
+    support = (golden[0, ..., 2].min() - 0.045
+               if name.startswith("cube_rock") else 0.52)
+    fc = first_contact_tick(golden, support)
     if fc > 1:
         assert perr[:fc].max() <= 1e-5, \
             f"free-flight diverges from reference binary: {perr[:fc].max()}"
@@ -239,3 +283,120 @@ def test_golden_free_fall_bitexact():
     mine = run_equivalent(golden, W, K, ss, dt, fc - 1)
     err = np.abs(mine[:fc - 1] - golden[:fc - 1]).max()
     assert err <= 1e-5, err
+
+
+# ---------------------------------------------------------------------------
+# Legacy job-system golden (VERDICT r3 #3): the reference JobManager
+# (src/core/job.cpp) running the collisions example's dynamic fork-join
+# job graph (examples/collisions/collisions.cpp:39-227), compiled by
+# tools/ref_golden/job_golden (single worker).  Converts the "job
+# semantics lowered faithfully to a static taskgraph" claim of
+# models/collisions.py from Python-oracle-backed to binary-backed.
+# Regenerate: cd tools/ref_golden && make job_golden && \
+#   ./job_golden 100 120 ../../tests/goldens/job_collisions.bin
+# ---------------------------------------------------------------------------
+
+
+def load_job_golden(name="job_collisions"):
+    path = os.path.join(GOLDEN_DIR, name + ".bin")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated")
+    d = open(path, "rb").read()
+    assert d[:4] == b"GLDJ"
+    T1, n, _, _ = struct.unpack("<4i", d[4:20])
+    dt = struct.unpack("<f", d[20:24])[0]
+    off = 24 + n * 4 * 4
+    rot0 = np.frombuffer(d[24:off], np.float32).reshape(n, 4).copy()
+    rec = n * 3 * 4 + 4
+    pos = np.zeros((T1, n, 3), np.float32)
+    cnt = np.zeros(T1, np.int32)
+    for t in range(T1):
+        b = d[off + t * rec: off + (t + 1) * rec]
+        pos[t] = np.frombuffer(b[:n * 12], np.float32).reshape(n, 3)
+        cnt[t] = struct.unpack("<i", b[n * 12:])[0]
+    return pos, rot0, cnt, dt
+
+
+def _overlap_count(pos, rot):
+    """Ordered-pair AABB overlap count of the 2-unit cubes (the job
+    system's candidate/contact count for the tick that starts here)."""
+    from gpu_ecs_madrona_tpu.utils import math as m
+    corners = np.asarray(m.UNIT_CUBE_CORNERS, np.float64)
+    n = pos.shape[0]
+    lo = np.empty((n, 3)); hi = np.empty((n, 3))
+    for i in range(n):
+        w, x, y, z = rot[i]
+        u = np.array([x, y, z], np.float64)
+        pts = (corners + 2.0 * w * np.cross(u, corners)
+               + 2.0 * np.cross(u, np.cross(u, corners))) + pos[i]
+        lo[i] = pts.min(axis=0); hi[i] = pts.max(axis=0)
+    ok = np.all(lo[:, None] <= hi[None, :], -1) & \
+        np.all(lo[None, :] <= hi[:, None], -1)
+    np.fill_diagonal(ok, False)
+    return int(ok.sum())
+
+
+@pytest.mark.slow
+def test_golden_job_system_collisions():
+    """models/collisions.py vs the reference JobManager binary: candidate/
+    contact counts EXACT at every tick, trajectories to fp tolerance (the
+    reference pushes serially in job order; the batched scatter-add is the
+    same sum, commutative up to rounding)."""
+    from gpu_ecs_madrona_tpu.models import collisions as col
+
+    g_pos, g_rot0, g_cnt, dt = load_job_golden()
+    T = g_pos.shape[0] - 1
+    n = g_pos.shape[1]
+
+    cfg = col.CollisionsConfig(num_worlds=1, num_objects=n, max_pairs=1600,
+                               seed=0)
+
+    class GoldenWorld(col.CollisionsWorld.with_config(cfg)):
+        @classmethod
+        def init(cls, ctx, init_data=None):
+            W = ctx.num_worlds
+            lo = jnp.array([-10.0, -10.0, 0.0])
+            hi = jnp.array([10.0, 10.0, 10.0])
+            ctx.data = {
+                "bounds_lo": jnp.broadcast_to(lo, (W, 3)),
+                "bounds_hi": jnp.broadcast_to(hi, (W, 3)),
+                "push_delta": jnp.zeros((W, n + 8, 3), jnp.float32),
+            }
+            from gpu_ecs_madrona_tpu.utils import math as m
+            inv_lo, inv_hi = m.aabb_invalid((W, n))
+            ctx.make_entities(col.CubeObject, counts=n, max_new=n, values={
+                col.Translation: jnp.asarray(g_pos[0])[None],
+                col.Rotation: jnp.asarray(g_rot0)[None],
+                col.PhysicsAABB: {"lo": inv_lo, "hi": inv_hi},
+            })
+
+    sim = TaskGraphExecutor(
+        GoldenWorld, ExecutorConfig(num_worlds=1, seed=0, donate=False))
+
+    max_err = 0.0
+    err_t3 = 0.0
+    for t in range(1, T + 1):
+        pre = np.asarray(sim.get_exported(0)[0])[0, :n].astype(np.float64)
+        # count parity gate: the overlap count at the tick's input state
+        # must equal the job system's contact count for this tick, both
+        # for the golden positions and for my trajectory
+        cnt_mine = _overlap_count(pre, g_rot0.astype(np.float64))
+        assert cnt_mine == g_cnt[t], (t, cnt_mine, int(g_cnt[t]))
+        sim.run(1)
+        mine = np.asarray(sim.get_exported(0)[0])[0, :n]
+        max_err = max(max_err, float(np.abs(mine - g_pos[t]).max()))
+        if t == 3:
+            err_t3 = max_err
+    # early window: summation-order rounding, one normalize() amplification
+    # (a pair at distance d turns an e-6 position delta into an e-6/d
+    # normal delta; overlapping inits have d ~ 1e-2)
+    assert err_t3 <= 1e-3, err_t3
+    # full horizon: the rounding is amplified through normalize(b - a) on
+    # near-coincident pairs (chaotic), but stays bounded and — per the
+    # exact count gate above — never changes the candidate/contact sets
+    assert max_err <= 0.02, max_err
+    # steady state: all objects separated in both engines (counts hit 0)
+    assert g_cnt[-1] == 0
+    assert _overlap_count(
+        np.asarray(sim.get_exported(0)[0])[0, :n].astype(np.float64),
+        g_rot0.astype(np.float64)) == 0

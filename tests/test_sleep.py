@@ -9,6 +9,9 @@ interpreted on CPU (same code path as the TPU Mosaic build).
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 from gpu_ecs_madrona_tpu import (Archetype, ExecutorConfig,
                                  TaskGraphExecutor, base)

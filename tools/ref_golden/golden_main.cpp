@@ -290,6 +290,21 @@ GoldenSim::GoldenSim(Engine &ctx, const GoldenConfig &cfg,
         case 5: {  // cube_bounce: clean axis-aligned drop (restitution)
             pos = Vector3 { 0.f, 0.f, 3.f + 2.f * hash01(w, i, 0) };
         } break;
+        case 6: {  // cube_rock: cube tilted about its y edge, dropped just
+            // above the plane — lands on the edge and rocks to rest.
+            // Exercises the velocity-stage per-point damping: the leading
+            // corner closes while the trailing one opens, so the
+            // manifold's MEAN normal velocity cancels and only per-point
+            // response (reference physics.cpp:820-867 sequential
+            // impulses) damps the rocking mode.
+            float ang = 0.25f + 0.15f * hash01(w, i, 0);
+            rot = Quat::angleAxis(ang, Vector3 { 0, 1, 0 });
+            // center height: edge at z=0 when tilted by ang ->
+            // center at (|cos|+|sin|)*0.5; drop from slightly above
+            float c_ = cosf(ang), s_ = sinf(ang);
+            pos = Vector3 { 0.f, 0.f,
+                            0.5f * (c_ + s_) + 0.05f };
+        } break;
         case 2: {  // cube_stack: offset vertical stack
             pos = Vector3 {
                 0.05f * hash01(w, i, 0),
@@ -411,6 +426,8 @@ int main(int argc, char **argv)
         scenario = 4; num_bodies = 2;
     } else if (scen_name == "cube_bounce") {
         scenario = 5; num_bodies = 1;
+    } else if (scen_name == "cube_rock") {
+        scenario = 6; num_bodies = 1;
     } else {
         fprintf(stderr, "unknown scenario %s\n", scen_name.c_str());
         return 1;
