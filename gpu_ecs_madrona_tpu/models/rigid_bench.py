@@ -101,9 +101,22 @@ class RigidBenchConfig:
     def candidates(self) -> int:
         if self.resolved_broadphase() == "dense_owner":
             return self.owner_degree * 128
+        if self.max_candidates:
+            return self.max_candidates
+        # exec-config artifact first (tooling/autotuner.tune_physics_capacity
+        # — overflow-validated tighter contracts; capacity drives every
+        # kernel axis, measured 1.6x at 8192x64 for 4n -> 2n).  Capacity
+        # entries only apply at an EXACT body-count match: unlike mode
+        # choices, a capacity does not extrapolate across workload density.
+        from gpu_ecs_madrona_tpu.tooling import autotuner
+        tuned = autotuner.lookup("physics_capacity",
+                                 num_worlds=self.num_worlds,
+                                 bodies=self.num_bodies)
+        if tuned and tuned.get("for_bodies") == self.num_bodies:
+            return int(tuned["max_candidates"])
         # a settled pile averages ~3 overlap pairs per body; 4x covers the
         # in-flight transient (overflow drops excess candidates gracefully)
-        return self.max_candidates or 4 * self.num_bodies
+        return 4 * self.num_bodies
 
 
 class RigidBenchWorld:

@@ -241,6 +241,12 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
         # packA/packB [Wt, C, K] (zeroed on dead pairs) -> [Wt, C, n]
         pack = jnp.concatenate([packA, packB], axis=2)   # [Wt, C, 2K]
         pack = pack.astype(oh_ij.dtype)
+        if os.environ.get("GEM_TPU_SEGSUM_BATCHED") == "1":
+            # single batched dot_general (A/B experiment: Mosaic lowering
+            # of batch dims vs the per-world matmul chain)
+            return jax.lax.dot_general(
+                pack, oh_ij, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
         return jnp.stack([
             jax.lax.dot_general(pack[w], oh_ij[w], (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)

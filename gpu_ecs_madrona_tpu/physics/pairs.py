@@ -1308,21 +1308,71 @@ def refresh_contacts(cache, PA, PB):
             "depth": depth, "num_points": cache["num_points"]}
 
 
+def _sym_from_quat_ii(rot, ii):
+    """World-frame inverse-inertia matrix M = R diag(ii) R^T from a quat
+    tuple (w,x,y,z) and body-frame diagonal ii — symmetric, returned as
+    (m00, m01, m02, m11, m12, m22).  One M per pair side replaces every
+    qrot/qrot_inv chain in the velocity solve (M v costs 9 mults vs ~56
+    for rotate-scale-rotate)."""
+    qw, qx, qy, qz = rot
+    xx, yy, zz = qx * qx, qy * qy, qz * qz
+    xy, xz, yz = qx * qy, qx * qz, qy * qz
+    wx, wy, wz = qw * qx, qw * qy, qw * qz
+    # rotation matrix columns R[:,k] (rotation of e_k)
+    r00 = 1.0 - 2.0 * (yy + zz)
+    r10 = 2.0 * (xy + wz)
+    r20 = 2.0 * (xz - wy)
+    r01 = 2.0 * (xy - wz)
+    r11 = 1.0 - 2.0 * (xx + zz)
+    r21 = 2.0 * (yz + wx)
+    r02 = 2.0 * (xz + wy)
+    r12 = 2.0 * (yz - wx)
+    r22 = 1.0 - 2.0 * (xx + yy)
+    i0, i1, i2 = ii
+    # M_ab = sum_k ii_k R_ak R_bk
+    return (i0 * r00 * r00 + i1 * r01 * r01 + i2 * r02 * r02,
+            i0 * r00 * r10 + i1 * r01 * r11 + i2 * r02 * r12,
+            i0 * r00 * r20 + i1 * r01 * r21 + i2 * r02 * r22,
+            i0 * r10 * r10 + i1 * r11 * r11 + i2 * r12 * r12,
+            i0 * r10 * r20 + i1 * r11 * r21 + i2 * r12 * r22,
+            i0 * r20 * r20 + i1 * r21 * r21 + i2 * r22 * r22)
+
+
+def _sym_mv(M, v):
+    m00, m01, m02, m11, m12, m22 = M
+    return (m00 * v[0] + m01 * v[1] + m02 * v[2],
+            m01 * v[0] + m11 * v[1] + m12 * v[2],
+            m02 * v[0] + m12 * v[1] + m22 * v[2])
+
+
 def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
                   relaxation=1.0, speculative: float = 0.0):
     """Per-pair velocity corrections: the reference's solveVelocitiesForContact
-    (physics.cpp:716-1009) reproduced EXACTLY within each manifold — two
-    sequential restitution iterations over the (up to 4) contact points,
-    then a sequential dynamic-friction pass, each point updating the pair's
-    local velocity copies before the next point reads them.  Sequential
-    application is what damps asymmetric manifolds (a cube rocking on an
-    edge: the closing corner is killed individually) AND what delivers full
-    restitution on symmetric flat impacts (a Jacobi per-point mean
-    under-applies ~1/4 when the four corner torques cancel; sequential
-    converges to the target).  Only the accumulation ACROSS pairs remains
-    Jacobi (the lockstep-batch constraint); within a pair this is the
-    reference algorithm verbatim, so single-contact scenarios (cube on
-    plane) match the reference binary's velocity semantics exactly.
+    (physics.cpp:716-1009) reproduced within each manifold — two sequential
+    restitution iterations over the (up to 4) contact points, then a
+    sequential dynamic-friction pass, each point seeing the velocity state
+    left by the previous one.  Sequential application is what damps
+    asymmetric manifolds (a cube rocking on an edge: the closing corner is
+    killed individually) AND what delivers full restitution on symmetric
+    flat impacts (a Jacobi per-point mean under-applies ~1/4 when the four
+    corner torques cancel).  Only the accumulation ACROSS pairs remains
+    Jacobi (the lockstep-batch constraint); within a pair this matches the
+    reference algorithm (fp reassociation only), so single-contact
+    scenarios (cube on plane) match the reference binary's velocity
+    semantics (gated by the cube_rock / cube_bounce goldens).
+
+    Formulation (the kernel-hot restructuring of the naive loop): point
+    velocities are LINEAR in the applied impulses, so the normal-direction
+    restitution solve collapses to the 4x4 effective-mass (Schur) matrix
+    K_ij = 1/mA + 1/mB + (rA_i x n) . MA (rA_j x n)
+                       + (rB_i x n) . MB (rB_j x n)
+    with MA/MB the world-frame inverse-inertia matrices; the sequential
+    per-point impulses become a scalar Gauss-Seidel sweep over vn with
+    rows of K (6 FMA-ops per point-update instead of a quaternion-chain
+    apply), and the velocity deltas assemble once at the end from the
+    accumulated lambdas.  Friction keeps the true sequential dependence
+    (its direction renormalizes per point) but runs on MA/MB instead of
+    rotate-scale-rotate chains.
 
     sides carry v/w vec3 tuples [W,K] (post-position-solve velocities);
     for restitution also pv/pw (pre-substep, i.e. post-integrate,
@@ -1333,18 +1383,16 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
     Restitution semantics (physics.cpp:825-867, translated to this
     framework's normal convention n: A->B, rel = vB - vA): e = pair
     coefficient when |vn_bar| > threshold (2*|g|*h) else 0; per-point
-    target vn -> max(-e * vn_bar_i, 0), applied BILATERALLY (the reference
-    also removes excess separating velocity; within the sequential loop
-    this is self-correcting).  Friction cap matches the reference's
-    applyFrictionVelocityUpdate: delta-v magnitude min(mu_d*|lambda_i|/h,
-    |vt|), scaled by the generalized inverse mass sum — NOT the
-    summed-per-point form (which over-applies up to 4x on flat manifolds).
+    target vn -> max(-e * vn_bar_i, 0), applied BILATERALLY (the
+    reference also removes excess separating velocity; within the
+    sequential sweep this is self-correcting).  Friction delta-v
+    magnitude min(mu_d*|lambda_i|/h, |vt|) over the generalized mass —
+    NOT the summed-per-point form (which over-applies up to 4x on flat
+    manifolds).
 
     speculative > 0: near-miss contacts (depth <= 0, produced by
     pair_contacts with the same margin) get the speculative-CCD velocity
-    clamp vn >= depth/h instead of the contact constraint — approach
-    speed is limited so the gap cannot be crossed in one substep (no
-    positional or friction response until real contact)."""
+    clamp vn >= depth/h instead of the contact constraint."""
     del relaxation  # the reference velocity pass has no relaxation
     pts = contacts["points"]
     pt_ok = bexp(contacts["ok"], 1, contacts["depth"].shape) & (
@@ -1353,140 +1401,172 @@ def velocity_pass(sideA, sideB, contacts, lambda_n, h, restitution_threshold,
 
     posA, rotA = sideA["pos"], sideA["rot"]
     posB, rotB = sideB["pos"], sideB["rot"]
-    imA, iiA = sideA["im"], sideA["ii"]
-    imB, iiB = sideB["im"], sideB["ii"]
+    imA, imB = sideA["im"], sideB["im"]
     mu2 = 0.5 * (sideA["mu"] + sideB["mu"])  # [W,K]
     h2 = jnp.reshape(h, h.shape[:1] + (1,) * (mu2.ndim - 1))
+    imsum = imA + imB
+
+    MA = _sym_from_quat_ii(rotA, sideA["ii"])
+    MB = _sym_from_quat_ii(rotB, sideB["ii"])
 
     P = contacts["depth"].shape[1]
-    # per-point contact arms (fixed through the pass, like the reference's
-    # r*_worlds captured before the iterations)
-    rAs, rBs, oks, lams = [], [], [], []
+    # Dead-point discipline: inputs are FINITE (gathers read real body
+    # columns), so dead-point garbage flows harmlessly through the K
+    # matrix and u vectors — every impulse scalar is gated by okf at its
+    # source (d and s below), and 0 * finite == 0.  No per-vector masking.
+    rAs, rBs, okfs = [], [], []
+    cAs, cBs, uAs, uBs = [], [], [], []
     for i in range(P):
         p_i = tuple(c[:, i] for c in pts)
-        rAs.append(v3sub(p_i, posA))
-        rBs.append(v3sub(p_i, posB))
-        oks.append(pt_ok[:, i])
-        lams.append(lambda_n[:, i])
-
-    def gim(r, nrm, im_, ii_, rot_):
-        rxn_b = qrot_inv(rot_, cross3(r, nrm))
-        return im_ + (rxn_b[0] ** 2 * ii_[0] + rxn_b[1] ** 2 * ii_[1]
-                      + rxn_b[2] ** 2 * ii_[2])
+        rA = v3sub(p_i, posA)
+        rB = v3sub(p_i, posB)
+        okf = pt_ok[:, i].astype(jnp.float32)
+        cA = cross3(rA, n2)
+        cB = cross3(rB, n2)
+        rAs.append(rA)
+        rBs.append(rB)
+        okfs.append(okf)
+        cAs.append(cA)
+        cBs.append(cB)
+        uAs.append(_sym_mv(MA, cA))
+        uBs.append(_sym_mv(MB, cB))
 
     def pvel(v, w, r):
         return v3add(v, cross3(w, r))
 
-    # vn_bar + e per point, from the pre-substep velocities (captured once,
-    # like the reference's vn_bars[] array)
-    vbars, es = [], []
+    # effective-mass matrix rows (symmetric; dead-point rows/cols carry
+    # garbage — only ever multiplied by okf-gated deltas)
+    K = [[None] * P for _ in range(P)]
+    for i in range(P):
+        for j in range(i, P):
+            kij = imsum + dot3(cAs[i], uAs[j]) + dot3(cBs[i], uBs[j])
+            K[i][j] = kij
+            K[j][i] = kij
+    # okf folded into the inverse diagonal: d = (t - vn) * invKii_ok is
+    # the whole per-point gate
+    invKii_ok = [okfs[i] / jnp.maximum(K[i][i], 1e-12) for i in range(P)]
+
+    # vn + vn_bar + e per point from the incoming velocities
+    vA0, wA0 = sideA["v"], sideA["w"]
+    vB0, wB0 = sideB["v"], sideB["w"]
+    vns = [dot3(v3sub(pvel(vB0, wB0, rBs[i]), pvel(vA0, wA0, rAs[i])), n2)
+           for i in range(P)]
     bounce = "pv" in sideA and "rest" in sideA
     if bounce:
         rest2 = jnp.reshape(restitution_threshold,
                             restitution_threshold.shape[:1]
                             + (1,) * (mu2.ndim - 1))
         e_pair = 0.5 * (sideA["rest"] + sideB["rest"])
-    for i in range(P):
-        if bounce:
+        targets = []
+        for i in range(P):
             vb = dot3(v3sub(pvel(sideB["pv"], sideB["pw"], rBs[i]),
                             pvel(sideA["pv"], sideA["pw"], rAs[i])), n2)
-            vbars.append(vb)
-            es.append(jnp.where(jnp.abs(vb) <= rest2, 0.0, e_pair))
-        else:
-            vbars.append(jnp.zeros_like(mu2))
-            es.append(jnp.zeros_like(mu2))
+            e = jnp.where(jnp.abs(vb) <= rest2, 0.0, e_pair)
+            targets.append(jnp.maximum(-e * vb, 0.0))
+    else:
+        targets = [jnp.zeros_like(mu2)] * P
 
-    # local velocity copies, updated sequentially point by point
-    vA, wA = sideA["v"], sideA["w"]
-    vB, wB = sideB["v"], sideB["w"]
-    vA0, wA0, vB0, wB0 = vA, wA, vB, wB
+    # perf-attribution ablations (wrong results; GEM_TPU_VEL_ABLATE=
+    # norest,nofric) — mirrors substep_kernel's GEM_TPU_SUBSTEP_ABLATE
+    import os as _os
+    _abl = set(filter(None, _os.environ.get(
+        "GEM_TPU_VEL_ABLATE", "").split(",")))
 
-    def apply_point(vA, wA, vB, wB, imp, i, mask):
-        """+imp to B, -imp to A at point i's arms, masked per pair."""
-        nvA = v3sub(vA, v3scale(imp, imA))
-        nvB = v3add(vB, v3scale(imp, imB))
-        dwA = qrot(rotA, vmap3(lambda a, b: a * b, iiA,
-                               qrot_inv(rotA, cross3(rAs[i],
-                                                     v3scale(imp, -1.0)))))
-        dwB = qrot(rotB, vmap3(lambda a, b: a * b, iiB,
-                               qrot_inv(rotB, cross3(rBs[i], imp))))
-        return (v3where(mask, nvA, vA), v3where(mask, v3add(wA, dwA), wA),
-                v3where(mask, nvB, vB), v3where(mask, v3add(wB, dwB), wB))
-
-    # ---- restitution: 2 sequential iterations over the points ----------
-    # (reference restitution_iters loop, physics.cpp:953-966).  The
-    # per-point generalized masses and targets are iteration-invariant:
-    # hoisted out of the loop.
-    wsum_ns = [jnp.maximum(gim(rAs[i], n2, imA, iiA, rotA)
-                           + gim(rBs[i], n2, imB, iiB, rotB), 1e-12)
-               for i in range(P)]
-    targets = [jnp.maximum(-es[i] * vbars[i], 0.0) for i in range(P)]
-    for _ in range(2):
+    # ---- restitution: 2 sequential Gauss-Seidel sweeps (reference
+    # restitution_iters loop, physics.cpp:953-966) -----------------------
+    lams = [jnp.zeros_like(mu2) for _ in range(P)]
+    for _ in range(0 if "norest" in _abl else 2):
         for i in range(P):
-            vpt = v3sub(pvel(vB, wB, rBs[i]), pvel(vA, wA, rAs[i]))
-            vn = dot3(vpt, n2)
-            imp = v3scale(n2, (targets[i] - vn) / wsum_ns[i])
-            vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, oks[i])
+            d = (targets[i] - vns[i]) * invKii_ok[i]
+            lams[i] = lams[i] + d
+            # j == i included: vn_i + K_ii*d == target exactly (live) or
+            # unchanged (dead, d == 0) — no select needed
+            for j in range(P):
+                vns[j] = vns[j] + K[i][j] * d
+
+    # assemble the restitution velocity state for the friction pass:
+    # dv = -/+ n * im * sum(lam); dw = -/+ sum(lam_i * u_i)
+    lam_sum = lams[0]
+    swA = v3scale(uAs[0], lams[0])
+    swB = v3scale(uBs[0], lams[0])
+    for i in range(1, P):
+        lam_sum = lam_sum + lams[i]
+        swA = v3add(swA, v3scale(uAs[i], lams[i]))
+        swB = v3add(swB, v3scale(uBs[i], lams[i]))
+    vA = v3sub(vA0, v3scale(n2, imA * lam_sum))
+    wA = v3sub(wA0, swA)
+    vB = v3add(vB0, v3scale(n2, imB * lam_sum))
+    wB = v3add(wB0, swB)
 
     # ---- dynamic friction: one sequential pass -------------------------
     # (reference applyFrictionVelocityUpdate, physics.cpp:755-817)
-    for i in range(P):
+    mu_h = mu2 / h2
+    dyn_mags = [mu_h * jnp.abs(lambda_n[:, i]) for i in range(P)]
+    for i in range(0 if "nofric" in _abl else P):
         vpt = v3sub(pvel(vB, wB, rBs[i]), pvel(vA, wA, rAs[i]))
         vn = dot3(vpt, n2)
         vt = v3sub(vpt, v3scale(n2, vn))
-        vt_len = norm3(vt)
-        that = v3scale(vt, 1.0 / jnp.maximum(vt_len, 1e-12))
-        dyn_mag = mu2 * jnp.abs(lams[i]) / h2
-        corrected = jnp.minimum(dyn_mag, vt_len)
+        # that unnormalized: fold 1/|vt| into the impulse scalar instead
+        # (one rsqrt, no vector normalize)
+        vt2 = dot3(vt, vt)
+        inv_len = jax.lax.rsqrt(jnp.maximum(vt2, 1e-24))
+        vt_len = vt2 * inv_len
+        dyn_mag = dyn_mags[i]
+        tA = cross3(rAs[i], vt)
+        tB = cross3(rBs[i], vt)
+        uA = _sym_mv(MA, tA)
+        uB = _sym_mv(MB, tB)
+        # generalized mass along vt_hat: the cross/dot terms carry |vt|^2
         wsum = jnp.maximum(
-            gim(rAs[i], that, imA, iiA, rotA)
-            + gim(rBs[i], that, imB, iiB, rotB), 1e-12)
-        imp = v3scale(that, -corrected / wsum)
-        mask = oks[i] & (vt_len > 1e-9) & (dyn_mag > 0)
-        vA, wA, vB, wB = apply_point(vA, wA, vB, wB, imp, i, mask)
+            imsum + (dot3(tA, uA) + dot3(tB, uB)) * inv_len * inv_len,
+            1e-12)
+        s = jnp.minimum(dyn_mag, vt_len) / wsum * inv_len
+        s = jnp.where((vt_len > 1e-9) & (dyn_mag > 0), s, 0.0) * okfs[i]
+        # impulse -s*vt at point i: dvA = +s*vt*imA, dwA = +s*uA/|vt|...
+        # all folded: uA here is MA (rA x vt), so dwA = s * uA exactly
+        vA = v3add(vA, v3scale(vt, s * imA))
+        wA = v3add(wA, v3scale(uA, s))
+        vB = v3sub(vB, v3scale(vt, s * imB))
+        wB = v3sub(wB, v3scale(uB, s))
 
     # ---- speculative near-miss clamp (depth <= 0): per-point Jacobi ----
     if speculative > 0:
-        n4 = vexpand(n2)
-        rA4 = v3sub(pts, vexpand(posA))
-        rB4 = v3sub(pts, vexpand(posB))
-
-        def point_vel4(v, w, r):
-            return v3add(vexpand(v), cross3(vexpand(w), r))
-
-        rel4 = v3sub(point_vel4(vB0, wB0, rB4), point_vel4(vA0, wA0, rA4))
-        vn4 = dot3(rel4, n4)
-        wA_n = _gen_inv_mass(rA4, n4, imA, iiA, rotA)
-        wB_n = _gen_inv_mass(rB4, n4, imB, iiB, rotB)
-        wsum_n = jnp.maximum(wA_n + wB_n, 1e-12)
         dep = contacts["depth"]
         okexp = bexp(contacts["ok"], 1, dep.shape)
         h3 = jnp.reshape(h, h.shape[:1] + (1, 1))
-        # allowed approach over one substep: vn >= depth/h (depth<0 =
-        # separation); dead manifold slots (depth=-BIG) gate off via dv>0
-        dv_spec = dep / h3 - vn4
-        s_ok = okexp & (dep <= 0) & (dv_spec > 0)
-        npts_s = jnp.maximum(jnp.sum(s_ok.astype(jnp.float32), axis=1,
-                                     keepdims=True), 1.0)
-        simp = v3scale(n4, jnp.where(s_ok, dv_spec / wsum_n, 0.0) / npts_s)
-        simp = tuple(jnp.where(s_ok, c, 0.0) for c in simp)
-        # per-point arms, applied in one shot (the angular update is
-        # linear in the impulse: sum the torques first, one qrot chain)
-        simp_sum = tuple(jnp.sum(c, axis=1) for c in simp)
-        tqA = tuple(jnp.sum(c, axis=1)
-                    for c in cross3(rA4, v3scale(simp, -1.0)))
-        tqB = tuple(jnp.sum(c, axis=1) for c in cross3(rB4, simp))
-        any_s = jnp.any(s_ok, axis=1)
-        nvA = v3sub(vA, v3scale(simp_sum, imA))
-        nvB = v3add(vB, v3scale(simp_sum, imB))
-        dwA = qrot(rotA, vmap3(lambda a, b: a * b, iiA,
-                               qrot_inv(rotA, tqA)))
-        dwB = qrot(rotB, vmap3(lambda a, b: a * b, iiB,
-                               qrot_inv(rotB, tqB)))
-        vA = v3where(any_s, nvA, vA)
-        wA = v3where(any_s, v3add(wA, dwA), wA)
-        vB = v3where(any_s, nvB, vB)
-        wB = v3where(any_s, v3add(wB, dwB), wB)
+        simp_scal = []
+        s_oks = []
+        for i in range(P):
+            vn4 = dot3(v3sub(pvel(vB0, wB0, rBs[i]),
+                             pvel(vA0, wA0, rAs[i])), n2)
+            # cA/uA above are zeroed on non-pt_ok points; speculative
+            # points are exactly those (depth <= 0) -> fresh arms here
+            cA_s = cross3(rAs[i], n2)
+            cB_s = cross3(rBs[i], n2)
+            uA_s = _sym_mv(MA, cA_s)
+            uB_s = _sym_mv(MB, cB_s)
+            wsum_n = jnp.maximum(imsum + dot3(cA_s, uA_s)
+                                 + dot3(cB_s, uB_s), 1e-12)
+            dv_spec = dep[:, i] / h3[:, 0] - vn4
+            s_ok = okexp[:, i] & (dep[:, i] <= 0) & (dv_spec > 0)
+            simp_scal.append(jnp.where(s_ok, dv_spec / wsum_n, 0.0))
+            s_oks.append(s_ok)
+        npts_s = sum(s.astype(jnp.float32) for s in s_oks)
+        inv_npts = 1.0 / jnp.maximum(npts_s, 1.0)
+        stot = jnp.zeros_like(mu2)
+        twA = (jnp.zeros_like(mu2),) * 3
+        twB = (jnp.zeros_like(mu2),) * 3
+        for i in range(P):
+            si = simp_scal[i] * inv_npts
+            stot = stot + si
+            cA_s = cross3(rAs[i], n2)
+            cB_s = cross3(rBs[i], n2)
+            twA = v3add(twA, v3scale(_sym_mv(MA, cA_s), si))
+            twB = v3add(twB, v3scale(_sym_mv(MB, cB_s), si))
+        vA = v3sub(vA, v3scale(n2, imA * stot))
+        wA = v3sub(wA, twA)
+        vB = v3add(vB, v3scale(n2, imB * stot))
+        wB = v3add(wB, twB)
 
     dvA = v3sub(vA, vA0)
     dwA_t = v3sub(wA, wA0)

@@ -281,3 +281,102 @@ def tune_physics_substep(num_worlds: int, bodies: int = 64,
     entry["metric_steps_per_s"] = {f"{m}/wt={w}": round(v, 1)
                                    for (m, w), v in results.items()}
     return entry
+
+
+_CAPACITY_VALIDATE_SNIPPET = """\
+import json
+import jax
+jax.config.update("jax_compilation_cache_dir", "{cache}")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+import numpy as np
+from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+sim = rb.make_executor(rb.RigidBenchConfig(
+    num_worlds={vw}, num_bodies={bodies}, contact_mode="pallas",
+    max_candidates={cands}, contact_refresh=True, seed=0))
+sim.run({vticks})
+sim.block_until_ready()
+ov = int(sum(np.asarray(v).sum() for v in sim.overflow_counters().values()))
+pos, mask = sim.get_exported(0)
+finite = bool(np.isfinite(np.asarray(pos)[np.asarray(mask)]).all())
+print("TUNE_RESULT " + json.dumps({{"overflow": ov, "finite": finite}}))
+"""
+
+
+def tune_physics_capacity(num_worlds: int, bodies: int = 64,
+                          ticks: int = 20,
+                          validate_ticks: int = 250) -> Dict[str, Any]:
+    """Sweep the candidate-capacity contract (max_candidates) for the
+    rigid-body workload class.  The capacity drives EVERY kernel axis
+    (pair gathers, segment-sum contraction, the sequential velocity
+    sweeps), so a tighter contract is the single largest lever — measured
+    1.6x at 8192x64 going 4n -> 2n — and it is LOSS-FREE whenever the
+    overflow counters stay zero (candidate sets identical => trajectories
+    bit-exact, verified on-chip).
+
+    Validation is therefore stricter than speed: a capacity can only win
+    if a LONG settle run (validate_ticks through pile formation, when
+    contact density peaks) reports zero overflow and finite trajectories
+    in a fresh subprocess.  Consumers additionally require an exact
+    ``bodies`` match (capacity does not extrapolate across body counts the
+    way mode choices do)."""
+    import subprocess
+    import sys
+
+    import jax
+
+    cache = jax.config.jax_compilation_cache_dir or "/root/.jax_cache"
+
+    def _build(cands):
+        return (
+            "from gpu_ecs_madrona_tpu.models import rigid_bench as rb\n"
+            f"sim = rb.make_executor(rb.RigidBenchConfig("
+            f"num_worlds={num_worlds}, num_bodies={bodies}, "
+            f"contact_mode='pallas', contact_refresh=True, "
+            f"max_candidates={cands}))")
+
+    def _overflow_clean(cands) -> bool:
+        vw = min(num_worlds, 2048)
+        code = _CAPACITY_VALIDATE_SNIPPET.format(
+            cache=cache, vw=vw, bodies=bodies, cands=cands,
+            vticks=validate_ticks)
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True, timeout=3600)
+        for line in r.stdout.splitlines():
+            if line.startswith("TUNE_RESULT "):
+                d = json.loads(line[len("TUNE_RESULT "):])
+                return d["overflow"] == 0 and d["finite"]
+        return False
+
+    # kernel pads K to x128: only x128 capacities are distinct configs
+    default_k = 4 * bodies
+    cand_ks = sorted({max(128, k) for k in
+                      (default_k // 2, (3 * default_k) // 4, default_k)})
+    results = {}
+    clean = {}
+    for k in cand_ks:
+        try:
+            results[k] = _measure_subprocess(_build(k), ticks)
+        except Exception:
+            continue
+        clean[k] = k == default_k or _overflow_clean(k)
+    if not results:
+        raise RuntimeError("no capacity config compiled")
+    eligible = {k: v for k, v in results.items() if clean.get(k)}
+    best = max(eligible or results, key=(eligible or results).get)
+    try:
+        heuristic = _measure_subprocess(
+            "import os; os.environ['GEM_TPU_EXEC_CONFIG_FILE'] = '/nonexistent'\n"
+            + _build(0), ticks)
+    except Exception:
+        heuristic = 0.0
+    entry = _finalize_entry(
+        "physics_capacity",
+        {"num_worlds": num_worlds, "bodies": bodies},
+        {"max_candidates": int(best), "for_bodies": int(bodies)},
+        results, best, heuristic, _build(best), ticks)
+    entry["overflow_clean"] = {str(k): bool(v) for k, v in clean.items()}
+    # a capacity that dropped pairs during validation must never be
+    # consumed regardless of speed
+    if not clean.get(best):
+        entry["validated"] = False
+    return entry

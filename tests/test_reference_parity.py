@@ -422,33 +422,52 @@ def oracle_stg_step(p, q, v, w, dt, num_substeps, bounds_lo, bounds_hi,
             om = 2.0 * dq[1:4] / h
             w2[i] = om if dq[0] >= 0 else -om
 
-        # velocity pass (physics.cpp:716-1009): dynamic friction (relaxed)
-        # + restitution (unrelaxed, Jacobi-mean over 1 point)
+        # velocity pass (physics.cpp:716-1009, the reference-exact
+        # sequential-within-manifold form of pairs.velocity_pass): per
+        # pair, LOCAL velocity copies get 2 bilateral restitution
+        # iterations then unrelaxed dynamic friction; deltas accumulate
+        # Jacobi across pairs.  (1-point sphere manifolds: the second
+        # restitution iteration is a no-op after the first lands on
+        # target.)
         dv = np.zeros((n, 3))
         dwv = np.zeros((n, 3))
         for (i, j, nrm, pt, pen), dlam in zip(contacts, lam):
             rA, rB = pt - p2[i], pt - p2[j]
-            rel = (v2[j] + np.cross(w2[j], rB)) - (v2[i] + np.cross(w2[i], rA))
-            vn = np.dot(rel, nrm)
-            vt = rel - vn * nrm
-            vt_len = np.linalg.norm(vt)
-            imp = np.zeros(3)
-            if vt_len > 1e-9:
-                that = vt / vt_len
-                wsum_t = gen_w(rA, that, q2[i]) + gen_w(rB, that, q2[j])
-                fmag = min(mu * abs(dlam) / h, vt_len / wsum_t)
-                imp += -fmag * that * relax
+            vA_l, wA_l = v2[i].copy(), w2[i].copy()
+            vB_l, wB_l = v2[j].copy(), w2[j].copy()
+
+            def apply_local(imp):
+                nonlocal vA_l, wA_l, vB_l, wB_l
+                vA_l = vA_l - imp * im
+                vB_l = vB_l + imp * im
+                wA_l = wA_l + _qrot(q2[i], ii * _qinv_rot(
+                    q2[i], np.cross(rA, -imp)))
+                wB_l = wB_l + _qrot(q2[j], ii * _qinv_rot(
+                    q2[j], np.cross(rB, imp)))
+
             vn_pre = np.dot((pv[j] + np.cross(pw[j], rB))
                             - (pv[i] + np.cross(pw[i], rA)), nrm)
             e = e_coef if abs(vn_pre) > thr else 0.0
+            target = max(-e * vn_pre, 0.0)
             wsum_n = gen_w(rA, nrm, q2[i]) + gen_w(rB, nrm, q2[j])
-            dv_n = -vn + max(-e * vn_pre, 0.0)
-            if dv_n > 0:
-                imp += dv_n / wsum_n * nrm
-            dv[i] += -imp * im
-            dv[j] += imp * im
-            dwv[i] += _qrot(q2[i], ii * _qinv_rot(q2[i], np.cross(rA, -imp)))
-            dwv[j] += _qrot(q2[j], ii * _qinv_rot(q2[j], np.cross(rB, imp)))
+            for _ in range(2):
+                rel = (vB_l + np.cross(wB_l, rB)) \
+                    - (vA_l + np.cross(wA_l, rA))
+                vn = np.dot(rel, nrm)
+                apply_local((target - vn) / wsum_n * nrm)
+            rel = (vB_l + np.cross(wB_l, rB)) - (vA_l + np.cross(wA_l, rA))
+            vn = np.dot(rel, nrm)
+            vt = rel - vn * nrm
+            vt_len = np.linalg.norm(vt)
+            dyn_mag = mu * abs(dlam) / h
+            if vt_len > 1e-9 and dyn_mag > 0:
+                that = vt / vt_len
+                wsum_t = gen_w(rA, that, q2[i]) + gen_w(rB, that, q2[j])
+                apply_local(-min(dyn_mag, vt_len) / wsum_t * that)
+            dv[i] += vA_l - v2[i]
+            dv[j] += vB_l - v2[j]
+            dwv[i] += wA_l - w2[i]
+            dwv[j] += wB_l - w2[j]
         p, q, v, w = p2, q2, v2 + dv, w2 + dwv
     return p, q, v, w
 
