@@ -64,9 +64,8 @@ class RigidBenchConfig:
     delta_t: float = 1 / 60
     max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
-    broadphase_mode: str = "auto"  # dense | sap | dense_owner | auto
+    broadphase_mode: str = "auto"  # dense | sap | auto
     sap_window: int = 0            # 0 = auto (min(n - 1, 64))
-    owner_degree: int = 4          # dense_owner per-body partner capacity
     # dense-broadphase rank-compaction degree cap (0 = exact top_k).
     # 12 covers the pile workload with rare accounted drops (~4 pairs per
     # 819K world-steps measured at 8192x64)
@@ -90,17 +89,9 @@ class RigidBenchConfig:
     seed: int = 0
 
     def resolved_broadphase(self) -> str:
-        # dense_owner (owner-major candidate lists) is opt-in: measured on
-        # v5e at 8192x64 it makes the broadphase cheaper (top_k 21.8 ->
-        # 11.7 ms) but the kernel's wider pair axis costs more than the
-        # static owner side saves (kernel 70 -> 152 ms) — net loss.  Kept
-        # for workloads with much higher pair fan-in where the global
-        # top_k dominates.
         return self.broadphase_mode
 
     def candidates(self) -> int:
-        if self.resolved_broadphase() == "dense_owner":
-            return self.owner_degree * 128
         if self.max_candidates:
             return self.max_candidates
         # exec-config artifact first (tooling/autotuner.tune_physics_capacity
@@ -188,8 +179,7 @@ class RigidBenchWorld:
         objmgr = cls.objmgr
         bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
             builder, [], Body, objmgr, mode=cfg.resolved_broadphase(),
-            sap_window=cfg.sap_window, owner_degree=cfg.owner_degree,
-            dense_degree=cfg.dense_degree)
+            sap_window=cfg.sap_window, dense_degree=cfg.dense_degree)
         ss = RigidBodyPhysicsSystem.setup_substep_tasks(
             builder, [bp], cfg.num_substeps, Body, objmgr,
             relaxation=cfg.relaxation, contact_mode=cfg.contact_mode,

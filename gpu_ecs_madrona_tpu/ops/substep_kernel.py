@@ -121,7 +121,7 @@ def _ablate():
         "GEM_TPU_SUBSTEP_ABLATE", "").split(",")))
 
 
-def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
+def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
     """Gather/segment-sum helpers for one program block.
 
     ISSUE-BOUND DISCIPLINE: measured on v5e, a VPU op on [32, 256] costs
@@ -136,22 +136,8 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
     chunk); one-hot MXU matmuls remain only for the segment-sums.
     Returns (oh_i, oh_j, gather_i, gather_j, segsum).
 
-    OWNER-MAJOR MODE (owner = degree D > 0): pair slot k = d * n + o holds
-    the d-th candidate of OWNER body o (the pair's higher row; emitted by
-    the dense_owner broadphase).  The j side is the owner, whose index is
-    the lane position itself, so everything j becomes STATIC:
-      * gather_j  = tile the body block D times (no dynamic gather)
-      * j segment-sum = sum of the D contiguous lane tiles (no one-hot,
-        no MXU matmul)
-      * oh_j is never built
-    Only the partner (i) side keeps the dynamic gather + one-hot matmul.
-    This halves the kernel's gather/scatter machinery and lets the
-    broadphase replace its global [n*n] -> K top_k compaction (measured
-    21.8 ms/step at 8192x64) with a per-owner top-D along a 64-wide axis.
     """
     ablate = _ablate()
-    if owner:
-        assert K == owner * n, (K, owner, n)
 
     def onehots(rows_ref):
         if "noonehot" in ablate:   # perf attribution only (wrong results)
@@ -203,28 +189,6 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=0):
         return gather
 
     oh_i = onehots(rows_i_ref)
-
-    if owner:
-        def gather_owner(mat, C):
-            # owner of slot d*n+o is body o: the "gather" is a static tile
-            del C
-            return jnp.concatenate([mat] * owner, axis=2)
-
-        def segsum_owner(packA, packB):
-            # partner side: one-hot matmul; owner side: slot d*n+o lands
-            # on body o -> sum of the D contiguous lane tiles
-            accA = jnp.stack([
-                jax.lax.dot_general(packA[w], oh_i[w],
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-                for w in range(Wt)], axis=0)
-            accB = packB[:, :, 0:n]
-            for d in range(1, owner):
-                accB = accB + packB[:, :, d * n:(d + 1) * n]
-            return accA + accB
-
-        return (oh_i, None, gather_with(rows_i_ref, oh_i),
-                gather_owner, segsum_owner)
 
     oh_j = onehots(rows_j_ref)
     # both sides' one-hots pre-concatenated along K: the i- and j-side
@@ -400,8 +364,7 @@ def _integrate(pos, rot, v, w, im, ii, extf, extt, dyn, h1, g):
 
 
 def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
-                 relaxation: float, speculative: float = 0.0,
-                 owner: int = 0):
+                 relaxation: float, speculative: float = 0.0):
     """Single-substep kernel (joint-interleaved path)."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
                out_ref):
@@ -413,7 +376,7 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         rest1 = scal_ref[:, 0, 1:2]
 
         oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
+            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
 
         gSA = gather_i(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
         gSB = gather_j(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
@@ -449,7 +412,7 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
 
 def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                        relaxation: float, num_substeps: int,
-                       speculative: float = 0.0, owner: int = 0,
+                       speculative: float = 0.0,
                        refresh: bool = False, sleep: bool = False):
     """All-substeps kernel: integrate + contact solve looped in VMEM.
 
@@ -490,7 +453,7 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                  scal_ref[:, 0, 4:5])
 
             oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-                Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref, owner=owner)
+                Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
 
             # static pair data: gathered ONCE, reused across substeps
             gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC],
@@ -602,14 +565,14 @@ def _pallas_specs(Wt, C_in, n, K, C_out):
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "interpret", "wt",
-                                              "speculative", "owner"))
+                                              "speculative"))
 def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-         interpret, wt=None, speculative=0.0, owner=0):
+         interpret, wt=None, speculative=0.0):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
-        _make_kernel(tables, Wt, n, K, relaxation, speculative, owner),
+        _make_kernel(tables, Wt, n, K, relaxation, speculative),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, C_OUT, n), jnp.float32),
         interpret=interpret,
@@ -621,17 +584,17 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "num_substeps", "interpret",
-                                              "wt", "speculative", "owner",
+                                              "wt", "speculative",
                                               "refresh", "sleep"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-               num_substeps, interpret, wt=None, speculative=0.0, owner=0,
+               num_substeps, interpret, wt=None, speculative=0.0,
                refresh=False, sleep=False):
     W, _, n = packed.shape
     K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     return pl.pallas_call(
         _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
-                           speculative, owner, refresh, sleep),
+                           speculative, refresh, sleep),
         grid=(W // Wt,),
         out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
         interpret=interpret,
@@ -674,14 +637,12 @@ class SubstepKernel:
     """
 
     def __init__(self, object_manager, relaxation: float = 1.0,
-                 interpret: bool = False, wt=None, speculative: float = 0.0,
-                 owner_degree: int = 0):
+                 interpret: bool = False, wt=None, speculative: float = 0.0):
         self.tables = pk.ObjTables(object_manager)
         self.relaxation = float(relaxation)
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
         self.speculative = float(speculative)
-        self.owner_degree = int(owner_degree)
 
     def __call__(self, *, pos, rot, v, w, prev_pos, prev_rot, im, ii,
                  mu_s, mu_d, obj, dyn, rows_i, rows_j,
@@ -703,12 +664,8 @@ class SubstepKernel:
         while n < n0:
             n *= 2
         packed = _pad_lanes(packed, n0, n)
-        if self.owner_degree:
-            assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \
-                (n, rows_i.shape, self.owner_degree)
-        else:
-            rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
-                                                rows_i.shape[1])
+        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                            rows_i.shape[1])
         scal = jnp.stack([h, restitution_threshold] + [jnp.zeros_like(h)] * 6,
                          axis=1)                      # [W, 8]
 
@@ -716,8 +673,7 @@ class SubstepKernel:
                    kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
                    tables=self.tables, relaxation=self.relaxation,
                    interpret=self.interpret, wt=self.wt,
-                   speculative=self.speculative,
-                   owner=self.owner_degree)              # [W, C_OUT, n]
+                   speculative=self.speculative)         # [W, C_OUT, n]
         out = out[:, :, :n0]
         return (_T(out[:, 0:3]), _T(out[:, 3:7]), _T(out[:, 7:10]),
                 _T(out[:, 10:13]))
@@ -733,7 +689,7 @@ class FusedSubstepKernel:
 
     def __init__(self, object_manager, num_substeps: int,
                  relaxation: float = 1.0, interpret: bool = False, wt=None,
-                 speculative: float = 0.0, owner_degree: int = 0,
+                 speculative: float = 0.0,
                  contact_refresh: bool = False):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
@@ -741,7 +697,6 @@ class FusedSubstepKernel:
         self.interpret = bool(interpret)
         self.wt = wt  # None = heuristic/env (see _pick_wt)
         self.speculative = float(speculative)
-        self.owner_degree = int(owner_degree)
         self.contact_refresh = bool(contact_refresh)
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
@@ -761,12 +716,8 @@ class FusedSubstepKernel:
         while n < n0:
             n *= 2
         packed = _pad_lanes(packed, n0, n)
-        if self.owner_degree:
-            assert n == 128 and rows_i.shape[1] == self.owner_degree * n, \
-                (n, rows_i.shape, self.owner_degree)
-        else:
-            rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
-                                                rows_i.shape[1])
+        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                            rows_i.shape[1])
         act = (jnp.ones_like(h) if active is None
                else active.astype(jnp.float32))
         scal = jnp.stack(
@@ -779,7 +730,7 @@ class FusedSubstepKernel:
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
             wt=self.wt, speculative=self.speculative,
-            owner=self.owner_degree, refresh=self.contact_refresh,
+            refresh=self.contact_refresh,
             sleep=active is not None)
         out = out[:, :, :n0]
         return {

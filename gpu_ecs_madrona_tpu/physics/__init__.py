@@ -89,19 +89,10 @@ CollisionEventTemporary = Archetype("CollisionEventTemporary", [CollisionEvent])
 JointArchetype = Archetype("JointArchetype", [JointConstraint])
 
 
-def _candidate_rows(ctx: Context, owner_deg: int):
-    """Candidate pair rows + validity for the substep consumers.
-
-    Owner-major layouts (dense_owner broadphase) encode per-slot validity
-    as i = -1 in the VALUES (the row mask is all-on; see
-    find_overlaps_owner); the compacted layouts use the row mask."""
+def _candidate_rows(ctx: Context):
+    """Candidate pair rows + validity for the substep consumers."""
     rowsc = ctx.column(CandidateRowsTemporary, CandidatePairRows)
-    if owner_deg:
-        kmask = rowsc["i"] >= 0
-        rowsc = {"i": jnp.maximum(rowsc["i"], 0),
-                 "j": jnp.maximum(rowsc["j"], 0)}
-    else:
-        kmask = ctx.row_mask(CandidateRowsTemporary)
+    kmask = ctx.row_mask(CandidateRowsTemporary)
     return rowsc, kmask
 
 
@@ -194,7 +185,6 @@ class RigidBodyPhysicsSystem:
         sap_window: int = 0,
         sap_globals: int = 4,
         sap_degree: int = 16,
-        owner_degree: int = 4,
         dense_degree: int = 0,
     ) -> NodeID:
         """reference setupBroadphaseTasks (broadphase.cpp:934-956):
@@ -227,23 +217,8 @@ class RigidBodyPhysicsSystem:
         cap_n = builder.mgr.registry.archetypes[arch.name].capacity
         if mode == "auto":
             mode = "dense" if cap_n <= 128 else "sap"
-        if mode not in ("dense", "sap", "dense_owner"):
+        if mode not in ("dense", "sap"):
             raise ValueError(f"unknown broadphase mode {mode!r}")
-        if mode == "dense_owner":
-            if cap_n > 128:
-                raise ValueError("dense_owner broadphase requires body "
-                                 f"capacity <= 128 (got {cap_n})")
-            k_need = owner_degree * 128
-            k_have = builder.mgr.registry.archetypes[
-                CandidateRowsTemporary.name].capacity
-            if k_have != k_need:
-                raise ValueError(
-                    f"dense_owner(D={owner_degree}) needs "
-                    f"max_candidates={k_need} at register_types "
-                    f"(got {k_have})")
-            # consumed by setup_substep_tasks to configure the kernel's
-            # owner-major pair layout
-            builder._gem_owner_degree = owner_degree
 
         def update_aabbs(ctx: Context):
             pos = ctx.column(arch, base.Position)
@@ -387,76 +362,6 @@ class RigidBodyPhysicsSystem:
             counts = counts - excess
             emit_candidates(ctx, counts, pair_idx // n, pair_idx % n)
 
-        def find_overlaps_owner(ctx: Context):
-            # owner-major candidate lists for the Pallas kernel (see
-            # ops/substep_kernel.py _mk_pair_io owner mode): every pair is
-            # owned by its HIGHER row; owner o's d-th partner lands in
-            # slot d*128 + o (partner row, or -1 for empty).  This
-            # replaces the global [n*n] -> K top_k compaction (a full
-            # per-world sort, 21.8 ms/step at 8192x64) with a per-owner
-            # top-D along the 64-wide partner axis, and makes the
-            # kernel's owner side fully static.
-            D = owner_degree
-            aabb = ctx.column(arch, CollisionAABB)
-            mask = ctx.row_mask(arch)
-            lo, hi = aabb["lo"], aabb["hi"]
-            ok = m.aabb_overlaps(
-                lo[:, :, None, :], hi[:, :, None, :],
-                lo[:, None, :, :], hi[:, None, :, :])
-            n = mask.shape[1]
-            ok = ok & mask[:, :, None] & mask[:, None, :]
-            ok = ok & jnp.triu(jnp.ones((n, n), bool), k=1)[None]
-            W = ok.shape[0]
-
-            # ok is upper-triangular in (i=lower, j=owner): transpose so
-            # axis 1 is the owner, axis 2 its lower-row partners
-            ok_t = jnp.swapaxes(ok, 1, 2)                 # [W, owner, partner]
-            vals, partners = jax.lax.top_k(ok_t.astype(jnp.int8), D)
-            pvalid = vals > 0                             # [W, n, D]
-
-            # degree-capacity accounting (no silent clipping)
-            deg = jnp.sum(ok_t.astype(jnp.int32), axis=2)
-            excess = jnp.sum(jnp.maximum(deg - D, 0), axis=1)
-            debug.check(excess == 0,
-                        f"dense_owner degree cap D={D} exceeded: dropped "
-                        "pairs={} per world — raise owner_degree", excess)
-            ctx.add_overflow(CandidateRowsTemporary, excess)
-
-            # d-major slot layout, owners padded to the kernel's 128 lanes
-            ri = jnp.where(pvalid, partners.astype(jnp.int32), -1)
-            ri = jnp.swapaxes(ri, 1, 2)                   # [W, D, n]
-            ri = jnp.pad(ri, ((0, 0), (0, 0), (0, 128 - n)),
-                         constant_values=-1).reshape(W, D * 128)
-            owner_rows = jnp.broadcast_to(
-                jnp.arange(128, dtype=jnp.int32)[None, None, :], (W, D, 128)
-            ).reshape(W, D * 128)
-            owner_rows = jnp.where(ri >= 0, owner_rows, -1)
-            cap = ctx.mgr.registry.archetypes[CandidateRowsTemporary.name]\
-                .capacity
-            # positional layout: every slot "live", per-slot validity is
-            # encoded as i = -1 (the substep consumer derives
-            # kvalid = i >= 0 and clamps before gathering)
-            ctx.emit_temporaries(
-                CandidateRowsTemporary,
-                counts=jnp.full((W,), cap, jnp.int32),
-                values={CandidatePairRows: {"i": ri, "j": owner_rows}})
-
-            # API-parity candidate entities via the compacted path — only
-            # materialized if someone observes CandidateTemporary (DCE)
-            flat = ok.reshape(W, n * n)
-            counts = jnp.sum(flat.astype(jnp.int32), axis=1)
-            k_cap = ctx.mgr.registry.archetypes[CandidateTemporary.name]\
-                .capacity
-            k_eff = min(k_cap, n * n)
-            _, pair_idx = jax.lax.top_k(flat.astype(jnp.int8), k_eff)
-            from gpu_ecs_madrona_tpu.core.state import batched_gather
-            ents = ctx.entity_column(arch)
-            a_ent = batched_gather(ents, pair_idx // n)
-            b_ent = batched_gather(ents, pair_idx % n)
-            ctx.emit_temporaries(
-                CandidateTemporary, counts=counts,
-                values={CandidateCollision: {"a": a_ent, "b": b_ent}})
-
         def find_overlaps_sap(ctx: Context):
             # sweep-and-prune: one XLA sort along x, then each body tests
             # only its next S neighbors in sorted order.  O(n log n + n*S)
@@ -582,8 +487,7 @@ class RigidBodyPhysicsSystem:
                         "— raise sap_window", sat_counts)
             ctx.add_overflow(CandidateRowsTemporary, sat_counts)
 
-        node = {"dense": find_overlaps, "sap": find_overlaps_sap,
-                "dense_owner": find_overlaps_owner}[mode]
+        node = {"dense": find_overlaps, "sap": find_overlaps_sap}[mode]
         return builder.add_node(node, [n_aabb], name="bp_find_overlaps")
 
     @staticmethod
@@ -687,12 +591,6 @@ class RigidBodyPhysicsSystem:
 
         if contact_mode not in ("dense", "pairs", "pallas"):
             raise ValueError(f"unknown contact_mode {contact_mode!r}")
-        owner_deg = getattr(builder, "_gem_owner_degree", 0)
-        if owner_deg and contact_mode != "pallas":
-            raise ValueError(
-                "dense_owner broadphase emits owner-major candidate rows "
-                "that only contact_mode='pallas' consumes "
-                f"(got {contact_mode!r})")
         if contact_mode == "pairs":
             obj_tables = pk.ObjTables(object_manager)
         jinfo = builder.mgr.registry.archetypes.get(JointArchetype.name)
@@ -714,14 +612,12 @@ class RigidBodyPhysicsSystem:
                 # joint solve in XLA between calls
                 substep_kernel = SubstepKernel(
                     object_manager, relaxation=relaxation, interpret=interp,
-                    wt=substep_wt, speculative=speculative_margin,
-                    owner_degree=owner_deg)
+                    wt=substep_wt, speculative=speculative_margin)
             else:
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
                     relaxation=relaxation, interpret=interp, wt=substep_wt,
                     speculative=speculative_margin,
-                    owner_degree=owner_deg,
                     contact_refresh=contact_refresh)
         if sleep_threshold > 0.0 and (contact_mode != "pallas" or has_joints):
             raise ValueError(
@@ -836,7 +732,7 @@ class RigidBodyPhysicsSystem:
                         p2, r2 = solve_joints_at(new_pos, new_rot)
                         writeback(p2, r2, v, w)
                         return
-                    rowsc, kmask = _candidate_rows(ctx, owner_deg)
+                    rowsc, kmask = _candidate_rows(ctx)
                     p2, r2, v3_, w3_ = substep_kernel(
                         pos=new_pos, rot=new_rot, v=v, w=w,
                         prev_pos=prev_pos, prev_rot=prev_rot,
@@ -1061,7 +957,7 @@ class RigidBodyPhysicsSystem:
                 vel = ctx.column(arch, Velocity)
                 resp = ctx.column(arch, ResponseType)
                 dyn = (resp == RESPONSE_DYNAMIC) & mask
-                rowsc, kmask = _candidate_rows(ctx, owner_deg)
+                rowsc, kmask = _candidate_rows(ctx)
                 active = None
                 if sleep_threshold > 0.0:
                     # world-level sleep classifier (see docstring): all

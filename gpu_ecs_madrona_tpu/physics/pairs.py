@@ -1218,9 +1218,19 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
     rB = v3sub(pts, vexpand(posB))
     n4 = vexpand(contacts["normal"])         # [W,1,K]
 
-    wA = _gen_inv_mass(rA, n4, sideA["im"], sideA["ii"], rotA)
-    wB = _gen_inv_mass(rB, n4, sideB["im"], sideB["ii"], rotB)
-    wsum = wA + wB
+    # world-frame inverse-inertia matrices (one per pair side, shared by
+    # the normal + friction directions and all 4 points — replaces every
+    # quaternion rotate-scale-rotate chain; see _sym_from_quat_ii)
+    MA = tuple(expand(c) for c in _sym_from_quat_ii(rotA, sideA["ii"]))
+    MB = tuple(expand(c) for c in _sym_from_quat_ii(rotB, sideB["ii"]))
+    imA4, imB4 = expand(sideA["im"]), expand(sideB["im"])
+    imsum = imA4 + imB4
+
+    cA = cross3(rA, n4)
+    cB = cross3(rB, n4)
+    uA = _sym_mv(MA, cA)                     # d-omega response per unit
+    uB = _sym_mv(MB, cB)                     # impulse along n
+    wsum = imsum + dot3(cA, uA) + dot3(cB, uB)
     depth_vis = jnp.minimum(depth, max_visible_depth)
     ok_w = pt_ok & (wsum > 1e-12)
     inv_w = 1.0 / jnp.maximum(wsum, 1e-12)
@@ -1228,9 +1238,12 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
     dlam_vis = jnp.where(ok_w, depth_vis * inv_w, 0.0) * relaxation
     bias_frac = jnp.where(dlam > 1e-12,
                           (dlam - dlam_vis) / jnp.maximum(dlam, 1e-12), 0.0)
-    p = v3scale(n4, dlam)
-    dxA, dwA = _apply_impulse(v3scale(p, -1.0), rA, sideA["im"], sideA["ii"], rotA)
-    dxB, dwB = _apply_impulse(p, rB, sideB["im"], sideB["ii"], rotB)
+    # impulse -dlam*n on A, +dlam*n on B:
+    # dx = im * p ; dw = M (r x p) = -/+ dlam * u
+    dxA = v3scale(n4, -dlam * imA4)
+    dwA = v3scale(uA, -dlam)
+    dxB = v3scale(n4, dlam * imB4)
+    dwB = v3scale(uB, dlam)
 
     # static friction (physics.cpp:369-441)
     drift = vexpand(v3sub(v3sub(posB, sideB["prev_pos"]),
@@ -1238,19 +1251,20 @@ def positional_pass(sideA, sideB, contacts, relaxation=1.0,
     tang = v3sub(drift, v3scale(n4, dot3(drift, n4)))
     tlen = norm3(tang)
     that = v3scale(tang, 1.0 / jnp.maximum(tlen, 1e-12))
-    wA_t = _gen_inv_mass(rA, that, sideA["im"], sideA["ii"], rotA)
-    wB_t = _gen_inv_mass(rB, that, sideB["im"], sideB["ii"], rotB)
-    wsum_t = wA_t + wB_t
+    tA = cross3(rA, that)
+    tB = cross3(rB, that)
+    uA_t = _sym_mv(MA, tA)
+    uB_t = _sym_mv(MB, tB)
+    wsum_t = imsum + dot3(tA, uA_t) + dot3(tB, uB_t)
     mu_pair = (0.5 * (sideA["mu"] + sideB["mu"]))[:, None, :]
     dlam_t = jnp.where(
         pt_ok & (wsum_t > 1e-12) & (tlen < mu_pair * dlam),
         tlen / jnp.maximum(wsum_t, 1e-12), 0.0) * relaxation
-    pt_i = v3scale(that, dlam_t)
-    fxA, fwA = _apply_impulse(pt_i, rA, sideA["im"], sideA["ii"], rotA)
-    fxB, fwB = _apply_impulse(v3scale(pt_i, -1.0), rB, sideB["im"],
-                              sideB["ii"], rotB)
-    dxA, dwA = v3add(dxA, fxA), v3add(dwA, fwA)
-    dxB, dwB = v3add(dxB, fxB), v3add(dwB, fwB)
+    # impulse +dlam_t*that on A, -dlam_t*that on B
+    dxA = v3add(dxA, v3scale(that, dlam_t * imA4))
+    dwA = v3add(dwA, v3scale(uA_t, dlam_t))
+    dxB = v3add(dxB, v3scale(that, -dlam_t * imB4))
+    dwB = v3add(dwB, v3scale(uB_t, -dlam_t))
 
     def pack(dx, dw):
         def s(c):

@@ -598,3 +598,18 @@ def test_edge_edge_contact_point():
     np.testing.assert_allclose(ptk[2], root2 - delta / 2, atol=0.02)
     np.testing.assert_allclose(np.asarray(ck["depth"])[0, 0, 0], delta,
                                atol=1e-4)
+
+
+@pytest.mark.slow
+def test_pallas_kernel_beyond_128_bodies():
+    """>128 bodies pad to the next power-of-two lane count (the kernel's
+    batched one-hot build needs a power-of-two lane mask; regression for
+    the n=129 -> 136-lane assert)."""
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    cfg = rb.RigidBenchConfig(num_worlds=2, num_bodies=130, seed=0,
+                              contact_mode="pallas", broadphase_mode="sap",
+                              max_candidates=512)
+    sim = rb.make_executor(cfg, donate=False)
+    sim.run(3)
+    pos, mask = sim.get_exported(0)
+    assert np.isfinite(np.asarray(pos)[np.asarray(mask)]).all()
