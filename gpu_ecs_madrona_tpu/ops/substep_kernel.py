@@ -152,13 +152,18 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
         return ((r_iota == rows_b) & valid_b).astype(
             jnp.float32).reshape(Wt, n, K)
 
-    native = ((n == 128) and (K % n == 0)
+    # Mosaic's dynamic lane gather operates within one 128-lane tile;
+    # bodies beyond 128 lanes chunk into n/128 tile-gathers + selects
+    # per K-chunk (round-4: the >128-body path previously fell back to
+    # one-hot dot-gathers — [C, n] x [n, 128] matmuls per world — which
+    # left 8192x128 at half speed)
+    native = ((n % 128 == 0) and (K % 128 == 0)
               and os.environ.get("GEM_TPU_SUBSTEP_NATIVE", "1") != "0")
 
     def gather_with(rows_ref, ohs):
         def gather(mat, C):
             # mat [Wt, C, n] -> [Wt, C, K]; one take_along_axis per
-            # lane-tile chunk covering ALL worlds and channels
+            # (lane-tile chunk x body tile) covering ALL channels
             if "nogather" in ablate:  # perf attribution only (wrong results)
                 return jnp.concatenate([mat] * (K // n), axis=2)
             if not native:
@@ -167,25 +172,27 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
                                         (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32)
                     for w in range(Wt)], axis=0)
-            if os.environ.get("GEM_TPU_SUBSTEP_BATCHIO", "0") == "0":
-                outs = []
-                for w in range(Wt):
-                    xw = mat[w]                              # [C, n]
-                    chunks = []
-                    for c0 in range(0, K, n):
-                        idx = rows_ref[w, :, c0:c0 + n]      # [1, n]
-                        chunks.append(jnp.take_along_axis(
-                            xw, jnp.broadcast_to(idx, (C, n)), axis=1))
-                    outs.append(jnp.concatenate(chunks, axis=1))
-                return jnp.stack(outs, axis=0)
-            mat2 = mat.reshape(Wt * C, n)
-            chunks = []
-            for c0 in range(0, K, n):
-                idx = rows_ref[:, :, c0:c0 + n]              # [Wt, 1, n]
-                idxb = jnp.broadcast_to(idx, (Wt, C, n)).reshape(Wt * C, n)
-                chunks.append(jnp.take_along_axis(mat2, idxb, axis=1)
-                              .reshape(Wt, C, n))
-            return jnp.concatenate(chunks, axis=2)
+            n_tiles = n // 128
+            outs = []
+            for w in range(Wt):
+                xw = mat[w]                              # [C, n]
+                chunks = []
+                for c0 in range(0, K, 128):
+                    idx = rows_ref[w, :, c0:c0 + 128]    # [1, 128]
+                    idxb = jnp.broadcast_to(idx, (C, 128))
+                    if n_tiles == 1:
+                        chunks.append(jnp.take_along_axis(xw, idxb, axis=1))
+                        continue
+                    acc = jnp.zeros((C, 128), xw.dtype)
+                    for t in range(n_tiles):
+                        tile = xw[:, t * 128:(t + 1) * 128]
+                        g = jnp.take_along_axis(
+                            tile, jnp.clip(idxb - t * 128, 0, 127), axis=1)
+                        sel = (idxb >= t * 128) & (idxb < (t + 1) * 128)
+                        acc = jnp.where(sel, g, acc)
+                    chunks.append(acc)
+                outs.append(jnp.concatenate(chunks, axis=1))
+            return jnp.stack(outs, axis=0)
         return gather
 
     oh_i = onehots(rows_i_ref)
