@@ -86,11 +86,24 @@ def main():
     n_windows = max(3, int(os.environ.get("BENCH_WINDOWS", 5)))
     ticks_per_window = max(1, NUM_TICKS // n_windows)
     stage(f"timing {n_windows} windows x {ticks_per_window} ticks")
+    import numpy as _np
+
+    def drain():
+        # block_until_ready alone UNDER-WAITS on the axon tunnel (round-4
+        # discovery: a 1000-tick collisions window "completed" in 117 ms
+        # of dispatch while 6.2 s of device work stayed queued — a 53x
+        # inflated headline).  Only materializing a VALUE on the host is
+        # a true barrier; fetch one scalar of the final state.
+        leaf = jax.tree_util.tree_leaves(sim.state)[0]
+        _np.asarray(leaf[(0,) * leaf.ndim])
+
     window_s = []
+    drain()
     for i in range(n_windows):
         start = time.perf_counter()
         sim.run(ticks_per_window)
         sim.block_until_ready()
+        drain()
         window_s.append(time.perf_counter() - start)
         stage(f"  window {i}: {window_s[-1] * 1e3:.1f} ms")
     window_tput = sorted(ticks_per_window * NUM_WORLDS / s for s in window_s)

@@ -42,11 +42,22 @@ def main():
     # multi-window timing (VERDICT r3 #6): min/median/max across windows
     # separates chip contention from real regression
     n_windows = max(3, int(os.environ.get("BENCH_WINDOWS", 3)))
+    import numpy as _np
+    import jax as _jax
+
+    def drain():
+        # true host-value barrier: block_until_ready under-waits on the
+        # axon tunnel (see bench.py)
+        leaf = _jax.tree_util.tree_leaves(sim.state)[0]
+        _np.asarray(leaf[(0,) * leaf.ndim])
+
     window_s = []
+    drain()
     for _ in range(n_windows):
         start = time.perf_counter()
         sim.run(NUM_TICKS)
         sim.block_until_ready()
+        drain()
         window_s.append(time.perf_counter() - start)
     window_tput = sorted(NUM_TICKS * NUM_WORLDS / s for s in window_s)
 

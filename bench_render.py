@@ -7,7 +7,8 @@ vk/batch_renderer.cpp:465-683).
 
 Env knobs: BENCH_RENDER_WORLDS (1024), BENCH_RENDER_RES (64),
 BENCH_RENDER_OBJECTS (32), BENCH_RENDER_TICKS (30),
-BENCH_RENDER_BACKEND (auto|xla|pallas).
+BENCH_RENDER_BACKEND (auto|xla|pallas), BENCH_RENDER_TILE (0 = dense),
+BENCH_RENDER_MESH=1 (triangle render mesh on the spheres).
 """
 
 import json
@@ -21,6 +22,7 @@ NUM_OBJECTS = int(os.environ.get("BENCH_RENDER_OBJECTS", 32))
 NUM_TICKS = int(os.environ.get("BENCH_RENDER_TICKS", 30))
 BACKEND = os.environ.get("BENCH_RENDER_BACKEND", "auto")
 TILE = int(os.environ.get("BENCH_RENDER_TILE", 0))
+MESH = os.environ.get("BENCH_RENDER_MESH") == "1"
 
 
 def main():
@@ -34,14 +36,25 @@ def main():
     sim = stg.make_executor(stg.SimpleTaskgraphConfig(
         num_worlds=NUM_WORLDS, num_objects=NUM_OBJECTS, seed=0,
         render=True, render_width=RES, render_height=RES,
-        render_backend=BACKEND, render_tile=TILE))
+        render_backend=BACKEND, render_tile=TILE, render_mesh=MESH))
+
+    import jax as _jax
+    import numpy as _np
+
+    def drain():
+        # true host-value barrier (see bench.py: block_until_ready
+        # under-waits on the axon tunnel)
+        leaf = _jax.tree_util.tree_leaves(sim.state)[0]
+        _np.asarray(leaf[(0,) * leaf.ndim])
 
     sim.run(3)
     sim.block_until_ready()
+    drain()
 
     start = time.perf_counter()
     sim.run(NUM_TICKS)
     sim.block_until_ready()
+    drain()
     elapsed = time.perf_counter() - start
 
     import numpy as np
@@ -57,7 +70,8 @@ def main():
     ms_per_batch = elapsed / NUM_TICKS * 1000.0
     print(json.dumps({
         "metric": (f"render+physics frames/s @ {NUM_WORLDS} worlds, "
-                   f"{RES}x{RES}, {NUM_OBJECTS} objs, {BACKEND}"),
+                   f"{RES}x{RES}, {NUM_OBJECTS} objs, {BACKEND}"
+                   + (", tri-mesh" if MESH else "")),
         "value": round(frames_per_s, 1),
         "unit": "frames/s",
         "vs_baseline": round(frames_per_s / 1_000_000.0, 4),

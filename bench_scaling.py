@@ -32,12 +32,22 @@ def measure(num_devices: int, worlds_per_device: int, ticks: int) -> float:
         out_shardings=shardings,
         donate_argnums=0,
     )
+    import numpy as _np
+
+    def drain(s):
+        # true host-value barrier (see bench.py: block_until_ready
+        # under-waits on the axon tunnel)
+        leaf = jax.tree_util.tree_leaves(s)[0]
+        _np.asarray(leaf[(0,) * leaf.ndim])
+
     state = step(state)
     jax.block_until_ready(state)
+    drain(state)
     t0 = time.perf_counter()
     for _ in range(ticks):
         state = step(state)
     jax.block_until_ready(state)
+    drain(state)
     elapsed = time.perf_counter() - t0
     return ticks * W / elapsed
 

@@ -143,13 +143,23 @@ class TaskGraphExecutor:
 
     # -- export (reference getExported / python bindings) -------------------
 
-    def get_exported(self, slot: int):
+    def get_exported(self, slot: int, packed: bool = False):
         """Zero-copy view of an exported column: (values [W, cap, ...],
         live row mask [W, cap]).  Analog of reference exportColumn /
         Tensor hand-off (src/core/state.cpp:437-487, python/bindings.cpp).
         Unlike the reference's packed copy-out pipeline
         (device/consts.cpp:137-273), the column is already dense per world —
         no copy happens.
+
+        packed=True returns the reference's cross-world packed layout
+        (exportBlockSums + exportCopyOut, device/consts.cpp:137-273)
+        instead: (values [W*cap, ...] with every live row compacted to
+        the front in (world, row) order, counts [W] int32, offsets [W]
+        int32 exclusive prefix) — world w's rows live at
+        [offsets[w] : offsets[w] + counts[w]].  This is a copy (one
+        stable sort), sized for external (e.g. torch) consumers that
+        want dense rows without reimplementing compaction; rows past
+        counts.sum() are zero padding.
 
         NOTE: exports are *snapshots* of the current state, not stable
         pointers.  With donation on (default), stepping invalidates arrays
@@ -160,7 +170,25 @@ class TaskGraphExecutor:
         info = self.registry.exports[slot]
         vals = self.mgr.column(self._state, info.archetype, info.comp)
         mask = self.mgr.row_mask(self._state, info.archetype)
-        return vals, mask
+        if not packed:
+            return vals, mask
+        W, cap = mask.shape
+        flat_mask = jnp.reshape(mask, (W * cap,))
+        # live rows first, (world, row) order preserved (stable)
+        order = jnp.argsort(~flat_mask, stable=True)
+
+        def pack_leaf(x):
+            flat = jnp.reshape(x, (W * cap,) + x.shape[2:])
+            kept = jnp.take(flat, order, axis=0)
+            live = flat_mask[order]
+            return jnp.where(
+                jnp.reshape(live, (W * cap,) + (1,) * (kept.ndim - 1)),
+                kept, jnp.zeros_like(kept))
+
+        packed_vals = jax.tree_util.tree_map(pack_leaf, vals)
+        counts = jnp.sum(mask, axis=1, dtype=jnp.int32)
+        offsets = jnp.cumsum(counts) - counts
+        return packed_vals, counts, offsets
 
     def set_exported(self, slot: int, value):
         """External write-back (reference copyInExportedColumns,

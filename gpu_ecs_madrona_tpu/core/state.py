@@ -61,11 +61,20 @@ _ONEHOT_GATHER_MAX_CAP = 2048
 
 
 def _onehot_matmul(oh: jax.Array, flat: jax.Array) -> jax.Array:
-    """oh: [W, K, cap] f32; flat: [W, cap, D] f32 -> [W, K, D]."""
+    """oh: [W, K, cap] f32; flat: [W, cap, D] f32 -> [W, K, D].
+
+    The VALUES side must be EXACT (utils/math.py EXACT note): the TPU MXU
+    default is one bf16 pass, which silently truncates every gathered
+    float to ~3 digits — caught on-chip as 0.098-wrong contact normals in
+    the simple_jobs XLA narrowphase (the fused kernel's native gathers
+    were exact and exposed the diff).  The one-hot side is 0/1 and stays
+    DEFAULT."""
+    from gpu_ecs_madrona_tpu.utils import math as _m
     return jax.lax.dot_general(
         oh, flat,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
+        precision=(_m.DEFAULT_P, _m.EXACT),
     )
 
 

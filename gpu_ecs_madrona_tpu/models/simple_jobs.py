@@ -51,6 +51,15 @@ class SimpleJobsConfig:
     # accounted and check()-gated, never silently dropped.
     degree_cap: int = 32
     seed: int = 0
+    # fuse the whole tick into ONE pallas_call
+    # (ops/simple_jobs_kernel.py): clamp + AABB + overlap + rank
+    # compaction + narrowphase + solver VMEM-resident, with a per-chunk
+    # dead-slot skip so compaction work scales with actual pairs instead
+    # of the max_pairs contract.  None = auto (TPU only; interpret mode
+    # off-TPU is debug-speed).  Candidate slots are identical integers to
+    # the XLA 'rank' mode; trajectories match to fp-reassociation
+    # tolerance (the solver uses the subtract-first distance form).
+    fused: bool = None
 
 
 class SimpleJobsWorld:
@@ -95,6 +104,38 @@ class SimpleJobsWorld:
     def setup_tasks(cls, builder: TaskGraphBuilder):
         cfg = cls.config
         K = cfg.max_pairs
+
+        fused = cfg.fused
+        if fused is None:
+            from gpu_ecs_madrona_tpu.utils.platform import is_tpu
+            fused = is_tpu()
+        if fused:
+            from gpu_ecs_madrona_tpu.ops.simple_jobs_kernel import (
+                fused_simple_jobs_step)
+            from gpu_ecs_madrona_tpu.utils.platform import pallas_interpret
+
+            def fused_step(ctx: Context):
+                d = dict(ctx.data)
+                npos, lo, hi, ab, nrm, counts, dropped = \
+                    fused_simple_jobs_step(
+                        d["translation"], d["rotation"],
+                        n0=cfg.num_objects, K=K,
+                        degree_cap=min(cfg.degree_cap, cfg.num_objects),
+                        bounds=(BOUNDS_LO, BOUNDS_HI),
+                        interpret=pallas_interpret())
+                debug.check(dropped == 0,
+                            f"simple_jobs degree cap exceeded: dropped "
+                            "pairs={} per world — raise degree_cap",
+                            dropped)
+                zero = jnp.zeros_like(counts)
+                d.update(translation=npos, aabb_lo=lo, aabb_hi=hi,
+                         candidates=ab, num_candidates=zero,
+                         contacts_normal=nrm, contacts_ab=ab,
+                         num_contacts=zero)
+                ctx.data = d
+
+            builder.add_node(fused_step, name="fused_step")
+            return
 
         def preprocess(ctx: Context):
             d = ctx.data
@@ -293,7 +334,11 @@ class SimpleJobsWorld:
                               precision=m.EXACT)  # see utils/math.py EXACT
             sq = jnp.sum(pc * pc, axis=-1)
             d2 = sq[:, :, None] + sq[:, None, :] - 2.0 * gram
-            mmat = jnp.where(ok, jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
+            # coincident pairs (clamped into the same bounds corner)
+            # have no defined push direction (reference normalize(0) is
+            # NaN): excluded — see ops/simple_jobs_kernel.py
+            mmat = jnp.where(ok & (d2 > 1e-12),
+                             jax.lax.rsqrt(jnp.maximum(d2, 1e-30)), 0.0)
             mx = jnp.einsum("wij,wjc->wic", mmat, pc,
                             preferred_element_type=jnp.float32,
                             precision=m.EXACT)

@@ -60,6 +60,36 @@ def _object_manager():
 OBJMGR = _object_manager()
 
 
+def _sphere_mesh(radius: float, n_lat: int = 6, n_lon: int = 8):
+    """Lat-long triangle tessellation of a sphere (2 * n_lon * (n_lat - 1)
+    triangles) for the render_mesh workload."""
+    import numpy as np
+    verts = [(0.0, 0.0, radius)]
+    for i in range(1, n_lat):
+        th = np.pi * i / n_lat
+        for j in range(n_lon):
+            ph = 2 * np.pi * j / n_lon
+            verts.append((radius * np.sin(th) * np.cos(ph),
+                          radius * np.sin(th) * np.sin(ph),
+                          radius * np.cos(th)))
+    verts.append((0.0, 0.0, -radius))
+    bot = len(verts) - 1
+    tris = []
+    for j in range(n_lon):
+        tris.append((0, 1 + j, 1 + (j + 1) % n_lon))
+    for i in range(n_lat - 2):
+        r0 = 1 + i * n_lon
+        r1 = r0 + n_lon
+        for j in range(n_lon):
+            j1 = (j + 1) % n_lon
+            tris.append((r0 + j, r1 + j, r1 + j1))
+            tris.append((r0 + j, r1 + j1, r0 + j1))
+    r0 = 1 + (n_lat - 2) * n_lon
+    for j in range(n_lon):
+        tris.append((r0 + j, bot, r0 + (j + 1) % n_lon))
+    return (np.asarray(verts, np.float32), np.asarray(tris, np.int32))
+
+
 @dataclasses.dataclass
 class SimpleTaskgraphConfig:
     num_worlds: int = 64
@@ -74,6 +104,11 @@ class SimpleTaskgraphConfig:
     render_backend: str = "auto"   # xla | pallas | auto (RendererConfig)
     render_tile: int = 0           # tile frustum culling (RendererConfig.tile_size)
     render_tile_cap: int = 32      # max instances per tile
+    # attach a triangle RENDER mesh (lat-long sphere tessellation) to the
+    # sphere object: rays trace real triangles (Moeller-Trumbore) instead
+    # of the analytic sphere — the reference's per-mesh BLAS ray-query
+    # workload shape (vk/scene.cpp:446-463)
+    render_mesh: bool = False
 
 
 class SimpleTaskgraphWorld:
@@ -158,7 +193,9 @@ class SimpleTaskgraphWorld:
                                backend=cfg.render_backend,
                                tile_size=cfg.render_tile,
                                max_instances_per_tile=cfg.render_tile_cap),
-                OBJMGR)
+                OBJMGR,
+                render_meshes=({OBJ_SPHERE: _sphere_mesh(0.5)}
+                               if cfg.render_mesh else None))
         return cls._renderer_obj
 
     @classmethod

@@ -58,11 +58,11 @@ C_OUT = 5
 
 
 class RenderTables:
-    """Python-scalar snapshot of the object manager + albedo for in-kernel
-    constant folding (no captured jnp arrays — Mosaic rejects non-scalar
-    closure constants)."""
+    """Python-scalar snapshot of the object manager + albedo (+ optional
+    triangle render meshes) for in-kernel constant folding (no captured
+    jnp arrays — Mosaic rejects non-scalar closure constants)."""
 
-    def __init__(self, objmgr, albedo):
+    def __init__(self, objmgr, albedo, mesh_tables=None):
         om = {k: np.asarray(v) for k, v in objmgr.items()}
         self.O = int(om["prim_type"].shape[0])
         self.prim_type = [int(x) for x in om["prim_type"]]
@@ -76,11 +76,34 @@ class RenderTables:
         used = [self.num_faces[o] for o in range(self.O)
                 if self.prim_type[o] == PRIM_HULL]
         self.F_used = max(used) if used else 0
+        # triangle render meshes (renderer.BatchRenderer tri tables):
+        # objects with has_mesh trace REAL triangles (Moeller-Trumbore,
+        # the reference BLAS ray-query analog) instead of their physics
+        # primitive — same override the XLA path applies
+        if mesh_tables is not None and np.asarray(
+                mesh_tables["has_mesh"]).any():
+            self.has_mesh = [bool(x) for x in mesh_tables["has_mesh"]]
+            self.tri_a = np.asarray(mesh_tables["tri_a"], np.float64)
+            self.tri_e1 = np.asarray(mesh_tables["tri_e1"], np.float64)
+            self.tri_e2 = np.asarray(mesh_tables["tri_e2"], np.float64)
+            tm = np.asarray(mesh_tables["tri_mask"], bool)
+            self.tri_mask = tm
+            self.tri_n = np.cross(self.tri_e1, self.tri_e2)   # [O, T, 3]
+            self.T_used = int(tm.sum(axis=1).max())
+        else:
+            self.has_mesh = [False] * self.O
+            self.tri_a = self.tri_e1 = self.tri_e2 = self.tri_n = \
+                np.zeros((self.O, 0, 3))
+            self.tri_mask = np.zeros((self.O, 0), bool)
+            self.T_used = 0
 
     def key(self):
         return (self.O, tuple(self.prim_type), tuple(self.radius),
                 self.Fm, self.face_n.tobytes(), self.face_d.tobytes(),
-                tuple(self.num_faces), self.albedo.tobytes(), self.F_used)
+                tuple(self.num_faces), self.albedo.tobytes(), self.F_used,
+                tuple(self.has_mesh), self.tri_a.tobytes(),
+                self.tri_e1.tobytes(), self.tri_e2.tobytes(),
+                self.tri_mask.tobytes(), self.T_used)
 
     def __hash__(self):
         return hash(self.key())
@@ -198,6 +221,57 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
             if T.F_used == 0:
                 t_hull = jnp.full((Wt, Pt), BIG)
 
+            # ---- triangle render mesh: Moeller-Trumbore over the folded
+            # per-object triangle table (reference per-mesh BLAS ray
+            # query, vk/scene.cpp:446-463 + basic.comp rayQuery loop).
+            # Overrides the physics primitive for has_mesh objects, like
+            # the XLA path's t_all override. ------------------------------
+            if T.T_used:
+                is_mesh = _fold_mask(obj_i, T.has_mesh)
+                t_msh = jnp.full((Wt, Pt), BIG)
+                n_ml = (jnp.zeros((Wt, Pt)), jnp.zeros((Wt, Pt)),
+                        jnp.zeros((Wt, Pt)))
+                for tt in range(T.T_used):
+                    def tfold(tab, c):
+                        return _fold(obj_i, [
+                            tab[o, tt, c] if (T.has_mesh[o]
+                                              and tt < T.tri_mask.shape[1]
+                                              and T.tri_mask[o, tt])
+                            else 0.0 for o in range(T.O)])
+                    a_t = tuple(tfold(T.tri_a, c) for c in range(3))
+                    e1_t = tuple(tfold(T.tri_e1, c) for c in range(3))
+                    e2_t = tuple(tfold(T.tri_e2, c) for c in range(3))
+                    live_t = _fold_mask(obj_i, [
+                        T.has_mesh[o] and tt < T.tri_mask.shape[1]
+                        and bool(T.tri_mask[o, tt]) for o in range(T.O)])
+                    pvec = pk.cross3(rd_l, e2_t)
+                    det = pk.dot3(e1_t, pvec)
+                    inv_det = 1.0 / jnp.where(
+                        jnp.abs(det) < EPS,
+                        jnp.where(det >= 0, EPS, -EPS), det)
+                    tvec = pk.v3sub(ro_l, a_t)
+                    u = pk.dot3(tvec, pvec) * inv_det
+                    qvec = pk.cross3(tvec, e1_t)
+                    v = pk.dot3(rd_l, qvec) * inv_det
+                    t_t = pk.dot3(e2_t, qvec) * inv_det
+                    hit_t = (live_t & (jnp.abs(det) > EPS)
+                             & (u >= -1e-6) & (v >= -1e-6)
+                             & (u + v <= 1 + 1e-6) & (t_t > 1e-4))
+                    t_t = jnp.where(hit_t, t_t, BIG)
+                    upd_t = t_t < t_msh
+                    t_msh = jnp.where(upd_t, t_t, t_msh)
+                    n_t = tuple(tfold(T.tri_n, c) for c in range(3))
+                    n_ml = tuple(jnp.where(upd_t, nc, cur)
+                                 for nc, cur in zip(n_t, n_ml))
+                # world normal (inverse-transpose scale), flipped toward
+                # the ray origin — two-sided like basic.comp
+                n_mw = pk.qrot(rot_i, tuple(a * b2 for a, b2 in
+                                            zip(n_ml, inv_s)))
+                flip = pk.dot3(n_mw, rd) > 0
+                n_mw = tuple(jnp.where(flip, -c, c) for c in n_mw)
+            else:
+                is_mesh = None
+
             # ---- plane (local +z) ----------------------------------------
             n_p = pk.qrot(rot_i, (jnp.zeros((Wt, 1)), jnp.zeros((Wt, 1)),
                                   jnp.ones((Wt, 1))))
@@ -210,6 +284,8 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
 
             # ---- combine + track winner ----------------------------------
             t_i = jnp.where(is_sph, t_sph, jnp.where(is_hull, t_hull, t_pl))
+            if is_mesh is not None:
+                t_i = jnp.where(is_mesh, t_msh, t_i)
             t_i = jnp.where(msk_i, t_i, BIG)
             better = t_i < best_t
 
@@ -222,6 +298,9 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
             nh = pk.qrot(rot_i, tuple(a * b2 for a, b2 in zip(n_l, inv_s)))
             n_i = tuple(jnp.where(is_sph, a, jnp.where(is_hull, b2, c2))
                         for a, b2, c2 in zip(ns, nh, n_p))
+            if is_mesh is not None:
+                n_i = tuple(jnp.where(is_mesh, mw, cur)
+                            for mw, cur in zip(n_mw, n_i))
 
             alb = tuple(_fold(obj_i, [T.albedo[o, c] for o in range(T.O)])
                         for c in range(3))
@@ -296,8 +375,10 @@ class PallasRenderKernel:
     """
 
     def __init__(self, object_manager, object_albedo, light_dir,
-                 ambient: float, interpret: bool = False, wt=None, pt=None):
-        self.tables = RenderTables(object_manager, object_albedo)
+                 ambient: float, interpret: bool = False, wt=None, pt=None,
+                 mesh_tables=None):
+        self.tables = RenderTables(object_manager, object_albedo,
+                                   mesh_tables)
         ld = np.asarray(light_dir, np.float64)
         ld = -ld / np.linalg.norm(ld)
         self.light = (float(ld[0]), float(ld[1]), float(ld[2]))

@@ -1,0 +1,281 @@
+"""Pallas kernel: the WHOLE simple_jobs tick fused in VMEM.
+
+The simple_jobs workload (reference examples/simple_jobs/simple.cpp,
+lowered in models/simple_jobs.py) differs from collisions in one decisive
+way: its candidate/contact buffers are OBSERVABLE user state (the
+reference keeps them in SimpleSim, simple.hpp:80-86), so the compaction
+cannot be DCE'd — and the XLA path's sort-free rank compaction pays an
+HBM-resident [W, K, n] one-hot operand (~0.4 ms/step at 1024 worlds)
+plus per-op round-trips for the [n, n] grids.  This kernel runs
+clamp -> AABB -> overlap -> rank compaction -> inverse map -> narrowphase
+-> solver in one pallas_call per world block; the only HBM traffic is
+body state in, (positions, AABBs, candidate/contact buffers, stats) out.
+
+Key structures (per world):
+  * rank[a, b] = # of overlaps (a, b') with b' <= b: ONE [n, n] MXU
+    matmul against a constant triangular matrix (utils/math.py
+    mask_cumsum_last brought in-kernel).
+  * base[a] = exclusive prefix of per-row degrees (capped at the
+    degree_cap contract): second triangular matmul.
+  * inverse map, K-CHUNKED with a pl.when dead-chunk skip: slot
+    k's owner row = sum_a (base[a] <= k) - 1, rank dd = k - base[owner];
+    the partner lookup gathers rank^T rows through ONE
+    [n, n] x [n, 128] one-hot matmul per chunk, then a compare
+    (rank == dd + 1) + column select-sum.  Chunks whose 128 slots lie
+    entirely past the world block's max candidate count only ZERO their
+    outputs — compaction work scales with ACTUAL pairs, not the K
+    capacity contract (the XLA path always pays full K).
+  * solver: the centered subtract-first distance + rsqrt matmul pair
+    (see collision_kernel.py for the Gram-cancellation warning).
+
+Candidate order parity: identical integer slots as the XLA 'rank' mode
+(ascending pair index by construction) — gated by equality tests.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _make_kernel(wb: int, n: int, n0: int, K: int, D: int,
+                 lo_b, hi_b):
+    """n = padded body lanes (>= n0 live bodies); K = padded pair slots;
+    D = per-row degree cap; lo_b/hi_b = python float bounds triples."""
+
+    def kernel(pos_ref, rot_ref, npos_ref, lo_ref, hi_ref, ab_ref,
+               nrm_ref, stats_ref):
+        # constant matrices (folded by Mosaic)
+        a_iota_c = jax.lax.broadcasted_iota(
+            jnp.int32, (n, 1), 0).astype(jnp.float32)
+        b_iota_r = jax.lax.broadcasted_iota(
+            jnp.int32, (1, n), 1).astype(jnp.float32)
+        # inclusive triangular [b, b']: b' <= b (transposed orientation)
+        tri_incl_T = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                      >= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                      ).astype(jnp.float32)
+        # strict [a', a]: a' < a (exclusive prefix for base)
+        tri_strict = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                      < jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                      ).astype(jnp.float32)
+        not_eye = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                   != jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                   ).astype(jnp.float32)
+        live_r = (b_iota_r < float(n0)).astype(jnp.float32)   # [1, n]
+
+        for w in range(wb):
+            # ---- clamp (reference simple.cpp:155-167) -------------------
+            pos = pos_ref[w]                         # [3, n]
+            pos = jnp.concatenate([
+                jnp.clip(pos[a:a + 1, :], lo_b[a], hi_b[a])
+                for a in range(3)], axis=0)
+            npos_before = pos                        # pre-push, post-clamp
+
+            # ---- AABB of the rotated +-1 cube (simple.cpp:168-190):
+            # extent_a = sum_b |R_ab| (see collision_kernel.py) ------------
+            qw = rot_ref[w, 0:1, :]
+            qx = rot_ref[w, 1:2, :]
+            qy = rot_ref[w, 2:3, :]
+            qz = rot_ref[w, 3:4, :]
+            r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+            r01 = 2.0 * (qx * qy - qw * qz)
+            r02 = 2.0 * (qx * qz + qw * qy)
+            r10 = 2.0 * (qx * qy + qw * qz)
+            r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+            r12 = 2.0 * (qy * qz - qw * qx)
+            r20 = 2.0 * (qx * qz - qw * qy)
+            r21 = 2.0 * (qy * qz + qw * qx)
+            r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+            e = jnp.concatenate(
+                [jnp.abs(r00) + jnp.abs(r01) + jnp.abs(r02),
+                 jnp.abs(r10) + jnp.abs(r11) + jnp.abs(r12),
+                 jnp.abs(r20) + jnp.abs(r21) + jnp.abs(r22)], axis=0)
+            lo = pos - e
+            hi = pos + e
+            lo_ref[w] = lo
+            hi_ref[w] = hi
+
+            # ---- overlap grid (simple.cpp:193-218) ----------------------
+            ok = jnp.transpose(live_r) * live_r      # [n, n]
+            for a in range(3):
+                lo_r = lo[a:a + 1, :]
+                hi_r = hi[a:a + 1, :]
+                ok = ok * (
+                    (jnp.transpose(lo_r) <= hi_r)
+                    & (jnp.transpose(hi_r) >= lo_r)).astype(jnp.float32)
+            ok = ok * not_eye
+
+            # ---- rank compaction (models/simple_jobs.py 'rank' mode).
+            # rank_T[b, a] = # overlaps (a, b') with b' <= b, computed
+            # DIRECTLY in transposed orientation (contract b' of both
+            # operands) — a [n, n] jnp.transpose here hits a Mosaic
+            # vxpose miscompile when consumed inside pl.when regions ----
+            rank_T = jax.lax.dot_general(
+                tri_incl_T, ok, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [n(b), n(a)]
+            deg_row = rank_T[n - 1:n, :]             # [1, n(a)]
+            degc_row = jnp.minimum(deg_row, float(D))
+            base_row = jax.lax.dot_general(
+                degc_row, tri_strict, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)  # [1, n] exclusive
+            total = jnp.sum(degc_row)                # scalar
+            dropped = jnp.sum(deg_row) - total
+            lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+            stats_ref[w] = (jnp.where(lane == 0, total, 0.0)
+                            + jnp.where(lane == 1, dropped, 0.0))
+
+            # ok is SYMMETRIC (AABB overlap + no-diagonal): ok gates
+            # rank_T without its own transpose
+            rank_ok_t = jnp.where(ok > 0.5, rank_T, 0.0)  # [n(b), n(a)]
+            base = jnp.transpose(base_row)           # [n, 1] (narrow)
+
+            # ---- inverse map + narrowphase, K-chunked with dead-chunk
+            # skip (candidate counts rarely approach the K contract) ------
+            for c0 in range(0, K, 128):
+                k_iota = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 128), 1).astype(jnp.float32) + float(c0)
+
+                @pl.when(jnp.float32(c0) < total)
+                def _(w=w, c0=c0, k_iota=k_iota, rank_ok_t=rank_ok_t,
+                      base=base, base_row=base_row, degc_row=degc_row,
+                      total=total, pos=pos):
+                    # owner = (# rows with base <= k) - 1
+                    cmp = (base <= k_iota).astype(jnp.float32)  # [n, 128]
+                    owner = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+                    owner = jnp.clip(owner, 0.0, float(n0 - 1))
+                    oidx = owner.astype(jnp.int32)              # [1, 128]
+                    # batched 2-row gather (Mosaic's lane gather wants
+                    # multi-sublane operands; see substep_kernel)
+                    brow = jnp.concatenate([base_row, degc_row], axis=0)
+                    bg = jnp.take_along_axis(
+                        brow, jnp.broadcast_to(oidx, (2, 128)), axis=1)
+                    base_g = bg[0:1, :]
+                    degc_g = bg[1:2, :]
+                    dd = k_iota - base_g                        # [1, 128]
+                    valid = ((k_iota < total) & (dd >= 0)
+                             & (dd < degc_g))                   # [1, 128]
+                    # partner: gather rank^T columns for this chunk's
+                    # owners via one one-hot matmul, then rank compare
+                    oh = (a_iota_c == owner).astype(jnp.float32)  # [n,128]
+                    rank_g = jax.lax.dot_general(
+                        rank_ok_t, oh, (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32)     # [n(b),128]
+                    sel = ((rank_g == (dd + 1.0)) & (rank_g > 0.5)
+                           & valid).astype(jnp.float32)         # [n, 128]
+                    partner = jnp.sum(sel * a_iota_c, axis=0,
+                                      keepdims=True)            # [1, 128]
+                    pidx = partner.astype(jnp.int32)
+                    validf = valid.astype(jnp.float32)
+                    ab_ref[w, 0:1, c0:c0 + 128] = owner * validf
+                    ab_ref[w, 1:2, c0:c0 + 128] = partner * validf
+                    # narrowphase (simple.cpp:222-250): normal =
+                    # normalize(pos_b - pos_a) at pre-push positions
+                    pa = jnp.take_along_axis(
+                        pos, jnp.broadcast_to(oidx, (3, 128)), axis=1)
+                    pb = jnp.take_along_axis(
+                        pos, jnp.broadcast_to(pidx, (3, 128)), axis=1)
+                    diff = pb - pa                              # [3, 128]
+                    d2 = jnp.sum(diff * diff, axis=0, keepdims=True)
+                    inv = jax.lax.rsqrt(jnp.maximum(d2, 1e-30))
+                    nrm_ref[w, :, c0:c0 + 128] = diff * inv * validf
+
+                @pl.when(jnp.logical_not(jnp.float32(c0) < total))
+                def _(w=w, c0=c0):
+                    ab_ref[w, :, c0:c0 + 128] = jnp.zeros((2, 128),
+                                                          jnp.float32)
+                    nrm_ref[w, :, c0:c0 + 128] = jnp.zeros((3, 128),
+                                                           jnp.float32)
+
+            # ---- solver (simple.cpp:159-181): net push via the centered
+            # subtract-first distance matmul (collision_kernel.py) --------
+            mean = jnp.sum(pos * live_r, axis=1, keepdims=True) / float(n0)
+            pc = (pos - mean) * live_r
+            d2 = jnp.zeros((n, n), jnp.float32)
+            for a in range(3):
+                diff = jnp.transpose(pc[a:a + 1, :]) - pc[a:a + 1, :]
+                d2 = d2 + diff * diff
+            # EXACTLY coincident pairs (two objects clamped into the
+            # same bounds corner) have an undefined push direction — the
+            # reference's normalize(0) would be NaN (simple.cpp:233) —
+            # and an rsqrt(~0) blow-up here: excluded from the push.
+            mmat = jnp.where(d2 > 1e-12,
+                             ok * jax.lax.rsqrt(jnp.maximum(d2, 1e-30)),
+                             0.0)
+            xm = jax.lax.dot_general(
+                pc, mmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
+            colsum = jnp.sum(mmat, axis=0, keepdims=True)
+            npos_ref[w] = npos_before - 2.0 * (xm - pc * colsum)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("n0", "K", "degree_cap",
+                                             "bounds", "interpret"))
+def fused_simple_jobs_step(pos, rot, *, n0: int, K: int, degree_cap: int,
+                           bounds, interpret: bool = False):
+    """pos [W, n0, 3], rot [W, n0, 4] -> (translation [W, n0, 3],
+    lo [W, n0, 3], hi [W, n0, 3], ab [W, K, 2] int32 (zero past counts),
+    normals [W, K, 3] f32 (zero past counts), counts [W] int32,
+    dropped [W] int32).
+
+    K: the candidate-capacity contract, padded to x128 internally (tail
+    slots zero).  bounds: ((lo3), (hi3)) python float tuples.
+    degree_cap: per-row partner cap (overflow accounted in `dropped`).
+    """
+    W, n_live, _ = pos.shape
+    assert n_live == n0
+    n = max(128, ((n0 + 127) // 128) * 128)
+    Kp = max(128, ((K + 127) // 128) * 128)
+
+    def prep(x, c):
+        xt = jnp.swapaxes(x, 1, 2)
+        return jnp.pad(xt, ((0, 0), (0, 0), (0, n - n0)))
+
+    pos_t = prep(pos, 3)
+    rot_t = prep(rot, 4)
+
+    import os as _os
+    wb = int(_os.environ.get("GEM_SJ_WB", "4"))
+    while W % wb != 0:
+        wb -= 1
+    kern = _make_kernel(wb, n, n0, Kp, degree_cap,
+                        tuple(float(v) for v in bounds[0]),
+                        tuple(float(v) for v in bounds[1]))
+
+    def bs(shape):
+        return pl.BlockSpec((wb,) + shape, lambda i: (i,) + (0,) * len(shape),
+                            memory_space=pltpu.VMEM)
+
+    npos, lo, hi, ab, nrm, stats = pl.pallas_call(
+        kern,
+        grid=(W // wb,),
+        in_specs=[bs((3, n)), bs((4, n))],
+        out_specs=[bs((3, n)), bs((3, n)), bs((3, n)), bs((2, Kp)),
+                   bs((3, Kp)), bs((1, 128))],
+        out_shape=[jax.ShapeDtypeStruct((W, 3, n), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 3, n), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 3, n), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 2, Kp), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 3, Kp), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 1, 128), jnp.float32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(pos_t, rot_t)
+
+    def unbody(x):
+        return jnp.swapaxes(x[:, :, :n0], 1, 2)
+
+    return (unbody(npos), unbody(lo), unbody(hi),
+            jnp.swapaxes(ab[:, :, :K], 1, 2).astype(jnp.int32),
+            jnp.swapaxes(nrm[:, :, :K], 1, 2),
+            stats[:, 0, 0].astype(jnp.int32),
+            stats[:, 0, 1].astype(jnp.int32))

@@ -150,29 +150,38 @@ class BatchRenderer:
         self.has_mesh = jnp.asarray(has_mesh)
         self.any_mesh = bool(has_mesh.any())
 
-        # pixel-tile streaming kernel (analytic primitives only; meshes
-        # force the XLA path).  Constructed eagerly so trace-time use
-        # inside the jit step closes over Python constants only.
-        # the kernel always uses the exact-hull slab test, so it is only
-        # eligible when exact_hulls is on (parity contract with the XLA
-        # path, which would use the OBB proxy otherwise); an EXPLICIT
-        # pallas request that cannot be honored is an error, not a silent
-        # fallback with different hull semantics
-        if cfg.backend == "pallas" and (self.any_mesh or not cfg.exact_hulls):
-            reason = ("render meshes are present" if self.any_mesh
-                      else "exact_hulls=False")
+        # pixel-tile streaming kernel.  Constructed eagerly so trace-time
+        # use inside the jit step closes over Python constants only.
+        # Triangle render meshes stream through the kernel's folded
+        # per-object triangle tables (round-4; previously meshes forced
+        # the XLA path).  The kernel always uses the exact-hull slab
+        # test, so it is only eligible when exact_hulls is on (parity
+        # contract with the XLA path, which would use the OBB proxy
+        # otherwise); an EXPLICIT pallas request that cannot be honored
+        # is an error, not a silent fallback with different hull
+        # semantics
+        if cfg.backend == "pallas" and not cfg.exact_hulls:
             raise ValueError(
-                f"backend='pallas' unavailable: {reason} (the pixel-tile "
-                "kernel implements analytic primitives with the exact-hull "
-                "slab test only); use backend='auto' or 'xla'")
+                "backend='pallas' unavailable: exact_hulls=False (the "
+                "pixel-tile kernel implements the exact-hull slab test "
+                "only); use backend='auto' or 'xla'")
         self._pallas = None
-        if (cfg.backend in ("pallas", "auto") and not self.any_mesh
-                and cfg.exact_hulls):
+        if cfg.backend in ("pallas", "auto") and cfg.exact_hulls:
             from gpu_ecs_madrona_tpu.ops.render_kernel import PallasRenderKernel
             from gpu_ecs_madrona_tpu.utils.platform import pallas_interpret
+            mesh_tables = None
+            if self.any_mesh:
+                mesh_tables = {
+                    "has_mesh": np.asarray(self.has_mesh),
+                    "tri_a": np.asarray(self.tri_a),
+                    "tri_e1": np.asarray(self.tri_e1),
+                    "tri_e2": np.asarray(self.tri_e2),
+                    "tri_mask": np.asarray(self.tri_mask),
+                }
             self._pallas = PallasRenderKernel(
                 object_manager, np.asarray(self.albedo), cfg.light_dir,
-                cfg.ambient, interpret=pallas_interpret())
+                cfg.ambient, interpret=pallas_interpret(),
+                mesh_tables=mesh_tables)
 
     def _use_pallas(self, num_pixels: int, num_instances: int) -> bool:
         if self._pallas is None:

@@ -114,12 +114,27 @@ def save(entries: List[Dict[str, Any]], path: Optional[str] = None) -> str:
 
 
 def _time_executor(sim, ticks: int) -> float:
-    """steps/s of a constructed executor (warmup excluded)."""
+    """steps/s of a constructed executor (warmup excluded).
+
+    Ends the window with a HOST-VALUE fetch: block_until_ready alone
+    under-waits on the axon tunnel (round-4 discovery — a 1000-tick
+    window "completed" in dispatch time while seconds of device work
+    stayed queued, inflating the collisions headline 53x).  Only
+    materializing a value is a true barrier."""
+    import jax
+    import numpy as np
+
+    def drain():
+        leaf = jax.tree_util.tree_leaves(sim.state)[0]
+        np.asarray(leaf[(0,) * leaf.ndim])
+
     sim.run(3)
     sim.block_until_ready()
+    drain()
     t0 = time.perf_counter()
     sim.run(ticks)
     sim.block_until_ready()
+    drain()
     return ticks * sim.cfg.num_worlds / (time.perf_counter() - t0)
 
 

@@ -66,3 +66,40 @@ def test_struct_component_tensor():
     tt = t.to_torch()
     assert set(tt.keys()) == {"hp"}
     assert (tt["hp"].numpy()[np.asarray(t.mask)] == 1000).all()
+
+
+def test_packed_export_roundtrip():
+    """get_exported(slot, packed=True): the reference's cross-world packed
+    layout (exportBlockSums + exportCopyOut, device/consts.cpp:137-273) —
+    live rows compacted to the front in (world, row) order with
+    counts/offsets, consumable by torch without reimplementing
+    compaction.  Validated against the padded view on a world with
+    per-world divergent live sets (fantasy_vs churn)."""
+    from gpu_ecs_madrona_tpu.models import fantasy_vs as fv
+
+    sim = fv.make_executor(fv.FantasyVsConfig(num_worlds=3, seed=5),
+                           donate=False)
+    sim.run(6)  # churn: worlds diverge in live counts
+    vals, mask = sim.get_exported(0)
+    packed, counts, offsets = sim.get_exported(0, packed=True)
+    vals = np.asarray(vals)
+    mask = np.asarray(mask)
+    packed = np.asarray(packed)
+    counts = np.asarray(counts)
+    offsets = np.asarray(offsets)
+
+    assert (counts == mask.sum(axis=1)).all()
+    assert (offsets == np.cumsum(counts) - counts).all()
+    total = counts.sum()
+    # per-world slices match the padded view's live rows, order preserved
+    for w in range(mask.shape[0]):
+        expect = vals[w][mask[w]]
+        got = packed[offsets[w]:offsets[w] + counts[w]]
+        np.testing.assert_array_equal(got, expect)
+    # tail is zero padding
+    assert (packed[total:] == 0).all()
+
+    # torch hand-off of the packed buffer
+    import torch
+    t = torch.from_numpy(packed[:total].copy())
+    assert t.shape[0] == total

@@ -4,6 +4,7 @@ per-tile sphere-vs-cone culling + nearest-M survivors, O(M) per pixel
 instead of O(N)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -120,7 +121,7 @@ def test_tiled_capped_keeps_nearest():
     assert exact.mean() > 0.8, exact.mean()
 
 
-def build_sim_mesh(tile_size, max_per_tile, res=32):
+def build_sim_mesh(tile_size, max_per_tile, res=32, backend="xla"):
     """Scene with a triangle RENDER mesh (an L-shaped non-convex prism)
     on one object, plus spheres and a ground plane — exercises the
     tiles+meshes composition (Möller–Trumbore on tile survivors)."""
@@ -153,7 +154,7 @@ def build_sim_mesh(tile_size, max_per_tile, res=32):
                                 base.ObjectID])
     Cam = Archetype("TMCam", [base.Position, base.Rotation, ActiveView])
     renderer = BatchRenderer(
-        RendererConfig(width=res, height=res, max_views=1, backend="xla",
+        RendererConfig(width=res, height=res, max_views=1, backend=backend,
                        tile_size=tile_size,
                        max_instances_per_tile=max_per_tile,
                        max_tris=32),
@@ -229,3 +230,21 @@ def test_tiled_with_meshes_matches_dense():
     assert np.array_equal(finite, np.isfinite(depth_tiled))
     assert np.allclose(depth_dense[finite], depth_tiled[finite])
     assert finite.any() and (rgb_dense[..., 3] > 0).any()
+
+
+@pytest.mark.slow
+def test_pallas_with_meshes_matches_xla():
+    """Triangle render meshes in the Pallas pixel-tile kernel (VERDICT r3
+    #7): the streamed folded-constant Moeller-Trumbore loop reproduces
+    the XLA dense path to quantization tolerance (previously meshes
+    forced the XLA path).  res=16: interpret mode evaluates the unrolled
+    instances-x-triangles loop op by op — the 32px scene took >90 CPU-min."""
+    rgb_x, depth_x = build_sim_mesh(tile_size=0, max_per_tile=0, res=16)
+    rgb_p, depth_p = build_sim_mesh(tile_size=0, max_per_tile=0, res=16,
+                                    backend="pallas")
+    finite = np.isfinite(depth_x)
+    assert finite.any() and (rgb_x[..., 3] > 0).any()
+    assert np.array_equal(finite, np.isfinite(depth_p))
+    assert np.allclose(depth_p[finite], depth_x[finite], rtol=1e-4,
+                       atol=1e-3)
+    assert np.abs(rgb_p.astype(np.int32) - rgb_x.astype(np.int32)).max() <= 1

@@ -131,3 +131,51 @@ def test_rank_mode_prefix_matches_twostage(monkeypatch):
         outs[mode] = (d["contacts_ab"], d["contacts_normal"])
     np.testing.assert_array_equal(outs["twostage"][0], outs["rank"][0])
     np.testing.assert_array_equal(outs["twostage"][1], outs["rank"][1])
+
+
+def test_fused_kernel_matches_xla_path():
+    """The fused pallas tick (ops/simple_jobs_kernel.py, interpret mode on
+    CPU) reproduces the XLA rank path: candidate/contact buffers EXACT
+    (same integer slots), trajectories to fp-reassociation tolerance
+    (the solver uses the subtract-first distance form)."""
+    outs = {}
+    for fused in (False, True):
+        sim = sj.make_executor(small_cfg(num_objects=24, max_pairs=128,
+                                         degree_cap=8, fused=fused))
+        sim.run(4)
+        d = sim.state["user"]
+        outs[fused] = {k: np.asarray(v) for k, v in d.items()}
+    a, b = outs[False], outs[True]
+    np.testing.assert_array_equal(a["candidates"], b["candidates"])
+    np.testing.assert_array_equal(a["contacts_ab"], b["contacts_ab"])
+    assert np.abs(a["contacts_normal"] - b["contacts_normal"]).max() < 1e-5
+    assert np.abs(a["translation"] - b["translation"]).max() < 1e-3
+    assert (a["num_candidates"] == 0).all() and (b["num_candidates"] == 0).all()
+
+
+def test_fused_kernel_coincident_objects_no_blowup():
+    """Two objects clamped into the same bounds corner are EXACTLY
+    coincident: the push direction is undefined (the reference's
+    normalize(0) is NaN, simple.cpp:233) and is excluded from the solve
+    in both paths.  Regression for the on-chip +-2^31 blow-up a 1/4096
+    world hit at tick 3 (rsqrt(0) through the push matmul)."""
+    import jax.numpy as jnp
+
+    for fused in (False, True):
+        sim = sj.make_executor(small_cfg(num_worlds=1, num_objects=3,
+                                         fused=fused), donate=False)
+        d = dict(sim.state["user"])
+        # two objects far outside the same corner -> clamp to identical
+        # positions; third nearby for a live normal pair
+        d["translation"] = jnp.array([[[-99.0, -99.0, -5.0],
+                                       [-88.0, -77.0, -9.0],
+                                       [-9.5, -9.5, 0.5]]])
+        d["rotation"] = jnp.broadcast_to(
+            jnp.array([1.0, 0, 0, 0]), (1, 3, 4)).copy()
+        st = dict(sim.state)
+        st["user"] = d
+        sim.state = st
+        sim.run(3)
+        pos = np.asarray(sim.state["user"]["translation"])
+        assert np.isfinite(pos).all()
+        assert np.abs(pos).max() < 50, pos

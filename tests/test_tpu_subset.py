@@ -83,6 +83,22 @@ def test_sleep_early_exit_on_chip():
 
 
 @requires_tpu
+def test_render_pallas_meshes_on_chip():
+    """Uninterpreted Mosaic build of the kernel's triangle-mesh loop
+    (folded-constant Moeller-Trumbore; VERDICT r3 #7)."""
+    from test_render_tiles import build_sim_mesh
+    rgb_x, depth_x = build_sim_mesh(tile_size=0, max_per_tile=0, res=32)
+    rgb_p, depth_p = build_sim_mesh(tile_size=0, max_per_tile=0, res=32,
+                                    backend="pallas")
+    finite = np.isfinite(depth_x)
+    assert finite.any() and (rgb_x[..., 3] > 0).any()
+    assert np.array_equal(finite, np.isfinite(depth_p))
+    assert np.allclose(depth_p[finite], depth_x[finite], rtol=1e-4,
+                       atol=1e-3)
+    assert np.abs(rgb_p.astype(np.int32) - rgb_x.astype(np.int32)).max() <= 2
+
+
+@requires_tpu
 def test_render_pallas_kernel_on_chip():
     from gpu_ecs_madrona_tpu.models import simple_taskgraph as stg
     sim = stg.make_executor(stg.SimpleTaskgraphConfig(
