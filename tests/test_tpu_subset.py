@@ -83,6 +83,28 @@ def test_sleep_early_exit_on_chip():
 
 
 @requires_tpu
+def test_fused_simple_jobs_on_chip():
+    """Uninterpreted Mosaic build of the whole-tick simple_jobs kernel
+    (rank compaction + pl.when dead-chunk skip; ops/simple_jobs_kernel).
+    Exercises the coincident-clamp guard too (regression: a 1/4096 world
+    blew up to +-2^31 at tick 3 before round 4's d2 > 1e-12 gate)."""
+    from gpu_ecs_madrona_tpu.models import simple_jobs as sj
+    sims = {}
+    for fused in (False, True):
+        sims[fused] = sj.make_executor(
+            sj.SimpleJobsConfig(num_worlds=64, seed=0, fused=fused),
+            donate=False)
+        sims[fused].run(2)
+    a = {k: np.asarray(v) for k, v in sims[False].state["user"].items()}
+    b = {k: np.asarray(v) for k, v in sims[True].state["user"].items()}
+    np.testing.assert_array_equal(a["candidates"], b["candidates"])
+    assert np.abs(a["translation"] - b["translation"]).max() < 5e-3
+    sims[True].run(30)
+    t = np.asarray(sims[True].state["user"]["translation"])
+    assert np.isfinite(t).all() and np.abs(t).max() < 50
+
+
+@requires_tpu
 def test_render_pallas_meshes_on_chip():
     """Uninterpreted Mosaic build of the kernel's triangle-mesh loop
     (folded-constant Moeller-Trumbore; VERDICT r3 #7)."""
