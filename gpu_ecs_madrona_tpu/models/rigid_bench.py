@@ -64,7 +64,7 @@ class RigidBenchConfig:
     delta_t: float = 1 / 60
     max_candidates: int = 0       # 0 = 4 * num_bodies
     contact_mode: str = "pairs"
-    broadphase_mode: str = "auto"  # dense | sap | auto
+    broadphase_mode: str = "auto"  # dense | sap | fused | auto
     sap_window: int = 0            # 0 = auto (min(n - 1, 64))
     # dense-broadphase rank-compaction degree cap (0 = exact top_k).
     # 12 covers the pile workload with rare accounted drops (~4 pairs per

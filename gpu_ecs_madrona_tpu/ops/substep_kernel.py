@@ -92,7 +92,9 @@ FC_STATIC = 7     # im ii3 mu_s mu_d obj
 F_EXTF = 20       # 20:23 external force
 F_EXTT = 23       # 23:26 external torque
 F_DYN = 26
-FC_IN = 27
+F_SCALE = 27      # 27:30 per-body scale (in-kernel broadphase AABBs)
+F_LIVE = 30       # 1.0 = live archetype row
+FC_IN = 31
 
 # fused output: final state + last-substep stash components
 FO_POS = 0        # 0:3
@@ -121,7 +123,7 @@ def _ablate():
         "GEM_TPU_SUBSTEP_ABLATE", "").split(",")))
 
 
-def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
+def _mk_pair_io(Wt, n, K, rows_i, rows_j, kvalid_f):
     """Gather/segment-sum helpers for one program block.
 
     ISSUE-BOUND DISCIPLINE: measured on v5e, a VPU op on [32, 256] costs
@@ -139,15 +141,15 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
     """
     ablate = _ablate()
 
-    def onehots(rows_ref):
+    def onehots(rows):
         if "noonehot" in ablate:   # perf attribution only (wrong results)
-            return jnp.broadcast_to(kvalid_ref[:], (Wt, n, K))
+            return jnp.broadcast_to(kvalid_f, (Wt, n, K))
         # [Wt*n, K] in ONE compare: row r of the flattened array is body
         # (r % n) of world (r // n); n is always a power of two here
         assert n & (n - 1) == 0
         r_iota = jax.lax.broadcasted_iota(jnp.int32, (Wt * n, K), 0) & (n - 1)
-        rows_b = jnp.broadcast_to(rows_ref[:], (Wt, n, K)).reshape(Wt * n, K)
-        valid_b = jnp.broadcast_to(kvalid_ref[:] > 0.5,
+        rows_b = jnp.broadcast_to(rows, (Wt, n, K)).reshape(Wt * n, K)
+        valid_b = jnp.broadcast_to(kvalid_f > 0.5,
                                    (Wt, n, K)).reshape(Wt * n, K)
         return ((r_iota == rows_b) & valid_b).astype(
             jnp.float32).reshape(Wt, n, K)
@@ -160,7 +162,7 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
     native = ((n % 128 == 0) and (K % 128 == 0)
               and os.environ.get("GEM_TPU_SUBSTEP_NATIVE", "1") != "0")
 
-    def gather_with(rows_ref, ohs):
+    def gather_with(rows, ohs):
         def gather(mat, C):
             # mat [Wt, C, n] -> [Wt, C, K]; one take_along_axis per
             # (lane-tile chunk x body tile) covering ALL channels
@@ -178,7 +180,7 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
                 xw = mat[w]                              # [C, n]
                 chunks = []
                 for c0 in range(0, K, 128):
-                    idx = rows_ref[w, :, c0:c0 + 128]    # [1, 128]
+                    idx = rows[w, :, c0:c0 + 128]        # [1, 128]
                     idxb = jnp.broadcast_to(idx, (C, 128))
                     if n_tiles == 1:
                         chunks.append(jnp.take_along_axis(xw, idxb, axis=1))
@@ -195,9 +197,9 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
             return jnp.stack(outs, axis=0)
         return gather
 
-    oh_i = onehots(rows_i_ref)
+    oh_i = onehots(rows_i)
 
-    oh_j = onehots(rows_j_ref)
+    oh_j = onehots(rows_j)
     # both sides' one-hots pre-concatenated along K: the i- and j-side
     # segment-sums fuse into ONE MXU matmul per world per pass
     oh_ij = jnp.concatenate([oh_i, oh_j], axis=2)        # [Wt, n, 2K]
@@ -223,8 +225,8 @@ def _mk_pair_io(Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref):
                                 preferred_element_type=jnp.float32)
             for w in range(Wt)], axis=0)
 
-    return (oh_i, oh_j, gather_with(rows_i_ref, oh_i),
-            gather_with(rows_j_ref, oh_j), segsum2)
+    return (oh_i, oh_j, gather_with(rows_i, oh_i),
+            gather_with(rows_j, oh_j), segsum2)
 
 
 def _substep_core(tables, relaxation, kvalid, h1, rest1,
@@ -378,12 +380,12 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         # pair/scalar inputs arrive [Wt, 1, K] / [Wt, 1, 8]: Mosaic block
         # shapes must tile (8, 128) or equal the array's last two dims
         packed = packed_ref[:]                      # [Wt, C_IN, n]
-        kvalid = kvalid_ref[:, 0] > 0.5             # [Wt, K]
+        kvalid = kvalid_ref[:][:, 0] > 0.5          # [Wt, K]
         h1 = scal_ref[:, 0, 0:1]                    # [Wt, 1]
         rest1 = scal_ref[:, 0, 1:2]
 
         oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-            Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
+            Wt, n, K, rows_i_ref[:], rows_j_ref[:], kvalid_ref[:])
 
         gSA = gather_i(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
         gSB = gather_j(packed[:, CH_IM:CH_IM + FC_STATIC], FC_STATIC)
@@ -417,10 +419,131 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     return kernel
 
 
+def _inkernel_broadphase(tables, Wt, n, K, D, packed, dtv):
+    """Velocity-expanded AABBs + dense rank-compaction broadphase, fully
+    in VMEM (the simple_jobs-kernel pattern brought to physics; replaces
+    the XLA bp_update_aabbs + bp_find_overlaps nodes, ~6 ms/step of the
+    43.9 ms step at 8192x64).  Exactly mirrors the XLA dense 'rank' mode:
+    pair slots ascending in (owner=higher row, partner) order, per-owner
+    degree cap D accounted in the dropped stat.
+
+    packed [Wt, FC_IN, n]; dtv [Wt, 1] = delta_t * velocity_expansion.
+    Returns (rows_i, rows_j, kvalid_f [Wt, 1, K] f32; lo3, hi3 [Wt,3,n];
+    stats [Wt, 1, 128] with lane0=count, lane1=dropped).
+    """
+    pos = _c3(packed, F_POS)
+    vel = _c3(packed, F_V)
+    scl = _c3(packed, F_SCALE)
+    live = packed[:, F_LIVE]                      # [Wt, n]
+    obj = jnp.round(packed[:, F_OBJ]).astype(jnp.int32)
+    lo_l = tables.vec(obj, "local_aabb_lo")
+    hi_l = tables.vec(obj, "local_aabb_hi")
+    c_l = tuple((lo + hi) * 0.5 * s for lo, hi, s in zip(lo_l, hi_l, scl))
+    he = tuple((hi - lo) * 0.5 * s for lo, hi, s in zip(lo_l, hi_l, scl))
+
+    qw, qx, qy, qz = _c4(packed, F_ROT)
+    r00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    r01 = 2.0 * (qx * qy - qw * qz)
+    r02 = 2.0 * (qx * qz + qw * qy)
+    r10 = 2.0 * (qx * qy + qw * qz)
+    r11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+    r12 = 2.0 * (qy * qz - qw * qx)
+    r20 = 2.0 * (qx * qz - qw * qy)
+    r21 = 2.0 * (qy * qz + qw * qx)
+    r22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+    R = ((r00, r01, r02), (r10, r11, r12), (r20, r21, r22))
+    # exact rotated-AABB: center +- |R| @ half (bp_update_aabbs' form)
+    los, his = [], []
+    for a in range(3):
+        cw = pos[a] + sum(R[a][b] * c_l[b] for b in range(3))
+        ext = sum(jnp.abs(R[a][b]) * he[b] for b in range(3))
+        vexp = vel[a] * dtv
+        los.append(cw - ext + jnp.minimum(vexp, 0.0))
+        his.append(cw + ext + jnp.maximum(vexp, 0.0))
+    lo3 = jnp.stack(los, axis=1)                  # [Wt, 3, n]
+    hi3 = jnp.stack(his, axis=1)
+
+    # constant triangulars (folded)
+    tri_incl = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                <= jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                ).astype(jnp.float32)             # [i', i]: i' <= i
+    strict_lower = (jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+                    > jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+                    ).astype(jnp.float32)         # [r, c]: c < r
+    i_iota_c = jax.lax.broadcasted_iota(
+        jnp.int32, (n, 1), 0).astype(jnp.float32)
+
+    ri_out, rj_out, kv_out, st_out = [], [], [], []
+    for w in range(Wt):
+        lo_w, hi_w = lo3[w], hi3[w]               # [3, n]
+        ok = (jnp.transpose(live[w:w + 1, :])
+              * live[w:w + 1, :])                 # [n, n]
+        for a in range(3):
+            lo_r = lo_w[a:a + 1, :]
+            hi_r = hi_w[a:a + 1, :]
+            ok = ok * ((jnp.transpose(lo_r) <= hi_r)
+                       & (jnp.transpose(hi_r) >= lo_r)).astype(jnp.float32)
+        # owner = HIGHER row (XLA rank mode): P[j, i] live for i < j
+        P = ok * strict_lower
+        rank = jax.lax.dot_general(
+            P, tri_incl, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [j, i]
+        deg = rank[:, n - 1:n]                    # [n, 1]
+        degc = jnp.minimum(deg, float(D))
+        base = jax.lax.dot_general(
+            strict_lower, degc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)   # [j, 1] exclusive prefix
+        total = jnp.sum(degc)
+        dropped = jnp.sum(deg) - total
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        st_out.append(jnp.where(lane == 0, total, 0.0)
+                      + jnp.where(lane == 1, dropped, 0.0))
+
+        rank_ok = jnp.where(P > 0.5, rank, 0.0)   # [j, i]
+        base_row = jnp.transpose(base)            # [1, n] (narrow)
+        degc_row = jnp.transpose(degc)
+
+        ri_chunks, rj_chunks, kv_chunks = [], [], []
+        for c0 in range(0, K, 128):
+            k_iota = jax.lax.broadcasted_iota(
+                jnp.int32, (1, 128), 1).astype(jnp.float32) + float(c0)
+            cmp = (base <= k_iota).astype(jnp.float32)    # [n, 128]
+            owner = jnp.sum(cmp, axis=0, keepdims=True) - 1.0
+            owner = jnp.clip(owner, 0.0, float(n - 1))
+            oidx = owner.astype(jnp.int32)
+            brow = jnp.concatenate([base_row, degc_row], axis=0)
+            bg = jnp.take_along_axis(
+                brow, jnp.broadcast_to(oidx, (2, 128)), axis=1)
+            dd = k_iota - bg[0:1, :]
+            valid = (k_iota < total) & (dd >= 0) & (dd < bg[1:2, :])
+            oh = (i_iota_c == owner).astype(jnp.float32)  # [n(j), 128]
+            rank_g = jax.lax.dot_general(
+                rank_ok, oh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [i, 128]
+            sel = ((rank_g == (dd + 1.0))
+                   & jnp.broadcast_to(valid, (n, 128))).astype(jnp.float32)
+            partner = jnp.sum(sel * i_iota_c, axis=0,
+                              keepdims=True)              # [1, 128]
+            validf = valid.astype(jnp.float32)
+            ri_chunks.append(partner * validf)
+            rj_chunks.append(owner * validf)
+            kv_chunks.append(validf)
+        ri_out.append(jnp.concatenate(ri_chunks, axis=1))
+        rj_out.append(jnp.concatenate(rj_chunks, axis=1))
+        kv_out.append(jnp.concatenate(kv_chunks, axis=1))
+
+    rows_i = jnp.stack(ri_out, axis=0)            # [Wt, 1, K] f32
+    rows_j = jnp.stack(rj_out, axis=0)
+    kvalid_f = jnp.stack(kv_out, axis=0)
+    stats = jnp.stack(st_out, axis=0)             # [Wt, 1, 128]
+    return rows_i, rows_j, kvalid_f, lo3, hi3, stats
+
+
 def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                        relaxation: float, num_substeps: int,
                        speculative: float = 0.0,
-                       refresh: bool = False, sleep: bool = False):
+                       refresh: bool = False, sleep: bool = False,
+                       bp_degree: int = 0):
     """All-substeps kernel: integrate + contact solve looped in VMEM.
 
     refresh=True runs the full SAT + clip narrowphase only on the FIRST
@@ -438,7 +561,7 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     reference (no sleeping in physics.cpp); the skip is real wall-clock
     because grid programs execute sequentially per TensorCore."""
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
-               out_ref):
+               out_ref, aabb_ref=None, pairs_ref=None, bp_stats_ref=None):
         packed = packed_ref[:]                      # [Wt, FC_IN, n]
         pos = _c3(packed, F_POS)
         rot = _c4(packed, F_ROT)
@@ -453,14 +576,30 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
             return jnp.stack(outs, axis=1)          # [Wt, FC_OUT, n]
 
         def solve():
-            kvalid = kvalid_ref[:, 0] > 0.5
             h1 = scal_ref[:, 0, 0:1]                # [Wt, 1]
             rest1 = scal_ref[:, 0, 1:2]
             g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4],
                  scal_ref[:, 0, 4:5])
 
+            if bp_degree:
+                dtv = scal_ref[:, 0, 6:7]           # delta_t * expansion
+                rows_i_a, rows_j_a, kvalid_a, lo3, hi3, bp_stats = \
+                    _inkernel_broadphase(tables, Wt, n, K, bp_degree,
+                                         packed, dtv)
+                aabb_ref[:] = jnp.concatenate([lo3, hi3], axis=1)
+                pairs_ref[:] = jnp.concatenate(
+                    [rows_i_a, rows_j_a, kvalid_a], axis=1)
+                bp_stats_ref[:] = bp_stats
+                rows_i_a = rows_i_a.astype(jnp.int32)
+                rows_j_a = rows_j_a.astype(jnp.int32)
+            else:
+                rows_i_a = rows_i_ref[:]
+                rows_j_a = rows_j_ref[:]
+                kvalid_a = kvalid_ref[:]
+            kvalid = kvalid_a[:, 0] > 0.5
+
             oh_i, oh_j, gather_i, gather_j, segsum = _mk_pair_io(
-                Wt, n, K, rows_i_ref, rows_j_ref, kvalid_ref)
+                Wt, n, K, rows_i_a, rows_j_a, kvalid_a)
 
             # static pair data: gathered ONCE, reused across substeps
             gSA = gather_i(packed[:, F_STATIC0:F_STATIC0 + FC_STATIC],
@@ -592,23 +731,53 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
 @functools.partial(jax.jit, static_argnames=("tables", "relaxation",
                                               "num_substeps", "interpret",
                                               "wt", "speculative",
-                                              "refresh", "sleep"))
+                                              "refresh", "sleep",
+                                              "bp_degree", "K"))
 def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
                num_substeps, interpret, wt=None, speculative=0.0,
-               refresh=False, sleep=False):
+               refresh=False, sleep=False, bp_degree=0, K=None):
     W, _, n = packed.shape
-    K = rows_i.shape[2]
+    if K is None:
+        K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
+    kern = _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
+                              speculative, refresh, sleep, bp_degree)
+    specs = _pallas_specs(Wt, FC_IN, n, K, FC_OUT)
+    if not bp_degree:
+        return pl.pallas_call(
+            kern,
+            grid=(W // Wt,),
+            out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+            interpret=interpret,
+            debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
+            compiler_params=_COMPILER_PARAMS,
+            **specs,
+        )(packed, rows_i, rows_j, kvalid, scal)
+
+    # in-kernel broadphase: rows inputs replaced by bp outputs
+    def bs(shape):
+        return pl.BlockSpec((Wt,) + shape,
+                            lambda i, _s=len(shape): (i,) + (0,) * _s,
+                            memory_space=pltpu.VMEM)
+
+    def kern_bp(packed_ref, scal_ref, out_ref, aabb_ref, pairs_ref,
+                bp_stats_ref):
+        kern(packed_ref, None, None, None, scal_ref, out_ref,
+             aabb_ref, pairs_ref, bp_stats_ref)
+
     return pl.pallas_call(
-        _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
-                           speculative, refresh, sleep),
+        kern_bp,
         grid=(W // Wt,),
-        out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 6, n), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 3, K), jnp.float32),
+                   jax.ShapeDtypeStruct((W, 1, 128), jnp.float32)],
         interpret=interpret,
         debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
         compiler_params=_COMPILER_PARAMS,
-        **_pallas_specs(Wt, FC_IN, n, K, FC_OUT),
-    )(packed, rows_i, rows_j, kvalid, scal)
+        in_specs=[bs((FC_IN, n)), bs((1, 8))],
+        out_specs=[bs((FC_OUT, n)), bs((6, n)), bs((3, K)), bs((1, 128))],
+    )(packed, scal)
 
 
 def _pad_lanes(x, n0, n):
@@ -697,7 +866,8 @@ class FusedSubstepKernel:
     def __init__(self, object_manager, num_substeps: int,
                  relaxation: float = 1.0, interpret: bool = False, wt=None,
                  speculative: float = 0.0,
-                 contact_refresh: bool = False):
+                 contact_refresh: bool = False, bp_degree: int = 0,
+                 bp_capacity: int = 0):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
         self.relaxation = float(relaxation)
@@ -705,42 +875,81 @@ class FusedSubstepKernel:
         self.wt = wt  # None = heuristic/env (see _pick_wt)
         self.speculative = float(speculative)
         self.contact_refresh = bool(contact_refresh)
+        # bp_degree > 0: run the velocity-expanded AABB + rank-compaction
+        # broadphase INSIDE the kernel (_inkernel_broadphase); callers
+        # then pass no rows and read aabbs/pairs/stats from the outputs
+        self.bp_degree = int(bp_degree)
+        self.bp_capacity = int(bp_capacity)
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
-                 ext_f, ext_t, dyn, rows_i, rows_j, kvalid, h, gravity,
-                 restitution_threshold, active=None):
+                 ext_f, ext_t, dyn, h, gravity,
+                 restitution_threshold, rows_i=None, rows_j=None,
+                 kvalid=None, active=None, scale=None, live=None,
+                 dtv=None):
         """Body args [W, n(,3/4)]; pair args [W, K]; h/rest [W],
         gravity [W, 3]; active [W] (1.0 = awake, None = all awake).
+        With bp_degree set, omit rows_i/rows_j/kvalid and pass scale
+        [W, n, 3], live [W, n] and dtv [W] (delta_t * velocity
+        expansion); the returned dict then also carries aabb_lo/hi
+        [W, n, 3], rows_i/rows_j [W, K] int32, kvalid [W, K] bool,
+        bp_count/bp_dropped [W] int32.
         Returns a dict of updated columns."""
         W, n0 = im.shape
+        if scale is None:
+            scale = jnp.ones(pos.shape)
+        if live is None:
+            live = jnp.ones(im.shape)
         packed = jnp.concatenate([
             _T(pos), _T(rot), _T(v), _T(w),
             _T1(im), _T(ii), _T1(mu_s), _T1(mu_d),
             _T1(obj.astype(jnp.float32)),
             _T(ext_f), _T(ext_t), _T1(dyn.astype(jnp.float32)),
+            _T(scale), _T1(live.astype(jnp.float32)),
         ], axis=1)                                    # [W, FC_IN, n0]
         n = 128
         while n < n0:
             n *= 2
         packed = _pad_lanes(packed, n0, n)
-        rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
-                                            rows_i.shape[1])
+        if self.bp_degree:
+            assert active is None, "sleep + in-kernel broadphase unsupported"
+            K = max(128, -(-self.bp_capacity // 128) * 128)
+            rows_args = (None, None, None)
+        else:
+            rows_i, rows_j, kvalid = _pad_pairs(rows_i, rows_j, kvalid,
+                                                rows_i.shape[1])
+            K = rows_i.shape[1]
+            rows_args = (rows_i[:, None, :], rows_j[:, None, :],
+                         kvalid.astype(jnp.float32)[:, None, :])
         act = (jnp.ones_like(h) if active is None
                else active.astype(jnp.float32))
+        dtv_c = jnp.zeros_like(h) if dtv is None else dtv
         scal = jnp.stack(
             [h, restitution_threshold, gravity[:, 0], gravity[:, 1],
-             gravity[:, 2], act] + [jnp.zeros_like(h)] * 2, axis=1)
+             gravity[:, 2], act, dtv_c] + [jnp.zeros_like(h)] * 1, axis=1)
 
         out = _run_fused(
-            packed, rows_i[:, None, :], rows_j[:, None, :],
-            kvalid.astype(jnp.float32)[:, None, :], scal[:, None, :],
+            packed, rows_args[0], rows_args[1], rows_args[2],
+            scal[:, None, :],
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
             wt=self.wt, speculative=self.speculative,
             refresh=self.contact_refresh,
-            sleep=active is not None)
+            sleep=active is not None,
+            bp_degree=self.bp_degree, K=K)
+        extra = {}
+        if self.bp_degree:
+            out, aabb, pairs, stats = out
+            extra = {
+                "aabb_lo": _T(aabb[:, 0:3, :n0]),
+                "aabb_hi": _T(aabb[:, 3:6, :n0]),
+                "rows_i": pairs[:, 0].astype(jnp.int32),
+                "rows_j": pairs[:, 1].astype(jnp.int32),
+                "kvalid": pairs[:, 2] > 0.5,
+                "bp_count": stats[:, 0, 0].astype(jnp.int32),
+                "bp_dropped": stats[:, 0, 1].astype(jnp.int32),
+            }
         out = out[:, :, :n0]
-        return {
+        return extra | {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),
             "rot": _T(out[:, FO_ROT:FO_ROT + 4]),
             "v": _T(out[:, FO_V:FO_V + 3]),

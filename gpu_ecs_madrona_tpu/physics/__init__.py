@@ -217,8 +217,30 @@ class RigidBodyPhysicsSystem:
         cap_n = builder.mgr.registry.archetypes[arch.name].capacity
         if mode == "auto":
             mode = "dense" if cap_n <= 128 else "sap"
-        if mode not in ("dense", "sap"):
+        if mode not in ("dense", "sap", "fused"):
             raise ValueError(f"unknown broadphase mode {mode!r}")
+        if mode == "fused":
+            # broadphase runs INSIDE the fused substep kernel
+            # (ops/substep_kernel._inkernel_broadphase): velocity-expanded
+            # AABBs + dense rank compaction per world, VMEM-resident.
+            # This node registers nothing but a marker; the substep node
+            # writes the CollisionAABB/LeafID columns and emits the
+            # candidate temporaries from the kernel's outputs, so the
+            # observable surface is unchanged.  Requires body capacity
+            # <= 128 and contact_mode='pallas' without joints/sleep.
+            if cap_n > 128:
+                raise ValueError("fused broadphase requires body "
+                                 f"capacity <= 128 (got {cap_n})")
+            builder._gem_fused_bp = {
+                "degree": dense_degree or 12,
+                "vexp": float(velocity_expansion),
+            }
+
+            def bp_fused_marker(ctx: Context):
+                pass
+
+            return builder.add_node(bp_fused_marker, deps,
+                                    name="bp_fused_marker")
 
         def update_aabbs(ctx: Context):
             pos = ctx.column(arch, base.Position)
@@ -614,11 +636,16 @@ class RigidBodyPhysicsSystem:
                     object_manager, relaxation=relaxation, interpret=interp,
                     wt=substep_wt, speculative=speculative_margin)
             else:
+                _fbp = getattr(builder, "_gem_fused_bp", None)
+                _cap = builder.mgr.registry.archetypes[
+                    CandidateRowsTemporary.name].capacity
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
                     relaxation=relaxation, interpret=interp, wt=substep_wt,
                     speculative=speculative_margin,
-                    contact_refresh=contact_refresh)
+                    contact_refresh=contact_refresh,
+                    bp_degree=_fbp["degree"] if _fbp else 0,
+                    bp_capacity=_cap if _fbp else 0)
         if sleep_threshold > 0.0 and (contact_mode != "pallas" or has_joints):
             raise ValueError(
                 "sleep_threshold requires the fused Pallas substep kernel "
@@ -944,6 +971,34 @@ class RigidBodyPhysicsSystem:
             substep.__name__ = f"physics_substep_{idx}"
             return substep
 
+        def emit_candidates_fused(ctx: Context, counts, rows_i, rows_j):
+            # parity surface mirroring setup_broadphase_tasks'
+            # emit_candidates: entity-handle candidates + row pairs
+            from gpu_ecs_madrona_tpu.core.state import batched_gather
+            ents = ctx.entity_column(arch)
+            a_ent = batched_gather(ents, rows_i)
+            b_ent = batched_gather(ents, rows_j)
+            ctx.emit_temporaries(
+                CandidateTemporary, counts=counts,
+                values={CandidateCollision: {"a": a_ent, "b": b_ent}})
+            ctx.emit_temporaries(
+                CandidateRowsTemporary, counts=counts,
+                values={CandidatePairRows: {"i": rows_i, "j": rows_j}})
+
+        fused_bp = getattr(builder, "_gem_fused_bp", None)
+        if fused_bp is not None:
+            if contact_mode != "pallas" or has_joints:
+                raise ValueError(
+                    "broadphase mode 'fused' requires contact_mode="
+                    "'pallas' without joints (the broadphase lives inside "
+                    f"the fused kernel; got {contact_mode!r}, "
+                    f"joints={has_joints})")
+            if sleep_threshold > 0.0:
+                raise ValueError(
+                    "broadphase mode 'fused' does not compose with "
+                    "sleep_threshold yet (the sleep passthrough would "
+                    "skip the kernel's AABB/pair outputs)")
+
         if contact_mode == "pallas" and not has_joints:
             # one pallas_call for the whole substep chain: the XLA
             # pack/transpose + custom-call boundary costs ~4x the pallas
@@ -957,7 +1012,17 @@ class RigidBodyPhysicsSystem:
                 vel = ctx.column(arch, Velocity)
                 resp = ctx.column(arch, ResponseType)
                 dyn = (resp == RESPONSE_DYNAMIC) & mask
-                rowsc, kmask = _candidate_rows(ctx)
+                bp_kwargs = {}
+                if fused_bp is not None:
+                    bp_kwargs = {
+                        "scale": ctx.column(arch, base.Scale),
+                        "live": mask,
+                        "dtv": phys["delta_t"] * fused_bp["vexp"],
+                    }
+                else:
+                    rowsc, kmask = _candidate_rows(ctx)
+                    bp_kwargs = {"rows_i": rowsc["i"],
+                                 "rows_j": rowsc["j"], "kvalid": kmask}
                 active = None
                 if sleep_threshold > 0.0:
                     # world-level sleep classifier (see docstring): all
@@ -995,10 +1060,29 @@ class RigidBodyPhysicsSystem:
                     ext_f=ctx.column(arch, ExternalForce),
                     ext_t=ctx.column(arch, ExternalTorque),
                     dyn=dyn,
-                    rows_i=rowsc["i"], rows_j=rowsc["j"], kvalid=kmask,
                     h=phys["h"], gravity=phys["gravity"],
                     restitution_threshold=phys["restitution_threshold"],
-                    active=active)
+                    active=active, **bp_kwargs)
+                if fused_bp is not None:
+                    # observable broadphase surface from kernel outputs:
+                    # AABB/LeafID columns + candidate temporaries (DCE'd
+                    # unless observed) + overflow accounting
+                    ctx.set_column(arch, CollisionAABB,
+                                   {"lo": out["aabb_lo"],
+                                    "hi": out["aabb_hi"]})
+                    nrows = mask.shape[1]
+                    ctx.set_column(arch, LeafID, jnp.broadcast_to(
+                        jnp.arange(nrows, dtype=jnp.int32)[None],
+                        mask.shape))
+                    debug.check(out["bp_dropped"] == 0,
+                                "fused broadphase degree cap "
+                                f"{fused_bp['degree']} exceeded: dropped "
+                                "pairs={} per world — raise dense_degree",
+                                out["bp_dropped"])
+                    ctx.add_overflow(CandidateRowsTemporary,
+                                     out["bp_dropped"])
+                    emit_candidates_fused(ctx, out["bp_count"],
+                                          out["rows_i"], out["rows_j"])
                 ctx.set_column(arch, base.Position, out["pos"])
                 ctx.set_column(arch, base.Rotation, out["rot"])
                 keep = dyn[..., None]

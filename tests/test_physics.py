@@ -613,3 +613,34 @@ def test_pallas_kernel_beyond_128_bodies():
     sim.run(3)
     pos, mask = sim.get_exported(0)
     assert np.isfinite(np.asarray(pos)[np.asarray(mask)]).all()
+
+
+@pytest.mark.slow
+def test_fused_broadphase_matches_dense():
+    """broadphase_mode='fused' runs velocity-expanded AABBs + dense rank
+    compaction INSIDE the fused substep kernel
+    (ops/substep_kernel._inkernel_broadphase) and must be bit-exact
+    against the XLA dense rank path (same formulas, same candidate slot
+    ordering); AABB columns and overflow accounting stay observable."""
+    import numpy as np
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    outs = {}
+    for mode in ("dense", "fused"):
+        sim = rb.make_executor(rb.RigidBenchConfig(
+            num_worlds=4, num_bodies=24, contact_mode="pallas",
+            broadphase_mode=mode, max_candidates=128, dense_degree=12,
+            contact_refresh=True, seed=0), donate=False)
+        sim.run(5)
+        outs[mode] = {
+            "pos": np.asarray(sim.get_exported(0)[0]).copy(),
+            "aabb": np.asarray(sim.mgr.column(
+                sim.state, rb.Body,
+                __import__("gpu_ecs_madrona_tpu.physics.components",
+                           fromlist=["CollisionAABB"]).CollisionAABB)["lo"]),
+            "overflow": int(sum(np.asarray(v).sum()
+                                for v in sim.overflow_counters().values())),
+        }
+    np.testing.assert_array_equal(outs["dense"]["pos"], outs["fused"]["pos"])
+    np.testing.assert_allclose(outs["dense"]["aabb"], outs["fused"]["aabb"],
+                               atol=1e-5)
+    assert outs["dense"]["overflow"] == 0 and outs["fused"]["overflow"] == 0
