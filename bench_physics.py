@@ -7,7 +7,11 @@ contact mode.
 
 Env knobs: BENCH_PHYS_WORLDS (8192), BENCH_PHYS_BODIES (64),
 BENCH_PHYS_TICKS (50), BENCH_PHYS_MODE (pairs|dense|pallas),
-BENCH_PHYS_BP (auto|dense|sap), BENCH_PHYS_CANDS (0 = 4*bodies).
+BENCH_PHYS_BP (auto|dense|sap|fused), BENCH_PHYS_CANDS (0 = 4*bodies),
+BENCH_PHYS_PERSIST=1 (cross-step persistent manifolds; forces bp=fused
++ refresh), BENCH_PHYS_SETTLE_TICKS (run N un-timed ticks first so the
+pile is settled when the windows start — the quasi-static regime the
+persistent-manifold skip targets).
 """
 
 import json
@@ -21,6 +25,23 @@ MODE = os.environ.get("BENCH_PHYS_MODE", "pallas")
 BP = os.environ.get("BENCH_PHYS_BP", "auto")
 CANDS = int(os.environ.get("BENCH_PHYS_CANDS", 0))
 REFRESH = os.environ.get("BENCH_PHYS_REFRESH") == "1"
+PERSIST = os.environ.get("BENCH_PHYS_PERSIST") == "1"
+SETTLE_TICKS = int(os.environ.get("BENCH_PHYS_SETTLE_TICKS", 0))
+# BENCH_PHYS_SETTLE=1: the quasi-static settling-pile variant — boxes
+# only (rolling spheres never stop: zero contact slip means dynamic
+# friction cannot decelerate them, so the default mix never quiesces),
+# jittered-grid spawn (uniform spawn interpenetrates at t=0 and ejects
+# bodies ballistically for thousands of ticks), persistent manifolds on,
+# and 400 un-timed settle ticks before the windows.
+SETTLE = os.environ.get("BENCH_PHYS_SETTLE") == "1"
+BODY_MIX, SPAWN = "alternate", "uniform"
+if SETTLE:
+    PERSIST = True
+    BODY_MIX, SPAWN = "boxes", "grid"
+    SETTLE_TICKS = SETTLE_TICKS or 400
+if PERSIST:
+    BP = "fused"
+    REFRESH = True
 
 
 def main():
@@ -34,10 +55,14 @@ def main():
     sim = rb.make_executor(rb.RigidBenchConfig(
         num_worlds=NUM_WORLDS, num_bodies=NUM_BODIES, contact_mode=MODE,
         broadphase_mode=BP, max_candidates=CANDS, seed=0,
-        contact_refresh=REFRESH))
+        contact_refresh=REFRESH, manifold_persist=PERSIST,
+        body_mix=BODY_MIX, spawn=SPAWN))
 
     sim.run(3)
     sim.block_until_ready()
+    if SETTLE_TICKS:
+        sim.run(SETTLE_TICKS)
+        sim.block_until_ready()
 
     # multi-window timing (VERDICT r3 #6): min/median/max across windows
     # separates chip contention from real regression
@@ -73,11 +98,16 @@ def main():
                           "error": "non-finite trajectory"}))
         sys.exit(1)
 
+    overflow = int(sum(np.asarray(v).sum()
+                       for v in sim.overflow_counters().values()))
     steps_per_s = window_tput[len(window_tput) // 2]
     print(json.dumps({
+        "overflow": overflow,
         "metric": (f"rigid-body physics env-steps/s @ {NUM_WORLDS} worlds x "
                    f"{NUM_BODIES} bodies ({MODE}, bp={BP}"
-                   f"{', refresh' if REFRESH else ''})"),
+                   f"{', refresh' if REFRESH else ''}"
+                   f"{', persist' if PERSIST else ''}"
+                   f"{', settled-pile' if SETTLE else ''})"),
         "value": round(steps_per_s, 1),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / 1_000_000.0, 4),

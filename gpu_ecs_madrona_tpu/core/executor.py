@@ -263,6 +263,16 @@ class TaskGraphExecutor:
 
         with np.load(path if path.endswith(".npz") else path + ".npz",
                      allow_pickle=False) as z:
+            if "__spec__" not in z.files:
+                if "__treedef__" in z.files:
+                    raise ValueError(
+                        "unsupported legacy checkpoint format: this .npz "
+                        "carries a pickled '__treedef__' (pre-JSON-spec "
+                        "format); re-save it with the current "
+                        "save_checkpoint, or restore it with the revision "
+                        "that wrote it")
+                raise ValueError(
+                    "not a framework checkpoint: missing '__spec__' entry")
             spec = json.loads(z["__spec__"].tobytes().decode())
 
             def build(s):

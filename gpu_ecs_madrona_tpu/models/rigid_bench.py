@@ -81,6 +81,24 @@ class RigidBenchConfig:
     # calibrated for unit-scale bodies; see setup_substep_tasks docstring.
     sleep_threshold: float = 0.0
     sleep_frames: int = 10
+    # cross-step persistent manifolds (fused broadphase + refresh only):
+    # worlds whose bodies have moved < persist_margin/2 since their
+    # manifold cache was built skip broadphase + SAT narrowphase and
+    # refresh the cached manifold by transform (see setup_substep_tasks).
+    manifold_persist: bool = False
+    persist_margin: float = 0.05
+    # "alternate" (default): boxes and spheres interleaved — the
+    # always-moving workload (rolling spheres have no contact slip, so
+    # dynamic friction never stops them and piles never quiesce).
+    # "boxes": boxes only — sliding friction brings worlds to rest, the
+    # quasi-static regime the persistent-manifold skip targets.
+    body_mix: str = "alternate"
+    # "uniform" (default): i.i.d. uniform spawn — bodies interpenetrate at
+    # t=0 and the positional solver ejects them ballistically (tens of
+    # m/s, minutes of sim time to quiesce).  "grid": jittered cubic grid
+    # with >= 1 body-diameter spacing — no initial overlap, piles settle
+    # in O(100) ticks.
+    spawn: str = "uniform"
     substep_wt: int = None        # Pallas world-block override (None = auto)
     relaxation: float = 0.7
     # spawn region half-extent in x/y; bodies drop from z in [1, spawn_h]
@@ -126,6 +144,9 @@ class RigidBenchWorld:
             registry, max_candidates=cfg.candidates(),
             max_contacts=cfg.candidates(), max_joints=0)
         registry.register_archetype(Body, capacity=cfg.num_bodies + 1)
+        if cfg.manifold_persist:
+            RigidBodyPhysicsSystem.register_persistent_manifolds(
+                registry, Body, cfg.candidates())
         registry.export_column(Body, base.Position, 0)
         registry.export_column(Body, base.Rotation, 1)
 
@@ -140,9 +161,31 @@ class RigidBenchWorld:
         kpos, kang, kax = ctx.rng_one(), ctx.rng_one(), ctx.rng_one()
         lo = jnp.array([-cfg.spawn_xy, -cfg.spawn_xy, 1.0])
         hi = jnp.array([cfg.spawn_xy, cfg.spawn_xy, cfg.spawn_h])
-        pos = jax.vmap(
-            lambda k: jax.random.uniform(k, (n, 3), minval=lo, maxval=hi)
-        )(kpos)
+        if cfg.spawn == "grid":
+            # single jittered layer at 1.5 spacing, dropped from just
+            # above the ground: zero initial interpenetration and gentle
+            # (sub-m/s) landings, so no solver ejections — bodies settle
+            # onto the plane in O(100) ticks with their neighbors'
+            # velocity-expanded AABBs still overlapping (full broadphase
+            # + narrowphase load, ~2 candidate pairs per body at rest)
+            side = 1
+            while side * side < n:
+                side += 1
+            spacing = 1.5
+            idx = jnp.arange(n, dtype=jnp.int32)
+            gx = (idx % side).astype(jnp.float32)
+            gy = (idx // side).astype(jnp.float32)
+            center = (side - 1) * 0.5
+            gpos = jnp.stack([(gx - center) * spacing,
+                              (gy - center) * spacing,
+                              jnp.full((n,), 1.2)], axis=-1)   # [n, 3]
+            pos = gpos[None] + jax.vmap(
+                lambda k: jax.random.uniform(
+                    k, (n, 3), minval=-0.15, maxval=0.15))(kpos)
+        else:
+            pos = jax.vmap(
+                lambda k: jax.random.uniform(k, (n, 3), minval=lo, maxval=hi)
+            )(kpos)
         ang = jax.vmap(
             lambda k: jax.random.uniform(k, (n,), minval=0.0, maxval=jnp.pi)
         )(kang)
@@ -151,9 +194,12 @@ class RigidBenchWorld:
         )(kax)
         axis = axis / jnp.linalg.norm(axis, axis=-1, keepdims=True)
         rot = m.quat_from_angle_axis(ang, axis)
-        # alternate boxes and spheres
-        objs = jnp.broadcast_to(
-            (jnp.arange(n, dtype=jnp.int32) % 2), (W, n))
+        if cfg.body_mix == "boxes":
+            objs = jnp.zeros((W, n), jnp.int32)
+        else:
+            # alternate boxes and spheres
+            objs = jnp.broadcast_to(
+                (jnp.arange(n, dtype=jnp.int32) % 2), (W, n))
         # plane first (row 0), then the dynamic pile
         all_pos = jnp.concatenate([jnp.zeros((W, 1, 3)), pos], axis=1)
         ident = jnp.broadcast_to(jnp.array([1.0, 0, 0, 0]), (W, 1, 4))
@@ -186,7 +232,9 @@ class RigidBenchWorld:
             substep_wt=cfg.substep_wt,
             contact_refresh=cfg.contact_refresh,
             sleep_threshold=cfg.sleep_threshold,
-            sleep_frames=cfg.sleep_frames)
+            sleep_frames=cfg.sleep_frames,
+            manifold_persist=cfg.manifold_persist,
+            persist_margin=cfg.persist_margin)
         RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
 
 

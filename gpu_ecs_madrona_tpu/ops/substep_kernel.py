@@ -95,6 +95,11 @@ F_DYN = 26
 F_SCALE = 27      # 27:30 per-body scale (in-kernel broadphase AABBs)
 F_LIVE = 30       # 1.0 = live archetype row
 FC_IN = 31
+# persist mode only: current CollisionAABB column (passthrough source for
+# stable worlds whose broadphase is skipped)
+F_ALO = 31        # 31:34
+F_AHI = 34        # 34:37
+FC_IN_P = 37
 
 # fused output: final state + last-substep stash components
 FO_POS = 0        # 0:3
@@ -108,6 +113,55 @@ FO_PS_ROT = 23    # 23:27
 FO_PS_V = 27      # 27:30 last substep's post-integrate velocity
 FO_PS_W = 30      # 30:33
 FC_OUT = 33
+
+# ---- persistent-manifold cache layout (cross-STEP contact cache) -----------
+# The ManifoldPersist singleton stores, per candidate slot (K lanes):
+# channels 0:3 = rows_i / rows_j / kvalid (the cached broadphase), then the
+# 33-channel body-frame manifold cache (pk.cache_contacts fields).
+MC_ROWS = 3       # rows_i, rows_j, kvalid
+MC_RA = 3         # 3:15   rA[c][p] at channel MC_RA + c*4 + p
+MC_RB = 15        # 15:27
+MC_NLOC = 27      # 27:30
+MC_DEPTH0 = 30    # 30:34
+MC_OK = 34
+MC_NPTS = 35
+MC_CHANNELS = 36
+MC_CACHE = MC_CHANNELS - MC_ROWS   # 33 manifold-cache channels
+
+
+def _pack_cache(cache):
+    """pk.cache_contacts dict ([Wt,P,K] tuples) -> [Wt, MC_CACHE, K]."""
+    chans = []
+    for c in range(3):
+        for p in range(4):
+            chans.append(cache["rA"][c][:, p])
+    for c in range(3):
+        for p in range(4):
+            chans.append(cache["rB"][c][:, p])
+    chans.extend(cache["n_loc"])
+    for p in range(4):
+        chans.append(cache["depth0"][:, p])
+    chans.append(cache["ok"].astype(jnp.float32))
+    chans.append(cache["num_points"].astype(jnp.float32))
+    return jnp.stack(chans, axis=1)
+
+
+def _parse_cache(mcc):
+    """[Wt, MC_CACHE, K] -> pk.cache_contacts dict."""
+    def vec4(base):
+        return tuple(
+            jnp.stack([mcc[:, base + c * 4 + p] for p in range(4)], axis=1)
+            for c in range(3))
+    off = MC_RA - MC_ROWS
+    return {
+        "rA": vec4(off),
+        "rB": vec4(MC_RB - MC_ROWS),
+        "n_loc": tuple(mcc[:, MC_NLOC - MC_ROWS + c] for c in range(3)),
+        "depth0": jnp.stack(
+            [mcc[:, MC_DEPTH0 - MC_ROWS + p] for p in range(4)], axis=1),
+        "ok": mcc[:, MC_OK - MC_ROWS] > 0.5,
+        "num_points": jnp.round(mcc[:, MC_NPTS - MC_ROWS]).astype(jnp.int32),
+    }
 
 
 def _c3(g, lo):
@@ -232,7 +286,8 @@ def _mk_pair_io(Wt, n, K, rows_i, rows_j, kvalid_f):
 def _substep_core(tables, relaxation, kvalid, h1, rest1,
                   SA, SB, pos_b, rot_b, v_b, w_b, prev_pos_b, prev_rot_b,
                   oh_i, oh_j, gather_i, gather_j, segsum,
-                  speculative=0.0, cached=None, want_cache=False):
+                  speculative=0.0, cached=None, want_cache=False,
+                  cache_resolver=None):
     """One contact substep given pair-gathered static sides SA/SB
     (im/ii/mu_s/mu_d/obj [Wt,K]) and per-body state tuples [Wt,n].
     v_b/w_b are the POST-INTEGRATE velocities (the reference's
@@ -248,6 +303,14 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     SKIPPED and the manifold is refreshed by transform only; with
     ``want_cache``, the freshly computed contacts are also returned as a
     cache (appended to the return tuple).
+
+    cache_resolver (persistent-manifold mode): a callable (PA, PB) ->
+    cache dict that decides per world whether to reuse a cross-step
+    cached manifold or build a fresh one (under pl.when, via a scratch
+    ref); contacts then come from pk.refresh_contacts on the resolved
+    cache uniformly.  Refreshing a cache at the very poses it was built
+    from reproduces the fresh contacts exactly (anchors coincide), so
+    the rebuild path loses nothing.
     """
     dyn_pair = jnp.stack(list(pos_b) + list(rot_b) + list(prev_pos_b),
                          axis=1)                             # [Wt, 10, n]
@@ -266,14 +329,22 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     PA, PB = side1(gA, SA), side1(gB, SB)
 
     # ---- narrowphase + positional pass (shared pair-major math) -------
-    if cached is None:
+    if cache_resolver is not None:
+        cache_out = cache_resolver(PA, PB)
+        contacts = pk.refresh_contacts(cache_out, PA, PB)
+        if not want_cache:
+            cache_out = None
+    elif cached is None:
         FA = pk.body_fields(PA["pos"], PA["rot"], SA["obj"], tables)
         FB = pk.body_fields(PB["pos"], PB["rot"], SB["obj"], tables)
         contacts = pk.pair_contacts(FA, FB, kvalid,
                                     speculative=speculative)
+        cache_out = pk.cache_contacts(contacts, PA, PB) if want_cache \
+            else None
     else:
         contacts = pk.refresh_contacts(cached, PA, PB)
-    cache_out = pk.cache_contacts(contacts, PA, PB) if want_cache else None
+        cache_out = pk.cache_contacts(contacts, PA, PB) if want_cache \
+            else None
 
     packA, packB, lam = pk.positional_pass(PA, PB, contacts,
                                            relaxation=relaxation)
@@ -327,7 +398,6 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
 
     vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
                                 contacts, lam, h1, rest1,
-                                relaxation=relaxation,
                                 speculative=speculative)
     if "noseg" in _ablate():
         n_ = pos_b[0].shape[1]
@@ -419,7 +489,8 @@ def _make_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     return kernel
 
 
-def _inkernel_broadphase(tables, Wt, n, K, D, packed, dtv):
+def _inkernel_broadphase(tables, Wt, n, K, D, packed, dtv,
+                         inflate: float = 0.0):
     """Velocity-expanded AABBs + dense rank-compaction broadphase, fully
     in VMEM (the simple_jobs-kernel pattern brought to physics; replaces
     the XLA bp_update_aabbs + bp_find_overlaps nodes, ~6 ms/step of the
@@ -428,6 +499,9 @@ def _inkernel_broadphase(tables, Wt, n, K, D, packed, dtv):
     degree cap D accounted in the dropped stat.
 
     packed [Wt, FC_IN, n]; dtv [Wt, 1] = delta_t * velocity_expansion.
+    inflate: constant extra AABB inflation per side (persistent-manifold
+    mode inflates by margin/2 so the candidate set stays a superset while
+    every body's surface moves less than margin/2).
     Returns (rows_i, rows_j, kvalid_f [Wt, 1, K] f32; lo3, hi3 [Wt,3,n];
     stats [Wt, 1, 128] with lane0=count, lane1=dropped).
     """
@@ -458,8 +532,8 @@ def _inkernel_broadphase(tables, Wt, n, K, D, packed, dtv):
         cw = pos[a] + sum(R[a][b] * c_l[b] for b in range(3))
         ext = sum(jnp.abs(R[a][b]) * he[b] for b in range(3))
         vexp = vel[a] * dtv
-        los.append(cw - ext + jnp.minimum(vexp, 0.0))
-        his.append(cw + ext + jnp.maximum(vexp, 0.0))
+        los.append(cw - ext + jnp.minimum(vexp, 0.0) - inflate)
+        his.append(cw + ext + jnp.maximum(vexp, 0.0) + inflate)
     lo3 = jnp.stack(los, axis=1)                  # [Wt, 3, n]
     hi3 = jnp.stack(his, axis=1)
 
@@ -543,7 +617,7 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                        relaxation: float, num_substeps: int,
                        speculative: float = 0.0,
                        refresh: bool = False, sleep: bool = False,
-                       bp_degree: int = 0):
+                       bp_degree: int = 0, persist_margin: float = 0.0):
     """All-substeps kernel: integrate + contact solve looped in VMEM.
 
     refresh=True runs the full SAT + clip narrowphase only on the FIRST
@@ -559,9 +633,25 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
     instead; awake-block worlds that are individually asleep get the
     passthrough by per-world select.  World-level sleeping is beyond the
     reference (no sleeping in physics.cpp); the skip is real wall-clock
-    because grid programs execute sequentially per TensorCore."""
+    because grid programs execute sequentially per TensorCore.
+
+    persist_margin > 0 (with bp_degree and refresh): CROSS-STEP
+    persistent manifolds — the generalization of sleeping from
+    fully-frozen worlds to worlds whose bodies have moved less than
+    margin/2 since their manifold cache was built (the stable flag
+    arrives per world on scal channel 7; the cache and its broadphase
+    rows on mc_ref).  Stable worlds skip candidate construction AND the
+    SAT + clip narrowphase (pl.when when the whole block is stable;
+    per-world select otherwise, so trajectories never depend on block
+    composition), refreshing the cached manifold by transform instead —
+    the same trade contact_refresh makes within a step, extended across
+    steps.  Unstable worlds rebuild, and the refreshed-rebuild equals the
+    fresh contacts exactly (anchors coincide at build poses)."""
+    persist = persist_margin > 0.0
+
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
-               out_ref, aabb_ref=None, pairs_ref=None, bp_stats_ref=None):
+               out_ref, aabb_ref=None, pairs_ref=None, bp_stats_ref=None,
+               mc_ref=None, mc_out_ref=None, mc_scratch=None):
         packed = packed_ref[:]                      # [Wt, FC_IN, n]
         pos = _c3(packed, F_POS)
         rot = _c4(packed, F_ROT)
@@ -581,7 +671,42 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
             g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4],
                  scal_ref[:, 0, 4:5])
 
-            if bp_degree:
+            if persist:
+                stable_w = scal_ref[:, 0, 7]        # [Wt] 1.0 = stable
+                all_stable = jnp.min(stable_w) > 0.5
+                selw = stable_w[:, None, None] > 0.5
+                mc = mc_ref[:]                      # [Wt, MC_CHANNELS, K]
+                cached_rows = mc[:, :MC_ROWS]
+                aabb_in = packed[:, F_ALO:F_AHI + 3]
+                lane128 = jax.lax.broadcasted_iota(
+                    jnp.int32, (Wt, 1, 128), 2)
+                cnt = jnp.sum(mc[:, 2], axis=-1)[:, None, None]
+                cached_stats = jnp.where(lane128 == 0, cnt, 0.0)
+                dtv = scal_ref[:, 0, 6:7]
+
+                @pl.when(jnp.logical_not(all_stable))
+                def _():
+                    ri, rj, kv, lo3, hi3, st = _inkernel_broadphase(
+                        tables, Wt, n, K, bp_degree, packed, dtv,
+                        inflate=0.5 * persist_margin)
+                    pairs_ref[:] = jnp.where(
+                        selw, cached_rows,
+                        jnp.concatenate([ri, rj, kv], axis=1))
+                    aabb_ref[:] = jnp.where(
+                        selw, aabb_in, jnp.concatenate([lo3, hi3], axis=1))
+                    bp_stats_ref[:] = jnp.where(selw, cached_stats, st)
+
+                @pl.when(all_stable)
+                def _():
+                    pairs_ref[:] = cached_rows
+                    aabb_ref[:] = aabb_in
+                    bp_stats_ref[:] = cached_stats
+
+                pr = pairs_ref[:]
+                rows_i_a = pr[:, 0:1].astype(jnp.int32)
+                rows_j_a = pr[:, 1:2].astype(jnp.int32)
+                kvalid_a = pr[:, 2:3]
+            elif bp_degree:
                 dtv = scal_ref[:, 0, 6:7]           # delta_t * expansion
                 rows_i_a, rows_j_a, kvalid_a, lo3, hi3, bp_stats = \
                     _inkernel_broadphase(tables, Wt, n, K, bp_degree,
@@ -627,18 +752,49 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                     h1, g)
                 ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
 
-                want_cache = refresh and step_i == 0 and num_substeps > 1
+                resolver = None
+                if persist and step_i == 0:
+                    def resolver(PA, PB):
+                        # per-world cache choice: cached manifold for
+                        # stable worlds, fresh SAT + clip for the rest —
+                        # SAT skipped entirely when the block is stable
+                        @pl.when(jnp.logical_not(all_stable))
+                        def _():
+                            FA = pk.body_fields(PA["pos"], PA["rot"],
+                                                SA["obj"], tables)
+                            FB = pk.body_fields(PB["pos"], PB["rot"],
+                                                SB["obj"], tables)
+                            fresh = pk.cache_contacts(
+                                pk.pair_contacts(
+                                    FA, FB, kvalid,
+                                    speculative=speculative),
+                                PA, PB)
+                            mc_scratch[:] = jnp.where(
+                                selw, mc[:, MC_ROWS:], _pack_cache(fresh))
+
+                        @pl.when(all_stable)
+                        def _():
+                            mc_scratch[:] = mc[:, MC_ROWS:]
+
+                        return _parse_cache(mc_scratch[:])
+
+                want_cache = (persist or refresh) and step_i == 0 \
+                    and (persist or num_substeps > 1)
                 out = _substep_core(
                     tables, relaxation, kvalid, h1, rest1, SA, SB,
                     pos_i, rot_i, v_i, w_i, prev_pos, prev_rot,
                     oh_i, oh_j, gather_i, gather_j, segsum,
                     speculative=speculative,
                     cached=cache if refresh else None,
-                    want_cache=want_cache)
+                    want_cache=want_cache,
+                    cache_resolver=resolver)
                 if want_cache:
                     p2, r2, _v2, _w2, v3_, w3_, cache = out
                 else:
                     p2, r2, _v2, _w2, v3_, w3_ = out
+                if persist and step_i == 0:
+                    mc_out_ref[:] = jnp.concatenate(
+                        [pairs_ref[:], mc_scratch[:]], axis=1)
 
                 keep = dyn_b
                 posc = tuple(jnp.where(keep, a, b)
@@ -674,6 +830,291 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         @pl.when(jnp.logical_not(blk_active))
         def _():
             out_ref[:] = passthrough()
+
+    return kernel
+
+
+def _make_fused_kernel_chunked(tables: pk.ObjTables, Wt: int, n: int,
+                               K: int, relaxation: float,
+                               num_substeps: int,
+                               speculative: float = 0.0,
+                               refresh: bool = False):
+    """K-SLAB CHUNKED all-substeps kernel (used when the candidate
+    capacity K exceeds one 128-lane tile, e.g. the 8192x128-body point
+    whose validated capacity is K=384): the whole pair pipeline — one-hot
+    build, gathers, SAT + clip narrowphase, positional pass, segment
+    sums, velocity pass — runs per 128-slot K-slab under a pl.when
+    dead-slab skip, so per-step cost tracks the BLOCK's actual candidate
+    count instead of the capacity contract (the simple_jobs dead-chunk
+    trick, ops/simple_jobs_kernel.py:139-192, brought to physics).
+    Candidate slots are a validity prefix (broadphase emits compacted
+    ascending slots), so slab c is dead exactly when c*128 >= max world
+    total in the block.  Per-pair results accumulate into VMEM scratch
+    ([Wt, 9|6, n] segment-sum accumulators, a contacts+lambda stash and
+    the refresh cache, all slab-sliced), making slab order irrelevant and
+    results bit-identical to the unchunked kernel up to segment-sum
+    addition order.  External-rows path only (in-kernel broadphase
+    requires <= 128 bodies, which implies K <= 128 capacities in
+    practice)."""
+    NC = K // 128
+    bounce = tables.any_restitution
+    # contacts+lambda slab stash: ok 1, normal 3, points 12, depth 4,
+    # num_points 1, lam 4
+    CL = 25
+
+    def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
+               out_ref, st_s, acc_s, accv_s, cl_s, mcc_s):
+        packed = packed_ref[:]                      # [Wt, FC_IN, n]
+        h1 = scal_ref[:, 0, 0:1]
+        rest1 = scal_ref[:, 0, 1:2]
+        g = (scal_ref[:, 0, 2:3], scal_ref[:, 0, 3:4], scal_ref[:, 0, 4:5])
+        rows_i_a = rows_i_ref[:]
+        rows_j_a = rows_j_ref[:]
+        kvalid_a = kvalid_ref[:]
+        tmax = jnp.max(jnp.sum(kvalid_a, axis=2))   # block max pair count
+
+        pos = _c3(packed, F_POS)
+        rot = _c4(packed, F_ROT)
+        v = _c3(packed, F_V)
+        w = _c3(packed, F_W)
+        im_b = packed[:, F_IM]
+        ii_b = _c3(packed, F_II)
+        extf = _c3(packed, F_EXTF)
+        extt = _c3(packed, F_EXTT)
+        dyn_b = packed[:, F_DYN] > 0.5
+
+        n_tiles = n // 128
+        assert n & (n - 1) == 0
+
+        def slab(c):
+            c0 = c * 128
+            sl = slice(c0, c0 + 128)
+            rows_i_c = rows_i_a[:, :, sl]
+            rows_j_c = rows_j_a[:, :, sl]
+            kvf_c = kvalid_a[:, :, sl]
+            kv_c = kvf_c[:, 0] > 0.5
+
+            # per-world 2D one-hots ([n,1] iota vs [1,128] rows — the
+            # _inkernel_broadphase pattern; a sliced 3D broadcast here
+            # hits a Mosaic "Invalid input layout" on vector.broadcast)
+            i_iota_c = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+            def onehot_w(rows, wi):
+                return ((i_iota_c == rows[wi])
+                        & (kvf_c[wi] > 0.5)).astype(jnp.float32)  # [n,128]
+
+            def gather_rows(rows):
+                def gather(mat, C):
+                    outs = []
+                    for wi in range(Wt):
+                        xw = mat[wi]                       # [C, n]
+                        idxb = jnp.broadcast_to(rows[wi], (C, 128))
+                        if n_tiles == 1:
+                            outs.append(jnp.take_along_axis(xw, idxb,
+                                                            axis=1))
+                            continue
+                        acc = jnp.zeros((C, 128), xw.dtype)
+                        for t in range(n_tiles):
+                            tile = xw[:, t * 128:(t + 1) * 128]
+                            gg = jnp.take_along_axis(
+                                tile, jnp.clip(idxb - t * 128, 0, 127),
+                                axis=1)
+                            sel = ((idxb >= t * 128)
+                                   & (idxb < (t + 1) * 128))
+                            acc = jnp.where(sel, gg, acc)
+                        outs.append(acc)
+                    return jnp.stack(outs, axis=0)
+                return gather
+
+            def segsum(packA, packB):
+                pack = jnp.concatenate([packA, packB], axis=2)
+                return jnp.stack([
+                    jax.lax.dot_general(
+                        pack[wi],
+                        jnp.concatenate([onehot_w(rows_i_c, wi),
+                                         onehot_w(rows_j_c, wi)], axis=1),
+                        (((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    for wi in range(Wt)], axis=0)
+
+            return (kv_c, gather_rows(rows_i_c), gather_rows(rows_j_c),
+                    segsum, sl)
+
+        slabs = [slab(c) for c in range(NC)]
+
+        def active(c):
+            return jnp.float32(c * 128) < tmax
+
+        # ---- static pair channels, gathered once per step per slab -----
+        for c in range(NC):
+            kv_c, gi, gj, _, sl = slabs[c]
+
+            @pl.when(active(c))
+            def _(kv_c=kv_c, gi=gi, gj=gj, sl=sl):
+                st_s[:, 0:FC_STATIC, sl] = gi(
+                    packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
+                st_s[:, FC_STATIC:2 * FC_STATIC, sl] = gj(
+                    packed[:, F_STATIC0:F_STATIC0 + FC_STATIC], FC_STATIC)
+
+            @pl.when(jnp.logical_not(active(c)))
+            def _(sl=sl):
+                st_s[:, :, sl] = jnp.zeros((Wt, 2 * FC_STATIC, 128),
+                                           jnp.float32)
+
+        posc, rotc, vc, wc = pos, rot, v, w
+        prev_pos = posc
+        prev_rot = rotc
+        ps_pos, ps_rot, ps_v, ps_w = posc, rotc, vc, wc
+        for step_i in range(num_substeps):
+            prev_pos, prev_rot = posc, rotc
+            pos_i, rot_i, v_i, w_i = _integrate(
+                posc, rotc, vc, wc, im_b, ii_b, extf, extt, dyn_b, h1, g)
+            ps_pos, ps_rot, ps_v, ps_w = pos_i, rot_i, v_i, w_i
+
+            # ---- positional phase, slab loop ---------------------------
+            acc_s[:] = jnp.zeros((Wt, 9, n), jnp.float32)
+            if refresh and step_i == 0:
+                mcc_s[:] = jnp.zeros((Wt, MC_CACHE, K), jnp.float32)
+            cl_s[:] = jnp.zeros((Wt, CL, K), jnp.float32)
+            dyn_pair = jnp.stack(
+                list(pos_i) + list(rot_i) + list(prev_pos), axis=1)
+
+            for c in range(NC):
+                kv_c, gi, gj, segsum, sl = slabs[c]
+
+                @pl.when(active(c))
+                def _(kv_c=kv_c, gi=gi, gj=gj, segsum=segsum, sl=sl,
+                      step_i=step_i):
+                    gA = gi(dyn_pair, 10)
+                    gB = gj(dyn_pair, 10)
+                    stg = st_s[:, :, sl]
+                    SA = _unpack_static(stg[:, 0:FC_STATIC], kv_c)
+                    SB = _unpack_static(stg[:, FC_STATIC:2 * FC_STATIC],
+                                        kv_c)
+
+                    def side1(gg, S):
+                        return {
+                            "pos": _c3(gg, 0),
+                            "rot": (jnp.where(kv_c, gg[:, 3], 1.0),
+                                    gg[:, 4], gg[:, 5], gg[:, 6]),
+                            "prev_pos": _c3(gg, 7),
+                            "im": S["im"], "ii": S["ii"], "mu": S["mu_s"],
+                        }
+
+                    PA, PB = side1(gA, SA), side1(gB, SB)
+                    if refresh and step_i > 0:
+                        contacts = pk.refresh_contacts(
+                            _parse_cache(mcc_s[:, :, sl]), PA, PB)
+                    else:
+                        FA = pk.body_fields(PA["pos"], PA["rot"],
+                                            SA["obj"], tables)
+                        FB = pk.body_fields(PB["pos"], PB["rot"],
+                                            SB["obj"], tables)
+                        contacts = pk.pair_contacts(
+                            FA, FB, kv_c, speculative=speculative)
+                        if refresh and step_i == 0:
+                            mcc_s[:, :, sl] = _pack_cache(
+                                pk.cache_contacts(contacts, PA, PB))
+                    packA, packB, lam = pk.positional_pass(
+                        PA, PB, contacts, relaxation=relaxation)
+                    acc_s[:] = acc_s[:] + segsum(packA, packB)
+                    cl = [contacts["ok"].astype(jnp.float32)]
+                    cl.extend(contacts["normal"])
+                    for cc in range(3):
+                        for p in range(4):
+                            cl.append(contacts["points"][cc][:, p])
+                    for p in range(4):
+                        cl.append(contacts["depth"][:, p])
+                    cl.append(contacts["num_points"].astype(jnp.float32))
+                    for p in range(4):
+                        cl.append(lam[:, p])
+                    cl_s[:, :, sl] = jnp.stack(cl, axis=1)
+
+            acc = acc_s[:]
+            p2 = pk.v3add(pos_i, _c3(acc, 0))
+            dw_acc = _c3(acc, 3)
+            zero_n = jnp.zeros_like(dw_acc[0])
+            dq = pk.qmul((zero_n,) + dw_acc, rot_i)
+            r2 = pk.qnormalize(tuple(q + 0.5 * d
+                                     for q, d in zip(rot_i, dq)))
+            bias = _c3(acc, 6)
+            v2 = tuple((p - pp - b) / h1
+                       for p, pp, b in zip(p2, prev_pos, bias))
+            dqv = pk.qmul(r2, (prev_rot[0], -prev_rot[1],
+                               -prev_rot[2], -prev_rot[3]))
+            w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * cq / h1,
+                                 -2.0 * cq / h1)
+                       for cq in dqv[1:4])
+
+            # ---- velocity phase, slab loop -----------------------------
+            accv_s[:] = jnp.zeros((Wt, 6, n), jnp.float32)
+            chans = (list(p2) + list(r2) + list(v2) + list(w2)
+                     + (list(v_i) + list(w_i) if bounce else []))
+            packed2 = jnp.stack(chans, axis=1)
+            C2 = len(chans)
+
+            for c in range(NC):
+                kv_c, gi, gj, segsum, sl = slabs[c]
+
+                @pl.when(active(c))
+                def _(kv_c=kv_c, gi=gi, gj=gj, segsum=segsum, sl=sl):
+                    gA2 = gi(packed2, C2)
+                    gB2 = gj(packed2, C2)
+                    stg = st_s[:, :, sl]
+                    SA = _unpack_static(stg[:, 0:FC_STATIC], kv_c)
+                    SB = _unpack_static(stg[:, FC_STATIC:2 * FC_STATIC],
+                                        kv_c)
+                    clg = cl_s[:, :, sl]
+                    contacts = {
+                        "ok": clg[:, 0] > 0.5,
+                        "normal": tuple(clg[:, 1 + cc] for cc in range(3)),
+                        "points": tuple(
+                            jnp.stack([clg[:, 4 + cc * 4 + p]
+                                       for p in range(4)], axis=1)
+                            for cc in range(3)),
+                        "depth": jnp.stack(
+                            [clg[:, 16 + p] for p in range(4)], axis=1),
+                        "num_points": jnp.round(
+                            clg[:, 20]).astype(jnp.int32),
+                    }
+                    lam = jnp.stack([clg[:, 21 + p] for p in range(4)],
+                                    axis=1)
+
+                    def side2(g2, S):
+                        side = {
+                            "pos": _c3(g2, 0),
+                            "rot": (jnp.where(kv_c, g2[:, 3], 1.0),
+                                    g2[:, 4], g2[:, 5], g2[:, 6]),
+                            "im": S["im"], "ii": S["ii"],
+                            "mu": S["mu_d"],
+                            "v": _c3(g2, 7), "w": _c3(g2, 10),
+                        }
+                        if bounce:
+                            side["pv"] = _c3(g2, 13)
+                            side["pw"] = _c3(g2, 16)
+                            side["rest"] = tables.scalar(S["obj"],
+                                                         "restitution")
+                        return side
+
+                    vpA, vpB = pk.velocity_pass(
+                        side2(gA2, SA), side2(gB2, SB), contacts, lam,
+                        h1, rest1, speculative=speculative)
+                    accv_s[:] = accv_s[:] + segsum(vpA, vpB)
+
+            accv = accv_s[:]
+            v3_ = pk.v3add(v2, _c3(accv, 0))
+            w3_ = pk.v3add(w2, _c3(accv, 3))
+
+            keep = dyn_b
+            posc = tuple(jnp.where(keep, a, b) for a, b in zip(p2, posc))
+            rotc = tuple(jnp.where(keep, a, b) for a, b in zip(r2, rotc))
+            vc = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in v3_)
+            wc = tuple(jnp.where(keep, a, jnp.zeros_like(a)) for a in w3_)
+
+        outs = (list(posc) + list(rotc) + list(vc) + list(wc)
+                + list(prev_pos) + list(prev_rot)
+                + list(ps_pos) + list(ps_rot) + list(ps_v) + list(ps_w))
+        out_ref[:] = jnp.stack(outs, axis=1)
 
     return kernel
 
@@ -732,18 +1173,76 @@ def _run(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
                                               "num_substeps", "interpret",
                                               "wt", "speculative",
                                               "refresh", "sleep",
-                                              "bp_degree", "K"))
-def _run_fused(packed, rows_i, rows_j, kvalid, scal, *, tables, relaxation,
-               num_substeps, interpret, wt=None, speculative=0.0,
-               refresh=False, sleep=False, bp_degree=0, K=None):
+                                              "bp_degree", "K",
+                                              "persist_margin"))
+def _run_fused(packed, rows_i, rows_j, kvalid, scal, mc=None, *, tables,
+               relaxation, num_substeps, interpret, wt=None,
+               speculative=0.0, refresh=False, sleep=False, bp_degree=0,
+               K=None, persist_margin=0.0):
     W, _, n = packed.shape
     if K is None:
         K = rows_i.shape[2]
     Wt = _pick_wt(W, K, wt)
     kern = _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
-                              speculative, refresh, sleep, bp_degree)
+                              speculative, refresh, sleep, bp_degree,
+                              persist_margin)
     specs = _pallas_specs(Wt, FC_IN, n, K, FC_OUT)
+
+    if persist_margin > 0.0:
+        def bsp(shape):
+            return pl.BlockSpec(
+                (Wt,) + shape, lambda i, _s=len(shape): (i,) + (0,) * _s,
+                memory_space=pltpu.VMEM)
+
+        def kern_persist(packed_ref, scal_ref, mc_ref, out_ref, aabb_ref,
+                         pairs_ref, bp_stats_ref, mc_out_ref, mc_scratch):
+            kern(packed_ref, None, None, None, scal_ref, out_ref,
+                 aabb_ref, pairs_ref, bp_stats_ref, mc_ref, mc_out_ref,
+                 mc_scratch)
+
+        return pl.pallas_call(
+            kern_persist,
+            grid=(W // Wt,),
+            out_shape=[
+                jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+                jax.ShapeDtypeStruct((W, 6, n), jnp.float32),
+                jax.ShapeDtypeStruct((W, 3, K), jnp.float32),
+                jax.ShapeDtypeStruct((W, 1, 128), jnp.float32),
+                jax.ShapeDtypeStruct((W, MC_CHANNELS, K), jnp.float32)],
+            interpret=interpret,
+            debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
+            compiler_params=_COMPILER_PARAMS,
+            in_specs=[bsp((FC_IN_P, n)), bsp((1, 8)),
+                      bsp((MC_CHANNELS, K))],
+            out_specs=[bsp((FC_OUT, n)), bsp((6, n)), bsp((3, K)),
+                       bsp((1, 128)), bsp((MC_CHANNELS, K))],
+            scratch_shapes=[pltpu.VMEM((Wt, MC_CACHE, K), jnp.float32)],
+        )(packed, scal, mc)
+
     if not bp_degree:
+        if (K > 128 and not sleep
+                and os.environ.get("GEM_TPU_SUBSTEP_CHUNKED", "1") != "0"):
+            # K-slab chunked path: cost tracks actual pairs, not the
+            # capacity contract (see _make_fused_kernel_chunked)
+            kern_c = _make_fused_kernel_chunked(
+                tables, Wt, n, K, relaxation, num_substeps, speculative,
+                refresh)
+            return pl.pallas_call(
+                kern_c,
+                grid=(W // Wt,),
+                out_shape=jax.ShapeDtypeStruct((W, FC_OUT, n), jnp.float32),
+                interpret=interpret,
+                debug=bool(os.environ.get("GEM_TPU_SUBSTEP_DEBUG")),
+                compiler_params=_COMPILER_PARAMS,
+                scratch_shapes=[
+                    pltpu.VMEM((Wt, 2 * FC_STATIC, K), jnp.float32),
+                    pltpu.VMEM((Wt, 9, n), jnp.float32),
+                    pltpu.VMEM((Wt, 6, n), jnp.float32),
+                    pltpu.VMEM((Wt, 25, K), jnp.float32),
+                    pltpu.VMEM((Wt, MC_CACHE, K), jnp.float32),
+                ],
+                **specs,
+            )(packed, rows_i, rows_j, kvalid, scal)
         return pl.pallas_call(
             kern,
             grid=(W // Wt,),
@@ -867,7 +1366,7 @@ class FusedSubstepKernel:
                  relaxation: float = 1.0, interpret: bool = False, wt=None,
                  speculative: float = 0.0,
                  contact_refresh: bool = False, bp_degree: int = 0,
-                 bp_capacity: int = 0):
+                 bp_capacity: int = 0, persist_margin: float = 0.0):
         self.tables = pk.ObjTables(object_manager)
         self.num_substeps = int(num_substeps)
         self.relaxation = float(relaxation)
@@ -880,12 +1379,21 @@ class FusedSubstepKernel:
         # then pass no rows and read aabbs/pairs/stats from the outputs
         self.bp_degree = int(bp_degree)
         self.bp_capacity = int(bp_capacity)
+        # persist_margin > 0: cross-step persistent manifolds (requires
+        # bp_degree + contact_refresh); callers pass mcache/stable/
+        # aabb_lo/aabb_hi and read the updated "mcache" output
+        self.persist_margin = float(persist_margin)
+        if self.persist_margin > 0.0 and not (self.bp_degree
+                                              and self.contact_refresh):
+            raise ValueError("persist_margin requires the in-kernel "
+                             "broadphase (bp_degree) and contact_refresh")
 
     def __call__(self, *, pos, rot, v, w, im, ii, mu_s, mu_d, obj,
                  ext_f, ext_t, dyn, h, gravity,
                  restitution_threshold, rows_i=None, rows_j=None,
                  kvalid=None, active=None, scale=None, live=None,
-                 dtv=None):
+                 dtv=None, mcache=None, stable=None, aabb_lo=None,
+                 aabb_hi=None):
         """Body args [W, n(,3/4)]; pair args [W, K]; h/rest [W],
         gravity [W, 3]; active [W] (1.0 = awake, None = all awake).
         With bp_degree set, omit rows_i/rows_j/kvalid and pass scale
@@ -893,19 +1401,27 @@ class FusedSubstepKernel:
         expansion); the returned dict then also carries aabb_lo/hi
         [W, n, 3], rows_i/rows_j [W, K] int32, kvalid [W, K] bool,
         bp_count/bp_dropped [W] int32.
+        With persist_margin set, also pass mcache [W, MC_CHANNELS, K]
+        (the ManifoldPersist singleton), stable [W] (1.0 = reuse the
+        cache) and the current aabb_lo/hi [W, n, 3] columns; the
+        returned dict carries the updated "mcache".
         Returns a dict of updated columns."""
         W, n0 = im.shape
         if scale is None:
             scale = jnp.ones(pos.shape)
         if live is None:
             live = jnp.ones(im.shape)
-        packed = jnp.concatenate([
+        persist = self.persist_margin > 0.0
+        chans = [
             _T(pos), _T(rot), _T(v), _T(w),
             _T1(im), _T(ii), _T1(mu_s), _T1(mu_d),
             _T1(obj.astype(jnp.float32)),
             _T(ext_f), _T(ext_t), _T1(dyn.astype(jnp.float32)),
             _T(scale), _T1(live.astype(jnp.float32)),
-        ], axis=1)                                    # [W, FC_IN, n0]
+        ]
+        if persist:
+            chans += [_T(aabb_lo), _T(aabb_hi)]
+        packed = jnp.concatenate(chans, axis=1)       # [W, FC_IN(_P), n0]
         n = 128
         while n < n0:
             n *= 2
@@ -923,23 +1439,30 @@ class FusedSubstepKernel:
         act = (jnp.ones_like(h) if active is None
                else active.astype(jnp.float32))
         dtv_c = jnp.zeros_like(h) if dtv is None else dtv
+        stable_c = (jnp.zeros_like(h) if stable is None
+                    else stable.astype(jnp.float32))
         scal = jnp.stack(
             [h, restitution_threshold, gravity[:, 0], gravity[:, 1],
-             gravity[:, 2], act, dtv_c] + [jnp.zeros_like(h)] * 1, axis=1)
+             gravity[:, 2], act, dtv_c, stable_c], axis=1)
 
         out = _run_fused(
             packed, rows_args[0], rows_args[1], rows_args[2],
-            scal[:, None, :],
+            scal[:, None, :], mcache,
             tables=self.tables, relaxation=self.relaxation,
             num_substeps=self.num_substeps, interpret=self.interpret,
             wt=self.wt, speculative=self.speculative,
             refresh=self.contact_refresh,
             sleep=active is not None,
-            bp_degree=self.bp_degree, K=K)
+            bp_degree=self.bp_degree, K=K,
+            persist_margin=self.persist_margin)
         extra = {}
         if self.bp_degree:
-            out, aabb, pairs, stats = out
-            extra = {
+            if persist:
+                out, aabb, pairs, stats, mc_out = out
+                extra["mcache"] = mc_out
+            else:
+                out, aabb, pairs, stats = out
+            extra.update({
                 "aabb_lo": _T(aabb[:, 0:3, :n0]),
                 "aabb_hi": _T(aabb[:, 3:6, :n0]),
                 "rows_i": pairs[:, 0].astype(jnp.int32),
@@ -947,7 +1470,7 @@ class FusedSubstepKernel:
                 "kvalid": pairs[:, 2] > 0.5,
                 "bp_count": stats[:, 0, 0].astype(jnp.int32),
                 "bp_dropped": stats[:, 0, 1].astype(jnp.int32),
-            }
+            })
         out = out[:, :, :n0]
         return extra | {
             "pos": _T(out[:, FO_POS:FO_POS + 3]),

@@ -142,6 +142,33 @@ class RigidBodyPhysicsSystem:
         })
 
     @staticmethod
+    def register_persistent_manifolds(registry: ECSRegistry,
+                                      body_archetype: Archetype,
+                                      max_candidates: int):
+        """Register the cross-step persistent-manifold cache singleton
+        (setup_substep_tasks manifold_persist=True).  Call from the
+        world's register_types AFTER the body archetype is registered —
+        the cache shapes depend on the body capacity and the candidate
+        capacity.  Beyond the reference (which re-runs broadphase +
+        narrowphase every step, physics.cpp:1149-1199): worlds whose
+        bodies have moved less than margin/2 since their manifold was
+        built skip both and refresh the cached manifold by transform
+        (the sleep machinery generalized from frozen worlds to
+        quasi-static ones)."""
+        from gpu_ecs_madrona_tpu.core.component import singleton_component
+        from gpu_ecs_madrona_tpu.ops.substep_kernel import MC_CHANNELS
+        n_cap = registry.archetypes[body_archetype.name].capacity
+        K = max(128, -(-max_candidates // 128) * 128)
+        comp = singleton_component(
+            "ManifoldPersist",
+            mc=((MC_CHANNELS, K), jnp.float32),   # rows + body-frame cache
+            apos=((n_cap, 3), jnp.float32),       # poses at cache build
+            arot=((n_cap, 4), jnp.float32),
+            valid=((), jnp.int32))
+        registry.register_singleton(comp)
+        return comp
+
+    @staticmethod
     def reset(ctx: Context):
         """reference RigidBodyPhysicsSystem::reset (physics.hpp:428):
         clear per-step physics temporaries."""
@@ -526,6 +553,8 @@ class RigidBodyPhysicsSystem:
         contact_refresh: bool = False,
         sleep_threshold: float = 0.0,
         sleep_frames: int = 10,
+        manifold_persist: bool = False,
+        persist_margin: float = 0.05,
     ) -> NodeID:
         """reference setupSubstepTasks (physics.cpp:1149-1199): the XPBD
         substep chain, unrolled num_substeps times.  Each substep is one
@@ -584,6 +613,24 @@ class RigidBodyPhysicsSystem:
         (pl.when early-exit — real wall-clock, since grid programs run
         sequentially per TensorCore).  Waking: set a velocity above the
         threshold or a nonzero external force.  Fused-pallas only.
+
+        manifold_persist=True (requires broadphase mode 'fused' +
+        contact_refresh, and register_persistent_manifolds in the
+        world's register_types) keeps each world's contact manifolds
+        ACROSS steps: a world whose bodies have all moved less than
+        persist_margin/2 (position plus a conservative rotation-times-
+        radius bound) since its cache was built skips candidate
+        construction and the SAT + clip narrowphase entirely, refreshing
+        the cached manifold by transform — build-time AABBs are inflated
+        by persist_margin/2 so the cached candidate set remains a
+        superset while the predicate holds.  Whole-kernel-block skips
+        happen via pl.when when every world in the block is stable;
+        mixed blocks select per world, so trajectories never depend on
+        block composition.  The error model: a contact forming entirely
+        within the stability window can be seen up to ~persist_margin
+        late (the body movement needed to form it triggers a rebuild).
+        The quasi-static generalization of sleep_threshold (which it
+        does not compose with).
         """
         objmgr = {k: jnp.asarray(v) for k, v in object_manager.items()}
         if "restitution" not in objmgr:
@@ -639,13 +686,27 @@ class RigidBodyPhysicsSystem:
                 _fbp = getattr(builder, "_gem_fused_bp", None)
                 _cap = builder.mgr.registry.archetypes[
                     CandidateRowsTemporary.name].capacity
+                if manifold_persist:
+                    if _fbp is None or not contact_refresh:
+                        raise ValueError(
+                            "manifold_persist requires broadphase mode "
+                            "'fused' and contact_refresh=True (the cache "
+                            "lives in the fused kernel and extends the "
+                            "refresh across steps)")
+                    if "ManifoldPersist" not in \
+                            builder.mgr.registry.singletons:
+                        raise ValueError(
+                            "manifold_persist: call register_persistent_"
+                            "manifolds from the world's register_types")
                 fused_kernel = FusedSubstepKernel(
                     object_manager, num_substeps=num_substeps,
                     relaxation=relaxation, interpret=interp, wt=substep_wt,
                     speculative=speculative_margin,
                     contact_refresh=contact_refresh,
                     bp_degree=_fbp["degree"] if _fbp else 0,
-                    bp_capacity=_cap if _fbp else 0)
+                    bp_capacity=_cap if _fbp else 0,
+                    persist_margin=persist_margin if manifold_persist
+                    else 0.0)
         if sleep_threshold > 0.0 and (contact_mode != "pallas" or has_joints):
             raise ValueError(
                 "sleep_threshold requires the fused Pallas substep kernel "
@@ -798,7 +859,7 @@ class RigidBodyPhysicsSystem:
                     v3, w3 = solver_mod.solve_velocities(
                         p2, r2, v2, w2, contacts, lam, inv_mass, inv_inertia,
                         mu_d, v, w, dyn, h_s,
-                        phys["restitution_threshold"], relaxation=relaxation,
+                        phys["restitution_threshold"],
                         rest_coef=objmgr["restitution"][obj],
                         speculative=speculative_margin)
                     writeback(p2, r2, v3, w3)
@@ -928,7 +989,7 @@ class RigidBodyPhysicsSystem:
 
                 vpA, vpB = pk.velocity_pass(
                     side2(gA2, SA), side2(gB2, SB), contacts, lam, h_s,
-                    phys["restitution_threshold"], relaxation=relaxation,
+                    phys["restitution_threshold"],
                     speculative=speculative_margin)
                 accv = (pk.accumulate_channels(oh_i, vpA)
                         + pk.accumulate_channels(oh_j, vpB))    # [W,n,6]
@@ -1000,6 +1061,15 @@ class RigidBodyPhysicsSystem:
                     "skip the kernel's AABB/pair outputs)")
 
         if contact_mode == "pallas" and not has_joints:
+            # persistent-manifold stability predicate inputs (per-object
+            # bounding radius for the rotation term, precomputed once)
+            if manifold_persist:
+                import numpy as _np
+                _r_tab = jnp.asarray(_np.linalg.norm(_np.maximum(
+                    _np.abs(_np.asarray(objmgr["local_aabb_lo"])),
+                    _np.abs(_np.asarray(objmgr["local_aabb_hi"]))),
+                    axis=-1).astype(_np.float32))
+
             # one pallas_call for the whole substep chain: the XLA
             # pack/transpose + custom-call boundary costs ~4x the pallas
             # pipeline itself, so it is crossed once per STEP
@@ -1050,6 +1120,29 @@ class RigidBodyPhysicsSystem:
                         "quiet_steps": qs,
                         "asleep": asleep.astype(jnp.int32)})
                     active = (~asleep).astype(jnp.float32)
+                persist_kwargs = {}
+                if manifold_persist:
+                    # stability predicate: every live dynamic body's
+                    # surface has moved less than persist_margin/2 since
+                    # the world's manifold cache was built.  Surface
+                    # movement bound: |dpos| + pi*|dq|*r (the quat chord
+                    # |dq| = 2 sin(theta/4) bounds the rotation angle by
+                    # theta <= pi*|dq|; a point at radius r moves at most
+                    # theta*r) — conservative for any rotation.
+                    mpcomp = ctx.mgr.registry.singletons["ManifoldPersist"]
+                    mp = ctx.singleton(mpcomp)
+                    aabb_cur = ctx.column(arch, CollisionAABB)
+                    scale_c = ctx.column(arch, base.Scale)
+                    disp = jnp.linalg.norm(pos - mp["apos"], axis=-1)
+                    dq = jnp.linalg.norm(rot - mp["arot"], axis=-1)
+                    rad = _r_tab[obj] * jnp.max(scale_c, axis=-1)
+                    move = disp + jnp.pi * dq * rad
+                    moving = dyn & (move >= 0.5 * persist_margin)
+                    stable = (mp["valid"] > 0) & ~jnp.any(moving, axis=1)
+                    persist_kwargs = {
+                        "mcache": mp["mc"], "stable": stable,
+                        "aabb_lo": aabb_cur["lo"],
+                        "aabb_hi": aabb_cur["hi"]}
                 out = fused_kernel(
                     pos=pos, rot=rot, v=vel["linear"], w=vel["angular"],
                     im=jnp.where(dyn, objmgr["inv_mass"][obj], 0.0),
@@ -1062,7 +1155,16 @@ class RigidBodyPhysicsSystem:
                     dyn=dyn,
                     h=phys["h"], gravity=phys["gravity"],
                     restitution_threshold=phys["restitution_threshold"],
-                    active=active, **bp_kwargs)
+                    active=active, **bp_kwargs, **persist_kwargs)
+                if manifold_persist:
+                    # rebuild worlds re-anchor at this step's PRE-step
+                    # poses (the poses the inflated build AABBs saw)
+                    keep3 = stable[:, None, None]
+                    ctx.set_singleton(mpcomp, {
+                        "mc": out["mcache"],
+                        "apos": jnp.where(keep3, mp["apos"], pos),
+                        "arot": jnp.where(keep3, mp["arot"], rot),
+                        "valid": jnp.ones_like(mp["valid"])})
                 if fused_bp is not None:
                     # observable broadphase surface from kernel outputs:
                     # AABB/LeafID columns + candidate temporaries (DCE'd
@@ -1081,8 +1183,15 @@ class RigidBodyPhysicsSystem:
                                 out["bp_dropped"])
                     ctx.add_overflow(CandidateRowsTemporary,
                                      out["bp_dropped"])
+                    # the kernel rounds its pair axis up to a multiple of
+                    # 128 lanes; slice back to the archetype capacity
+                    # before emitting (counts > capacity is accounted by
+                    # emit_temporaries' overflow clip)
+                    _cap = ctx.mgr.registry.archetypes[
+                        CandidateRowsTemporary.name].capacity
                     emit_candidates_fused(ctx, out["bp_count"],
-                                          out["rows_i"], out["rows_j"])
+                                          out["rows_i"][:, :_cap],
+                                          out["rows_j"][:, :_cap])
                 ctx.set_column(arch, base.Position, out["pos"])
                 ctx.set_column(arch, base.Rotation, out["rot"])
                 keep = dyn[..., None]

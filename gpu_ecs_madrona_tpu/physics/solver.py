@@ -241,7 +241,7 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
                            posB, rotB, imB, iiB, muB, vB_lin, vB_ang,
                            pvB_lin, pvB_ang,
                            contacts, lambda_n, h4, restitution4,
-                           relaxation=1.0, restA=None, restB=None,
+                           restA=None, restB=None,
                            speculative=0.0):
     """Per-contact velocity solve: the reference's solveVelocitiesForContact
     (physics.cpp:716-1009) reproduced EXACTLY within each manifold — two
@@ -258,8 +258,11 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
 
     Returns per-pair velocity DELTAS (dvA, dwA, dvB, dwB), each [*L, 3],
     exactly zero (never NaN) on dead pairs.
+
+    NOTE there is deliberately no relaxation parameter: the reference
+    velocity pass applies impulses unrelaxed (physics.cpp:716-1009);
+    relaxation affects only the positional pass.
     """
-    del relaxation  # the reference velocity pass has no relaxation
     ok = contacts["ok"]
     nrm = contacts["normal"]                      # [*L, 3]
     pts = contacts["points"]                      # [*L, 4, 3]
@@ -387,11 +390,13 @@ def _velocity_contact_math(posA, rotA, imA, iiA, muA, vA_lin, vA_ang,
 def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
                      inv_mass, inv_inertia, mu_d, pre_v, pre_omega,
                      response_dynamic, h, restitution_threshold,
-                     relaxation=1.0, rest_coef=None, speculative=0.0):
+                     rest_coef=None, speculative=0.0):
     """Velocity pass over the dense contact grid (reference solveVelocities,
     physics.cpp:716-1009).  rest_coef: per-body restitution [W, n]
     (None = 0, no bounce).  speculative: near-miss margin (see
-    pairs.velocity_pass)."""
+    pairs.velocity_pass).  No relaxation parameter by design — the
+    reference velocity pass is unrelaxed; relaxation shapes only the
+    positional pass."""
     dynm = response_dynamic & (inv_mass > 0)
     im = jnp.where(dynm, inv_mass, 0.0)
     ii = jnp.where(dynm[..., None], inv_inertia, 0.0)
@@ -407,7 +412,7 @@ def solve_velocities(pos, rot, vel_lin, vel_ang, contacts, lambda_n,
         pos[:, None, :], rot[:, None, :], im[:, None, :], ii[:, None, :],
         mu_d[:, None, :], vel_lin[:, None, :], vel_ang[:, None, :],
         pre_v[:, None, :], pre_omega[:, None, :],
-        contacts, lambda_n, h4, rest4, relaxation,
+        contacts, lambda_n, h4, rest4,
         restA=restA, restB=restB, speculative=speculative)
 
     dv = jnp.sum(dvA, axis=2) + jnp.sum(dvB, axis=1)

@@ -644,3 +644,64 @@ def test_fused_broadphase_matches_dense():
     np.testing.assert_allclose(outs["dense"]["aabb"], outs["fused"]["aabb"],
                                atol=1e-5)
     assert outs["dense"]["overflow"] == 0 and outs["fused"]["overflow"] == 0
+
+
+@pytest.mark.slow
+def test_fused_broadphase_non_multiple_of_128_capacity():
+    """Regression (round-5 ADVICE): broadphase_mode='fused' with a
+    candidate capacity that is NOT a multiple of 128 (the default
+    4*num_bodies gives 96 at 24 bodies).  The kernel rounds its pair axis
+    up to x128 lanes; the emit path must slice back to the archetype
+    capacity instead of raising a trace-time broadcast error."""
+    import numpy as np
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    outs = {}
+    for mode in ("dense", "fused"):
+        sim = rb.make_executor(rb.RigidBenchConfig(
+            num_worlds=4, num_bodies=24, contact_mode="pallas",
+            broadphase_mode=mode, max_candidates=96, dense_degree=12,
+            seed=0), donate=False)
+        sim.run(5)
+        outs[mode] = {
+            "pos": np.asarray(sim.get_exported(0)[0]).copy(),
+            "overflow": int(sum(np.asarray(v).sum()
+                                for v in sim.overflow_counters().values())),
+        }
+    np.testing.assert_array_equal(outs["dense"]["pos"], outs["fused"]["pos"])
+    assert outs["dense"]["overflow"] == 0 and outs["fused"]["overflow"] == 0
+
+
+@pytest.mark.slow
+def test_chunked_kernel_matches_unchunked():
+    """K-slab chunked fused kernel (K > 128 routes to
+    _make_fused_kernel_chunked; dead slabs pl.when-skipped): trajectories
+    must match the unchunked kernel to segment-sum reassociation
+    tolerance.  Subprocess A/B because the chunk toggle
+    (GEM_TPU_SUBSTEP_CHUNKED) is read at trace time."""
+    import subprocess
+    import sys
+    code = '''
+import numpy as np
+from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+sim = rb.make_executor(rb.RigidBenchConfig(
+    num_worlds=2, num_bodies=20, contact_mode="pallas",
+    broadphase_mode="dense", max_candidates=256, dense_degree=10,
+    seed=0, spawn_xy=3.0, spawn_h=4.0), donate=False)
+sim.run(8)
+p, m = sim.get_exported(0)
+assert np.isfinite(np.asarray(p)[np.asarray(m)]).all()
+np.save("{out}", np.asarray(p))
+'''
+    import os
+    outs = {}
+    for tag, flag in (("c", "1"), ("u", "0")):
+        out = f"/tmp/gem_chunk_ab_{tag}_{os.getpid()}.npy"
+        env = dict(os.environ)
+        env["GEM_TPU_SUBSTEP_CHUNKED"] = flag
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, "-c", code.format(out=out)], env=env,
+            capture_output=True, text=True)
+        assert r.returncode == 0, r.stderr[-2000:]
+        outs[tag] = np.load(out)
+    np.testing.assert_allclose(outs["c"], outs["u"], atol=2e-3)

@@ -182,6 +182,16 @@ def _fvs_oracle_tick(st, rng, fvs, jr):
             d2 = np.sum((targets[i] - p) ** 2, axis=-1)
             hit = m & (d2 <= fvs.CAST_RADIUS * fvs.CAST_RADIUS)
             st[kind + "_hp"][hit] -= np.float32(fvs.CAST_DAMAGE)
+            # principled-tolerance bookkeeping (round-5): the engine
+            # computes d2 via the centered Gram form (one exact-precision
+            # MXU matmul), which reassociates fp vs this subtract form by
+            # ~2 ulps of d2.  A hit decision can only flip when d2 sits
+            # within that band of the radius; count such borderline
+            # events so the test can assert the seeded run has none and
+            # keep gating hp/mask EXACTLY.
+            st["borderline"] = st.get("borderline", 0) + int(np.sum(
+                m & (np.abs(d2 - fvs.CAST_RADIUS * fvs.CAST_RADIUS)
+                     < 1e-3)))
 
     # ---- archer (fvs.cpp:188-210) ---------------------------------------
     rng, k_arch = next_key(rng)
@@ -264,6 +274,12 @@ def test_fantasy_vs_matches_serial_oracle(monkeypatch):
     eng = grab(sim.state)
 
     for w, oracle in enumerate(oracles):
+        # no hit decision within the Gram-form fp band (see
+        # _fvs_oracle_tick) -> the engine's reassociated d2 cannot flip
+        # any hit, so exact gating below remains sound
+        assert oracle.get("borderline", 0) == 0, (
+            f"world {w}: seeded run has borderline AoE hits; pick "
+            "another seed to keep exact hp gating meaningful")
         for key in ("d_mask", "k_mask", "k_arrows"):
             np.testing.assert_array_equal(
                 eng[key][w], oracle[key],
