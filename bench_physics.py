@@ -35,10 +35,18 @@ SETTLE_TICKS = int(os.environ.get("BENCH_PHYS_SETTLE_TICKS", 0))
 # and 400 un-timed settle ticks before the windows.
 SETTLE = os.environ.get("BENCH_PHYS_SETTLE") == "1"
 BODY_MIX, SPAWN = "alternate", "uniform"
+# world-level sleep layered on persist (BENCH_PHYS_SLEEP=0 disables):
+# quiescent worlds freeze bit-exactly and skip the whole kernel
+SLEEP_THR = (0.02 if SETTLE
+             and os.environ.get("BENCH_PHYS_SLEEP", "1") == "1" else 0.0)
 if SETTLE:
-    PERSIST = True
+    # BENCH_PHYS_PERSIST=0 runs the same settled workload WITHOUT the
+    # persistent-manifold skip (the honest A/B for the skip's win)
+    PERSIST = os.environ.get("BENCH_PHYS_PERSIST", "1") == "1"
     BODY_MIX, SPAWN = "boxes", "grid"
     SETTLE_TICKS = SETTLE_TICKS or 400
+    BP = "fused"
+    REFRESH = True
 if PERSIST:
     BP = "fused"
     REFRESH = True
@@ -56,7 +64,8 @@ def main():
         num_worlds=NUM_WORLDS, num_bodies=NUM_BODIES, contact_mode=MODE,
         broadphase_mode=BP, max_candidates=CANDS, seed=0,
         contact_refresh=REFRESH, manifold_persist=PERSIST,
-        body_mix=BODY_MIX, spawn=SPAWN))
+        body_mix=BODY_MIX, spawn=SPAWN,
+        sleep_threshold=SLEEP_THR if PERSIST else 0.0))
 
     sim.run(3)
     sim.block_until_ready()

@@ -53,7 +53,21 @@ def measure(num_devices: int, worlds_per_device: int, ticks: int) -> float:
 
 
 def main():
+    # BENCH_SCALING_CPU=1: virtual 8-device CPU mesh (the axon
+    # sitecustomize pins jax_platforms to the tunneled TPU, so env vars
+    # alone don't switch backends — override after import, like
+    # tests/conftest.py)
+    if os.environ.get("BENCH_SCALING_CPU") == "1":
+        xla_flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in xla_flags:
+            os.environ["XLA_FLAGS"] = (
+                xla_flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
+    if os.environ.get("BENCH_SCALING_CPU") == "1":
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", jax.default_backend()
 
     worlds_per_device = int(os.environ.get("BENCH_WORLDS_PER_DEVICE", 2048))
     ticks = int(os.environ.get("BENCH_NUM_TICKS", 50))

@@ -76,6 +76,20 @@ class FantasyVsConfig:
     cleanup: bool = True    # gameLoop mode; False = reference benchmarkTick
     # replicate the reference's z-clamped-by-x bug bit-for-bit
     replicate_clamp_bug: bool = False
+    # SCRIPTED REPLAY (binary-parity harness): every random decision —
+    # init state, per-tick move/cast draws, archer target rows — comes
+    # from tables passed as init_data instead of the RNG stream, so the
+    # run can be gated against the reference JobManager binary
+    # (tools/ref_golden/fvs_main.cpp) which draws the same values from a
+    # splitmix64 stream.  init_data keys: d_pos [nd,3], d_mana [nd],
+    # k_pos [nk,3], k_arrows [nk], d_act/k_act [T,n,4]
+    # (move-prob, dx, dy, dz), cast_target [T,nd,3],
+    # archer_target [T,nk] int32 dragon ROW (-1 = the binary did not
+    # shoot).  Scripted mode also uses the subtract-form AoE distance
+    # (the binary's formulation; the Gram-vs-subtract band is gated
+    # separately by the serial-oracle borderline check) and implies the
+    # reference clamp-bug replication.
+    scripted: bool = False
 
 
 class FantasyVsWorld:
@@ -108,12 +122,26 @@ class FantasyVsWorld:
         hi = jnp.array(BOUNDS_HI)
         ctx.data = {"_": jnp.zeros((W, 1))}  # constants closed over instead
 
-        kd_pos, kd_mana = ctx.rng_one(), ctx.rng_one()
-        kk_pos, kk_arrows = ctx.rng_one(), ctx.rng_one()
-
         nd, nk = cfg.num_dragons, cfg.num_knights
-        d_pos = jax.vmap(lambda k: jax.random.uniform(k, (nd, 3), minval=lo, maxval=hi))(kd_pos)
-        d_mana = jax.vmap(lambda k: jax.random.uniform(k, (nd,), minval=0.0, maxval=50.0))(kd_mana)
+        if cfg.scripted:
+            bc = lambda x: jnp.broadcast_to(  # noqa: E731
+                jnp.asarray(x)[None], (W,) + jnp.asarray(x).shape)
+            d_pos = bc(init_data["d_pos"])
+            d_mana = bc(init_data["d_mana"])
+            k_pos = bc(init_data["k_pos"])
+            k_arrows = bc(jnp.asarray(init_data["k_arrows"], jnp.int32))
+            ctx.data = {"_": jnp.zeros((W, 1)), "fvs_script": {
+                "d_act": bc(init_data["d_act"]),
+                "k_act": bc(init_data["k_act"]),
+                "cast_target": bc(init_data["cast_target"]),
+                "archer_target": bc(jnp.asarray(init_data["archer_target"],
+                                                jnp.int32)),
+            }}
+        else:
+            kd_pos, kd_mana = ctx.rng_one(), ctx.rng_one()
+            kk_pos, kk_arrows = ctx.rng_one(), ctx.rng_one()
+            d_pos = jax.vmap(lambda k: jax.random.uniform(k, (nd, 3), minval=lo, maxval=hi))(kd_pos)
+            d_mana = jax.vmap(lambda k: jax.random.uniform(k, (nd,), minval=0.0, maxval=50.0))(kd_mana)
         ctx.make_entities(
             Dragon, counts=nd, max_new=nd,
             values={
@@ -123,10 +151,11 @@ class FantasyVsWorld:
                 Mana: {"mp": d_mana},
             },
         )
-        k_pos = jax.vmap(lambda k: jax.random.uniform(k, (nk, 3), minval=lo, maxval=hi))(kk_pos)
-        k_arrows = jax.vmap(
-            lambda k: jax.random.randint(k, (nk,), 20, 41)
-        )(kk_arrows)
+        if not cfg.scripted:
+            k_pos = jax.vmap(lambda k: jax.random.uniform(k, (nk, 3), minval=lo, maxval=hi))(kk_pos)
+            k_arrows = jax.vmap(
+                lambda k: jax.random.randint(k, (nk,), 20, 41)
+            )(kk_arrows)
         ctx.make_entities(
             Knight, counts=nk, max_new=nk,
             values={
@@ -168,9 +197,46 @@ class FantasyVsWorld:
             )
             return out_pos, {"remaining": out_rem}
 
-        n_action = builder.parallel_for_node(
-            action_select, [Position, Action], name="action_select", needs_rng=True
-        )
+        if cfg.scripted:
+            # scripted replay (binary-parity): same semantics as the
+            # parallel_for above, decisions read from the script tables
+            def action_select_scripted(ctx: Context):
+                W = ctx.num_worlds
+                wiota = jnp.arange(W)
+                for arch, key in ((Dragon, "d_act"), (Knight, "k_act")):
+                    tab = ctx.data["fvs_script"][key]     # [W, T, n, 4]
+                    t = jnp.minimum(ctx.tick, tab.shape[1] - 1)
+                    sel = tab[wiota, t]                   # [W, n, 4]
+                    pos = ctx.column(arch, Position)
+                    act = ctx.column(arch, Action)["remaining"]
+                    mask = ctx.row_mask(arch)
+                    busy = act > 0.0
+                    do_move = mask & ~busy & (sel[..., 0] <= 0.5)
+                    new_pos = pos + sel[..., 1:4]
+                    # reference clamp bug (fvs.cpp:139): z vs new x
+                    clamped = jnp.stack([
+                        jnp.clip(new_pos[..., 0], lo[0], hi[0]),
+                        jnp.clip(new_pos[..., 1], lo[1], hi[1]),
+                        jnp.clip(new_pos[..., 0], lo[2], hi[2]),
+                    ], axis=-1)
+                    moved = clamped - pos
+                    move_time = (jnp.linalg.norm(moved, axis=-1)
+                                 / MOVE_SPEED)
+                    out_pos = jnp.where(do_move[..., None], clamped, pos)
+                    out_rem = jnp.where(busy, act - DELTA_T,
+                                        jnp.where(do_move, move_time, act))
+                    ctx.set_column(arch, Position, out_pos)
+                    ctx.set_column(
+                        arch, Action,
+                        {"remaining": jnp.where(mask, out_rem, act)})
+
+            n_action = builder.add_node(action_select_scripted,
+                                        name="action_select")
+        else:
+            n_action = builder.parallel_for_node(
+                action_select, [Position, Action], name="action_select",
+                needs_rng=True
+            )
 
         def caster(ctx: Context):
             # reference fvs.cpp:148-186 — dragons AoE-blast random targets.
@@ -182,10 +248,16 @@ class FantasyVsWorld:
             mana = jnp.where(d_mask, d_mana + MANA_REGEN * DELTA_T, d_mana)
             can_cast = d_mask & (d_act <= 0.0) & (mana >= CAST_COST)
 
-            keys = ctx.rng_one()  # [W, 2]
-            targets = jax.vmap(
-                lambda k: jax.random.uniform(k, (nd, 3), minval=lo, maxval=hi)
-            )(keys)  # [W, nd, 3]
+            if cfg.scripted:
+                tab = ctx.data["fvs_script"]["cast_target"]  # [W, T, nd, 3]
+                t = jnp.minimum(ctx.tick, tab.shape[1] - 1)
+                targets = tab[jnp.arange(W), t]              # [W, nd, 3]
+            else:
+                keys = ctx.rng_one()  # [W, 2]
+                targets = jax.vmap(
+                    lambda k: jax.random.uniform(k, (nd, 3), minval=lo,
+                                                 maxval=hi)
+                )(keys)  # [W, nd, 3]
 
             # AoE damage to every Position+Health entity (both archetypes).
             # d2 via the CENTERED Gram form |t-c|^2 + |p-c|^2 - 2 (t-c).(p-c)
@@ -202,13 +274,21 @@ class FantasyVsWorld:
                 pos = ctx.column(arch, Position)  # [W, ne, 3]
                 hp = ctx.column(arch, Health)["hp"]
                 amask = ctx.row_mask(arch)
-                pc = pos - cen
-                p2 = jnp.sum(pc * pc, axis=-1)            # [W, ne]
-                tp = jax.lax.dot_general(
-                    tc, pc, (((2,), (2,)), ((0,), (0,))),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)   # [W, nd, ne]
-                d2 = t2[:, :, None] + p2[:, None, :] - 2.0 * tp
+                if cfg.scripted:
+                    # subtract-form d2: the binary's formulation (the
+                    # Gram-vs-subtract fp band is gated separately by the
+                    # serial oracle's borderline counter)
+                    d2 = jnp.sum(
+                        (targets[:, :, None, :] - pos[:, None, :, :]) ** 2,
+                        axis=-1)
+                else:
+                    pc = pos - cen
+                    p2 = jnp.sum(pc * pc, axis=-1)        # [W, ne]
+                    tp = jax.lax.dot_general(
+                        tc, pc, (((2,), (2,)), ((0,), (0,))),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32)  # [W, nd, ne]
+                    d2 = t2[:, :, None] + p2[:, None, :] - 2.0 * tp
                 hit = (
                     can_cast[:, :, None]
                     & amask[:, None, :]
@@ -237,19 +317,37 @@ class FantasyVsWorld:
             n_dragons = jnp.sum(d_mask.astype(jnp.int32), axis=1)  # [W]
             shoot = shoot & (n_dragons[:, None] > 0)
 
-            keys = ctx.rng_one()
-            pick = jax.vmap(lambda k: jax.random.randint(k, (nk,), 0, 1 << 30))(keys)
-            sel_rank = pick % jnp.maximum(n_dragons[:, None], 1)  # [W, nk]
+            if cfg.scripted:
+                # target dragon ROW replayed from the binary dump (the
+                # reference picks by row index into its swap-removed
+                # table — an execution-order artifact this engine's
+                # rank-order pick deliberately does not reproduce; see
+                # FantasyVsConfig.scripted)
+                tab = ctx.data["fvs_script"]["archer_target"]  # [W, T, nk]
+                t = jnp.minimum(ctx.tick, tab.shape[1] - 1)
+                tgt = tab[jnp.arange(W), t]                    # [W, nk]
+                hits = (
+                    shoot[:, :, None]
+                    & d_mask[:, None, :]
+                    & (tgt[:, :, None]
+                       == jnp.arange(nd, dtype=jnp.int32)[None, None, :])
+                )  # [W, nk, nd]
+            else:
+                keys = ctx.rng_one()
+                pick = jax.vmap(
+                    lambda k: jax.random.randint(k, (nk,), 0, 1 << 30)
+                )(keys)
+                sel_rank = pick % jnp.maximum(n_dragons[:, None], 1)
 
-            # rank -> live dragon row: row r has rank (cumsum of mask)-1
-            d_rank = jnp.cumsum(d_mask, axis=1, dtype=jnp.int32) - 1  # [W, nd]
-            # one-hot over dragons: knight k hits dragon row r iff live and
-            # rank matches.  Damage = matmul accumulate (MXU, no scatter).
-            hits = (
-                shoot[:, :, None]
-                & d_mask[:, None, :]
-                & (sel_rank[:, :, None] == d_rank[:, None, :])
-            )  # [W, nk, nd]
+                # rank -> live dragon row: row r has rank (cumsum)-1
+                d_rank = jnp.cumsum(d_mask, axis=1, dtype=jnp.int32) - 1
+                # one-hot over dragons: knight k hits dragon row r iff
+                # live and rank matches.  Damage = matmul accumulate.
+                hits = (
+                    shoot[:, :, None]
+                    & d_mask[:, None, :]
+                    & (sel_rank[:, :, None] == d_rank[:, None, :])
+                )  # [W, nk, nd]
             dmg = ARROW_DAMAGE * jnp.sum(hits, axis=1).astype(jnp.float32)
             d_hp = ctx.column(Dragon, Health)["hp"]
             ctx.set_column(Dragon, Health, {"hp": d_hp - dmg})
@@ -371,7 +469,8 @@ def make_rl_env(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
     return sim, obs_fn, inject_fn, reward_fn, obs_dim, act_dim
 
 
-def make_executor(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
+def make_executor(cfg: FantasyVsConfig = FantasyVsConfig(), init_data=None,
+                  **exec_kwargs):
     world = FantasyVsWorld.with_config(cfg)
     return TaskGraphExecutor(
         world,
@@ -381,4 +480,5 @@ def make_executor(cfg: FantasyVsConfig = FantasyVsConfig(), **exec_kwargs):
             seed=cfg.seed,
             **exec_kwargs,
         ),
+        init_data=init_data,
     )

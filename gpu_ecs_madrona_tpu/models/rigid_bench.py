@@ -171,7 +171,12 @@ class RigidBenchWorld:
             side = 1
             while side * side < n:
                 side += 1
-            spacing = 1.5
+            # 1.85 > max AABB reach of two unit boxes (2 * (sqrt(3)/2 +
+            # persist inflation)): neighbors' rest AABBs do NOT overlap,
+            # so the settled candidate set (~1 plane pair per body, plus
+            # transient neighbor pairs while settling) stays in the same
+            # capacity regime as the default pile workload
+            spacing = 1.85
             idx = jnp.arange(n, dtype=jnp.int32)
             gx = (idx % side).astype(jnp.float32)
             gy = (idx // side).astype(jnp.float32)

@@ -76,6 +76,15 @@ class RenderTables:
         used = [self.num_faces[o] for o in range(self.O)
                 if self.prim_type[o] == PRIM_HULL]
         self.F_used = max(used) if used else 0
+        # per-object bounding radius for tile-frustum culling (planes are
+        # infinite: excluded from culling via is_plane)
+        if "local_aabb_lo" in om:
+            self.r_bound = [float(np.linalg.norm(np.maximum(
+                np.abs(om["local_aabb_lo"][o]),
+                np.abs(om["local_aabb_hi"][o]))))
+                for o in range(self.O)]
+        else:
+            self.r_bound = [max(2.0, self.radius[o]) for o in range(self.O)]
         # triangle render meshes (renderer.BatchRenderer tri tables):
         # objects with has_mesh trace REAL triangles (Moeller-Trumbore,
         # the reference BLAS ray-query analog) instead of their physics
@@ -96,6 +105,18 @@ class RenderTables:
                 np.zeros((self.O, 0, 3))
             self.tri_mask = np.zeros((self.O, 0), bool)
             self.T_used = 0
+        # widen bound radii to cover render meshes that exceed the physics
+        # hull (r_bound drives culling for every primitive type)
+        for o in range(self.O):
+            if self.has_mesh[o] and self.tri_mask[o].any():
+                tm = self.tri_mask[o]
+                corners = np.concatenate([
+                    self.tri_a[o][tm],
+                    self.tri_a[o][tm] + self.tri_e1[o][tm],
+                    self.tri_a[o][tm] + self.tri_e2[o][tm]], axis=0)
+                self.r_bound[o] = max(self.r_bound[o],
+                                      float(np.linalg.norm(corners,
+                                                           axis=1).max()))
 
     def key(self):
         return (self.O, tuple(self.prim_type), tuple(self.radius),
@@ -103,7 +124,8 @@ class RenderTables:
                 tuple(self.num_faces), self.albedo.tobytes(), self.F_used,
                 tuple(self.has_mesh), self.tri_a.tobytes(),
                 self.tri_e1.tobytes(), self.tri_e2.tobytes(),
-                self.tri_mask.tobytes(), self.T_used)
+                self.tri_mask.tobytes(), self.T_used,
+                tuple(self.r_bound))
 
     def __hash__(self):
         return hash(self.key())
@@ -139,29 +161,129 @@ def _fold_mask(obj_i, flags):
     return acc
 
 
-def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
-                 light_dir, ambient: float):
+def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int, N0: int,
+                 light_dir, ambient: float, cull: bool = True,
+                 group: int = 8):
     T = tables
     lx, ly, lz = light_dir  # pre-normalized, pointing TOWARD the light
 
-    def kernel(rays_ref, inst_ref, out_ref):
+    def kernel(rays_ref, inst_ref, out_ref, best_s):
         rays = rays_ref[:]                       # [Wt, 6, Pt]
         inst = inst_ref[:]                       # [Wt, C_INST, N]
         ro = (rays[:, 0], rays[:, 1], rays[:, 2])
         rd = (rays[:, 3], rays[:, 4], rays[:, 5])
 
-        best_t = jnp.full((Wt, Pt), BIG)
-        best_n = (jnp.zeros((Wt, Pt)), jnp.zeros((Wt, Pt)),
-                  jnp.zeros((Wt, Pt)))
-        best_alb = (jnp.zeros((Wt, Pt)), jnp.zeros((Wt, Pt)),
-                    jnp.zeros((Wt, Pt)))
+        # ---- per-tile survivor list (reference: the TLAS prunes the
+        # instance set per ray; here a bounding cone over the TILE's rays
+        # prunes it per pixel tile, then the survivors compact to a dense
+        # prefix so the instance loop runs only ceil(max_survivors/G)
+        # pl.when groups instead of all N instances) ----------------------
+        live_lane = inst[:, I_MASK] > 0.5                  # [Wt, N]
+        obj_lane = inst[:, I_OBJ]
+        if cull:
+            # tile ray cone: axis = mean direction, cos_max = min dot;
+            # padded rays (rd == 0) excluded from the min
+            pad_ray = (rd[0] * rd[0] + rd[1] * rd[1] + rd[2] * rd[2]) < 0.5
+            ax = tuple(jnp.sum(jnp.where(pad_ray, 0.0, c), axis=1,
+                               keepdims=True) for c in rd)     # [Wt, 1]
+            inv_ax = jax.lax.rsqrt(jnp.maximum(
+                ax[0] * ax[0] + ax[1] * ax[1] + ax[2] * ax[2], EPS))
+            ax = tuple(c * inv_ax for c in ax)
+            cos_d = rd[0] * ax[0] + rd[1] * ax[1] + rd[2] * ax[2]
+            cos_m = jnp.min(jnp.where(pad_ray, 1.0, cos_d), axis=1,
+                            keepdims=True)                     # [Wt, 1]
+            cos_m = jnp.clip(cos_m, -1.0, 1.0)
+            sin_m = jnp.sqrt(jnp.maximum(1.0 - cos_m * cos_m, 0.0))
+            # origin bounds (pinhole: one origin per view; the spread term
+            # keeps the test conservative if a tile spans views)
+            ro_mean = tuple(jnp.sum(jnp.where(pad_ray, 0.0, c), axis=1,
+                                    keepdims=True)
+                            / jnp.maximum(jnp.sum(
+                                jnp.where(pad_ray, 0.0, 1.0), axis=1,
+                                keepdims=True), 1.0) for c in ro)
+            spread2 = jnp.max(jnp.where(
+                pad_ray, 0.0,
+                sum((c - m) ** 2 for c, m in zip(ro, ro_mean))),
+                axis=1, keepdims=True)
+            spread = jnp.sqrt(spread2)
+            # instance bounding spheres vs the expanded cone
+            rb = None
+            for o in range(T.O):
+                term = jnp.where(obj_lane == float(o), float(T.r_bound[o]),
+                                 0.0)
+                rb = term if rb is None else rb + term
+            smax = jnp.maximum(jnp.maximum(inst[:, I_SCALE],
+                                           inst[:, I_SCALE + 1]),
+                               inst[:, I_SCALE + 2])
+            r_eff = rb * smax + spread
+            is_plane_l = None
+            for o in range(T.O):
+                if T.prim_type[o] != PRIM_PLANE:
+                    continue
+                term = obj_lane == float(o)
+                is_plane_l = term if is_plane_l is None \
+                    else is_plane_l | term
+            d = tuple(inst[:, I_POS + c] - ro_mean[c] for c in range(3))
+            dist = jnp.sqrt(jnp.maximum(
+                d[0] * d[0] + d[1] * d[1] + d[2] * d[2], EPS))
+            cos_ad = (d[0] * ax[0] + d[1] * ax[1] + d[2] * ax[2]) / dist
+            sin_b = jnp.clip(r_eff / dist, 0.0, 1.0)
+            cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
+            # keep if angle(d, axis) <= cone_half_angle + asin(r/dist)
+            keep = (cos_ad >= cos_m * cos_b - sin_m * sin_b) \
+                | (dist <= r_eff)
+            if is_plane_l is not None:
+                keep = keep | is_plane_l
+            surv_mask = live_lane & keep
+        else:
+            surv_mask = live_lane
 
-        for i in range(N):
-            pos_i = tuple(inst[:, I_POS + c, i][:, None] for c in range(3))
-            rot_i = tuple(inst[:, I_ROT + c, i][:, None] for c in range(4))
-            scl_i = tuple(inst[:, I_SCALE + c, i][:, None] for c in range(3))
-            obj_i = inst[:, I_OBJ, i][:, None]          # [Wt, 1]
-            msk_i = inst[:, I_MASK, i][:, None] > 0.5
+        # order-preserving compaction (rank via one triangular matmul per
+        # world; slot s's instance = the one whose inclusive rank == s+1)
+        tri_incl = (jax.lax.broadcasted_iota(jnp.int32, (N, N), 0)
+                    <= jax.lax.broadcasted_iota(jnp.int32, (N, N), 1)
+                    ).astype(jnp.float32)
+        n_iota_c = jax.lax.broadcasted_iota(
+            jnp.int32, (N, 1), 0).astype(jnp.float32)
+        s_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, N), 1).astype(jnp.float32)
+        surv_rows = []
+        counts = []
+        for wi in range(Wt):
+            m_row = surv_mask[wi][None].astype(jnp.float32)  # [1, N]
+            rank_row = jax.lax.dot_general(
+                m_row, tri_incl, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # [1, N] incl
+            nw = rank_row[0, N - 1]
+            counts.append(nw)
+            sel = ((jnp.transpose(rank_row) == (s_iota + 1.0))
+                   & (jnp.transpose(m_row) > 0.5)).astype(jnp.float32)
+            idx_row = jnp.sum(sel * n_iota_c, axis=0,
+                              keepdims=True)                 # [1, N]
+            idxb = jnp.broadcast_to(idx_row.astype(jnp.int32),
+                                    (C_INST, N))
+            g_w = jnp.take_along_axis(inst[wi], idxb, axis=1)
+            # dead tail slots gathered instance 0 — kill their mask
+            g_w = jnp.concatenate([
+                g_w[:I_MASK],
+                g_w[I_MASK:I_MASK + 1] * (s_iota < nw).astype(jnp.float32),
+            ], axis=0)
+            surv_rows.append(g_w)
+        surv = jnp.stack(surv_rows, axis=0)                  # [Wt,C_INST,N]
+        max_surv = counts[0]
+        for c in counts[1:]:
+            max_surv = jnp.maximum(max_surv, c)
+
+        best_s[:] = jnp.concatenate(
+            [jnp.full((Wt, 1, Pt), BIG),                     # t
+             jnp.zeros((Wt, 6, Pt))], axis=1)                # n3 alb3
+
+        def do_instance(i):
+            pos_i = tuple(surv[:, I_POS + c, i][:, None] for c in range(3))
+            rot_i = tuple(surv[:, I_ROT + c, i][:, None] for c in range(4))
+            scl_i = tuple(surv[:, I_SCALE + c, i][:, None] for c in range(3))
+            obj_i = surv[:, I_OBJ, i][:, None]          # [Wt, 1]
+            msk_i = surv[:, I_MASK, i][:, None] > 0.5
             # guard padded rows: identity quat so qrot math stays finite
             rot_i = (jnp.where(msk_i, rot_i[0], 1.0),) + rot_i[1:]
 
@@ -287,6 +409,8 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
             if is_mesh is not None:
                 t_i = jnp.where(is_mesh, t_msh, t_i)
             t_i = jnp.where(msk_i, t_i, BIG)
+            cur = best_s[:]
+            best_t = cur[:, 0]
             better = t_i < best_t
 
             # normal for THIS instance at its own t — tracked UNNORMALIZED
@@ -304,13 +428,27 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int,
 
             alb = tuple(_fold(obj_i, [T.albedo[o, c] for o in range(T.O)])
                         for c in range(3))
-            best_t = jnp.where(better, t_i, best_t)
-            best_n = tuple(jnp.where(better, a, cur)
-                           for a, cur in zip(n_i, best_n))
-            best_alb = tuple(jnp.where(better, a + jnp.zeros((Wt, Pt)), cur)
-                             for a, cur in zip(alb, best_alb))
+            upd = [jnp.where(better, t_i, best_t)]
+            upd.extend(jnp.where(better, a, cur[:, 1 + c])
+                       for c, a in enumerate(n_i))
+            upd.extend(jnp.where(better, a + jnp.zeros((Wt, Pt)),
+                                 cur[:, 4 + c])
+                       for c, a in enumerate(alb))
+            best_s[:] = jnp.stack(upd, axis=1)
+
+        # instance loop in pl.when groups: groups past the block's
+        # survivor count only cost the branch test
+        for g0 in range(0, N0, group):
+            @pl.when(jnp.float32(g0) < max_surv)
+            def _(g0=g0):
+                for i in range(g0, min(g0 + group, N0)):
+                    do_instance(i)
 
         # ---- shade (basic.comp Lambertian analog) ------------------------
+        bs = best_s[:]
+        best_t = bs[:, 0]
+        best_n = (bs[:, 1], bs[:, 2], bs[:, 3])
+        best_alb = (bs[:, 4], bs[:, 5], bs[:, 6])
         hit = best_t < BIG * 0.5
         inv_len = jax.lax.rsqrt(jnp.maximum(pk.dot3(best_n, best_n), EPS))
         best_n = pk.v3scale(best_n, inv_len)
@@ -340,13 +478,15 @@ def _pick_tiles(W: int, P: int, wt=None, pt=None):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tables", "light_dir", "ambient", "interpret", "wt", "pt"))
+    "tables", "light_dir", "ambient", "interpret", "wt", "pt", "n0",
+    "cull"))
 def _run(rays, inst, *, tables, light_dir, ambient, interpret,
-         wt=None, pt=None):
+         wt=None, pt=None, n0=None, cull=True):
     W, _, P = rays.shape
     N = inst.shape[2]
     Wt, Pt = _pick_tiles(W, P, wt, pt)
-    kernel = _make_kernel(tables, Wt, Pt, N, light_dir, ambient)
+    kernel = _make_kernel(tables, Wt, Pt, N, n0 or N, light_dir, ambient,
+                          cull=cull)
     return pl.pallas_call(
         kernel,
         grid=(W // Wt, P // Pt),
@@ -363,6 +503,7 @@ def _run(rays, inst, *, tables, light_dir, ambient, interpret,
         ],
         out_specs=pl.BlockSpec((Wt, C_OUT, Pt), lambda i, j: (i, 0, j),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((Wt, 7, Pt), jnp.float32)],
     )(rays, inst)
 
 
@@ -391,7 +532,10 @@ class PallasRenderKernel:
         W, P0, _ = ro.shape
         N0 = pos.shape[1]
         P = max(128, -(-P0 // 128) * 128)
-        N = max(8, -(-N0 // 8) * 8)
+        # instances pad to a full lane tile: the survivor compaction
+        # gathers instance channels with take_along_axis (128-lane tiles);
+        # the intersection loop still runs only ceil(N0/G) groups
+        N = max(128, -(-N0 // 128) * 128)
 
         def padP(x):
             return jnp.pad(x, ((0, 0), (0, 0), (0, P - P0)))
@@ -410,7 +554,9 @@ class PallasRenderKernel:
         ], axis=1))
         out = _run(rays, inst, tables=self.tables, light_dir=self.light,
                    ambient=self.ambient, interpret=self.interpret,
-                   wt=self.wt, pt=self.pt)[:, :, :P0]    # [W, C_OUT, P0]
+                   wt=self.wt, pt=self.pt, n0=N0,
+                   cull=os.environ.get("GEM_TPU_RENDER_CULL", "1") != "0",
+                   )[:, :, :P0]                          # [W, C_OUT, P0]
         rgb = jnp.stack([out[:, O_R], out[:, O_G], out[:, O_B]], axis=-1)
         hit = out[:, O_HIT] > 0.5
         depth = out[:, O_DEPTH]

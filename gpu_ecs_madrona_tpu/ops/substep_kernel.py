@@ -830,6 +830,17 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
         @pl.when(jnp.logical_not(blk_active))
         def _():
             out_ref[:] = passthrough()
+            if persist:
+                # fully-asleep block under persist: the broadphase/cache
+                # surface passes through unchanged too
+                mc0 = mc_ref[:]
+                pairs_ref[:] = mc0[:, :MC_ROWS]
+                aabb_ref[:] = packed_ref[:][:, F_ALO:F_AHI + 3]
+                lane128 = jax.lax.broadcasted_iota(
+                    jnp.int32, (Wt, 1, 128), 2)
+                cnt0 = jnp.sum(mc0[:, 2], axis=-1)[:, None, None]
+                bp_stats_ref[:] = jnp.where(lane128 == 0, cnt0, 0.0)
+                mc_out_ref[:] = mc0
 
     return kernel
 
@@ -1427,7 +1438,11 @@ class FusedSubstepKernel:
             n *= 2
         packed = _pad_lanes(packed, n0, n)
         if self.bp_degree:
-            assert active is None, "sleep + in-kernel broadphase unsupported"
+            # sleep composes with the in-kernel broadphase only through
+            # the persistent-manifold path (the frozen passthrough needs
+            # the cache surface to echo)
+            assert active is None or persist, \
+                "sleep + in-kernel broadphase requires persist_margin"
             K = max(128, -(-self.bp_capacity // 128) * 128)
             rows_args = (None, None, None)
         else:

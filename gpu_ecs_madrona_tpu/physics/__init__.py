@@ -1054,11 +1054,12 @@ class RigidBodyPhysicsSystem:
                     "'pallas' without joints (the broadphase lives inside "
                     f"the fused kernel; got {contact_mode!r}, "
                     f"joints={has_joints})")
-            if sleep_threshold > 0.0:
+            if sleep_threshold > 0.0 and not manifold_persist:
                 raise ValueError(
-                    "broadphase mode 'fused' does not compose with "
-                    "sleep_threshold yet (the sleep passthrough would "
-                    "skip the kernel's AABB/pair outputs)")
+                    "broadphase mode 'fused' composes with "
+                    "sleep_threshold only through manifold_persist "
+                    "(the sleep passthrough echoes the persistent "
+                    "cache's AABB/pair surface)")
 
         if contact_mode == "pallas" and not has_joints:
             # persistent-manifold stability predicate inputs (per-object

