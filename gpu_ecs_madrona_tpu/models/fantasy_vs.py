@@ -274,10 +274,18 @@ class FantasyVsWorld:
                 pos = ctx.column(arch, Position)  # [W, ne, 3]
                 hp = ctx.column(arch, Health)["hp"]
                 amask = ctx.row_mask(arch)
-                if cfg.scripted:
-                    # subtract-form d2: the binary's formulation (the
-                    # Gram-vs-subtract fp band is gated separately by the
-                    # serial oracle's borderline counter)
+                import os as _os
+                if cfg.scripted or _os.environ.get(
+                        "GEM_TPU_FVS_GRAM") != "1":
+                    # subtract-form d2 (DEFAULT).  The round-5 Gram-matmul
+                    # experiment (VERDICT r4 item #5's named lever)
+                    # MEASURED SLOWER: 1.82M vs 2.90M env-steps/s at 16K
+                    # worlds — a batched [nd,3]x[3,ne] contraction-3
+                    # matmul runs at ~1% MXU utilization and its dispatch
+                    # overhead exceeds the VPU subtract grid it replaces.
+                    # The Gram form stays behind GEM_TPU_FVS_GRAM=1 for
+                    # re-measurement on future hardware; scripted replay
+                    # always uses subtract (the binary's formulation).
                     d2 = jnp.sum(
                         (targets[:, :, None, :] - pos[:, None, :, :]) ** 2,
                         axis=-1)

@@ -464,8 +464,12 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int, N0: int,
     return kernel
 
 
-def _pick_tiles(W: int, P: int, wt=None, pt=None):
-    wt = int(wt or os.environ.get("GEM_TPU_RENDER_WT", 0)) or 8
+def _pick_tiles(W: int, P: int, wt=None, pt=None, mesh=False):
+    # triangle-mesh scenes keep ~T_used x instance-fold intermediates
+    # live per (world, pixel) — Wt=8 blows the 128M VMEM budget (measured
+    # 220M at 64^2 x 1024 worlds); Wt=2 fits with margin
+    wt = int(wt or os.environ.get("GEM_TPU_RENDER_WT", 0)) \
+        or (2 if mesh else 8)
     while wt > 1 and W % wt != 0:
         wt -= 1
     pt = int(pt or os.environ.get("GEM_TPU_RENDER_PT", 0)) or 512
@@ -484,7 +488,7 @@ def _run(rays, inst, *, tables, light_dir, ambient, interpret,
          wt=None, pt=None, n0=None, cull=True):
     W, _, P = rays.shape
     N = inst.shape[2]
-    Wt, Pt = _pick_tiles(W, P, wt, pt)
+    Wt, Pt = _pick_tiles(W, P, wt, pt, mesh=tables.T_used > 0)
     kernel = _make_kernel(tables, Wt, Pt, N, n0 or N, light_dir, ambient,
                           cull=cull)
     return pl.pallas_call(
