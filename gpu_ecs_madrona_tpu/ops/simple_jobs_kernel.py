@@ -258,7 +258,11 @@ def fused_simple_jobs_step(pos, rot, *, n0: int, K: int, degree_cap: int,
     rot_t = prep(rot, 4)
 
     import os as _os
-    wb = int(_os.environ.get("GEM_SJ_WB", "4"))
+    # world-block sweep (round 5, honest drains @ 1024 worlds): wb=8
+    # 588.3K > wb=4 557.1K > wb=2 508.7K env-steps/s — bigger blocks
+    # amortize the per-program constants now that the row-trimmed grids
+    # shrank the per-world VPU work
+    wb = int(_os.environ.get("GEM_SJ_WB", "8"))
     while W % wb != 0:
         wb -= 1
     kern = _make_kernel(wb, n, n0, Kp, degree_cap,

@@ -1193,7 +1193,14 @@ def _run_fused(packed, rows_i, rows_j, kvalid, scal, mc=None, *, tables,
     W, _, n = packed.shape
     if K is None:
         K = rows_i.shape[2]
-    Wt = _pick_wt(W, K, wt)
+    # K-slab chunked kernels keep only one 128-slot slab's pair state
+    # live at a time, so the live-set-pressure heuristic should not see
+    # the full capacity: measured at 8192x128 (K=384) Wt=4 gives 62.1K
+    # vs Wt=2's 60.7K and Wt=1's 55.4K
+    chunked = (K > 128 and not sleep and persist_margin == 0.0
+               and os.environ.get("GEM_TPU_SUBSTEP_CHUNKED", "1") != "0"
+               and not bp_degree)
+    Wt = _pick_wt(W, min(K, 256) if chunked else K, wt)
     kern = _make_fused_kernel(tables, Wt, n, K, relaxation, num_substeps,
                               speculative, refresh, sleep, bp_degree,
                               persist_margin)

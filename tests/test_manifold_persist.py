@@ -145,3 +145,73 @@ def test_persist_rebuilds_on_disturbance_and_recontacts():
     live_boxes = mask.copy()
     live_boxes[:, 0] = False
     assert (pos[live_boxes][:, 2] > 0.3).all(), pos[:, :, 2]
+
+
+def _world_sleep(num_worlds=2, margin=0.05, thr=0.02, frames=3):
+    loader = assets.PhysicsLoader()
+    loader.load_objects([assets.make_plane(),
+                         assets.make_box((0.5, 0.5, 0.5))])
+    mgr = loader.get_object_manager()
+
+    class Wld2:
+        @staticmethod
+        def register_types(r):
+            RigidBodyPhysicsSystem.register_types(
+                r, max_candidates=16, max_contacts=16, max_joints=0)
+            r.register_archetype(Body, capacity=4)
+            RigidBodyPhysicsSystem.register_persistent_manifolds(r, Body, 16)
+            r.export_column(Body, base.Position, 0)
+
+        @staticmethod
+        def init(ctx, init_data=None):
+            Wn = ctx.num_worlds
+            ctx.data = {"_": jnp.zeros((Wn, 1))}
+            RigidBodyPhysicsSystem.init(ctx, delta_t=1 / 60, num_substeps=4)
+            ctx.make_entities(Body, counts=3, max_new=3, values={
+                base.Position: jnp.broadcast_to(
+                    jnp.array([[0.0, 0, 0], [0.0, 0, 0.499],
+                               [2.5, 0.2, 1.2]]), (Wn, 3, 3)),
+                base.Rotation: jnp.broadcast_to(
+                    jnp.array([1.0, 0, 0, 0]), (Wn, 3, 4)),
+                base.Scale: jnp.ones((Wn, 3, 3)),
+                base.ObjectID: jnp.broadcast_to(
+                    jnp.array([0, 1, 1], jnp.int32), (Wn, 3)),
+                ResponseType: jnp.broadcast_to(
+                    jnp.array([RESPONSE_STATIC, RESPONSE_DYNAMIC,
+                               RESPONSE_DYNAMIC], jnp.int32), (Wn, 3)),
+            })
+
+        @staticmethod
+        def setup_tasks(builder):
+            bp = RigidBodyPhysicsSystem.setup_broadphase_tasks(
+                builder, [], Body, mgr, mode="fused", dense_degree=8)
+            ss = RigidBodyPhysicsSystem.setup_substep_tasks(
+                builder, [bp], 4, Body, mgr, contact_mode="pallas",
+                contact_refresh=True, manifold_persist=True,
+                persist_margin=margin, sleep_threshold=thr,
+                sleep_frames=frames)
+            RigidBodyPhysicsSystem.setup_cleanup_tasks(builder, [ss])
+
+    return TaskGraphExecutor(
+        Wld2, ExecutorConfig(num_worlds=num_worlds,
+                             max_entities_per_world=8,
+                             seed=0, donate=False))
+
+
+def test_sleep_composes_with_persist_and_freezes_bitexactly():
+    """sleep_threshold layered on manifold_persist (the settled-pile
+    bench's fastest tier): once quiescent, the world freezes BIT-EXACTLY
+    — positions identical across further steps — and the persistent
+    cache surface (anchors) stops changing too."""
+    from gpu_ecs_madrona_tpu.physics.components import SleepState
+    sim = _world_sleep()
+    sim.run(140)
+    sl = sim.mgr.get_singleton(sim.state, SleepState)
+    assert (np.asarray(sl["asleep"]) == 1).all(), np.asarray(sl)
+    p0 = np.asarray(sim.get_exported(0)[0]).copy()
+    apos0, _ = _anchors(sim)
+    sim.run(25)
+    p1 = np.asarray(sim.get_exported(0)[0])
+    apos1, _ = _anchors(sim)
+    np.testing.assert_array_equal(p0, p1)       # bit-exact freeze
+    np.testing.assert_array_equal(apos0, apos1)
