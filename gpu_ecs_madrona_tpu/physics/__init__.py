@@ -243,7 +243,12 @@ class RigidBodyPhysicsSystem:
         arch = body_archetype
         cap_n = builder.mgr.registry.archetypes[arch.name].capacity
         if mode == "auto":
-            mode = "dense" if cap_n <= 128 else "sap"
+            # crossover measured round 5 at 8192 worlds x 129 rows: the
+            # dense rank grid costs ~10 ms/step where SAP's windowed
+            # sort + two-stage compaction costs 36 ms (node_timeline;
+            # whole-step 79.8K vs 61.9K env-steps/s) — the [n, n] grid
+            # stays cheaper than sorting until well past 128 lanes
+            mode = "dense" if cap_n <= 192 else "sap"
         if mode not in ("dense", "sap", "fused"):
             raise ValueError(f"unknown broadphase mode {mode!r}")
         if mode == "fused":
