@@ -472,7 +472,13 @@ def _bounce_apex(contact_mode, drop_z=3.0, steps=90):
     return float(traj[low:].max()), traj
 
 
-@pytest.mark.parametrize("contact_mode", ["dense", "pairs", "pallas"])
+# the "pairs" param runs the same pair-major math as "pallas" (which stays
+# in the quick tier); it moves to the slow tier for quick-tier headroom
+# (measured ~20 s of the 8-min budget)
+@pytest.mark.parametrize("contact_mode", [
+    "dense",
+    pytest.param("pairs", marks=pytest.mark.slow),
+    "pallas"])
 def test_restitution_bounce(contact_mode):
     """A dropped ball must BOUNCE: reference applies e=0.3 above the
     2*|g|*h threshold (physics.cpp:842-845).  Fall height h0=2 (center 3,
