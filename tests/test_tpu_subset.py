@@ -133,3 +133,35 @@ def test_render_pallas_kernel_on_chip():
     assert rgb.shape[-1] == 4 and rgb.dtype == np.uint8
     assert (rgb[..., 3] > 0).any()          # something rendered
     assert np.isfinite(depth[depth < np.inf]).any()
+
+
+@requires_tpu
+def test_persist_sleep_pipeline_on_chip():
+    """Round-5 quasi-static skip tiers on the REAL chip: persistent
+    manifolds + layered sleep (in-kernel broadphase, pl.when block skips,
+    mc scratch/IO).  A settled single-layer grid must quiesce, engage the
+    skip (anchors stop changing), and freeze bit-exactly."""
+    from gpu_ecs_madrona_tpu.models import rigid_bench as rb
+    sim = rb.make_executor(rb.RigidBenchConfig(
+        num_worlds=16, num_bodies=16, contact_mode="pallas",
+        broadphase_mode="fused", contact_refresh=True,
+        manifold_persist=True, persist_margin=0.05,
+        sleep_threshold=0.02, sleep_frames=5,
+        body_mix="boxes", spawn="grid", seed=0), donate=False)
+    sim.run(150)
+    mpc = sim.mgr.registry.singletons["ManifoldPersist"]
+    mp0 = sim.mgr.get_singleton(sim.state, mpc)
+    apos0 = np.asarray(mp0["apos"]).copy()
+    p0 = np.asarray(sim.get_exported(0)[0]).copy()
+    from gpu_ecs_madrona_tpu.physics.components import SleepState
+    asleep = np.asarray(
+        sim.mgr.get_singleton(sim.state, SleepState)["asleep"])
+    assert asleep.mean() > 0.5, f"only {asleep.mean():.2f} asleep at t=150"
+    sim.run(20)
+    mp1 = sim.mgr.get_singleton(sim.state, mpc)
+    p1 = np.asarray(sim.get_exported(0)[0])
+    # asleep worlds froze bit-exactly; their anchors did not rebuild
+    frozen = asleep > 0
+    np.testing.assert_array_equal(p0[frozen], p1[frozen])
+    np.testing.assert_array_equal(apos0[frozen],
+                                  np.asarray(mp1["apos"])[frozen])
