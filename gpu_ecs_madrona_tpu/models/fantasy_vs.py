@@ -259,17 +259,9 @@ class FantasyVsWorld:
                                                  maxval=hi)
                 )(keys)  # [W, nd, 3]
 
-            # AoE damage to every Position+Health entity (both archetypes).
-            # d2 via the CENTERED Gram form |t-c|^2 + |p-c|^2 - 2 (t-c).(p-c)
-            # so the [W, nd, ne] grid is ONE exact-precision MXU matmul
-            # instead of O(nd*ne*3) VPU subtract-square work (the caster was
-            # 47% of the 16K-world step, 2.57 of 5.47 ms).  Centering keeps
-            # magnitudes <= |hi-lo| so the expansion's rounding stays ~2
-            # ulps of d2 (~2e-4 at these bounds) — the serial-oracle parity
-            # test verifies no hit decision sits within that band.
-            cen = 0.5 * (lo + hi)
-            tc = targets - cen                            # [W, nd, 3]
-            t2 = jnp.sum(tc * tc, axis=-1)                # [W, nd]
+            # AoE damage to every Position+Health entity (both archetypes)
+            # via the subtract-form d2 grid (see the branch below for the
+            # measured-slower Gram alternative behind GEM_TPU_FVS_GRAM=1).
             for arch in (Dragon, Knight):
                 pos = ctx.column(arch, Position)  # [W, ne, 3]
                 hp = ctx.column(arch, Health)["hp"]
@@ -290,6 +282,16 @@ class FantasyVsWorld:
                         (targets[:, :, None, :] - pos[:, None, :, :]) ** 2,
                         axis=-1)
                 else:
+                    # centered Gram form |t-c|^2 + |p-c|^2 - 2 (t-c).(p-c):
+                    # the [W, nd, ne] grid as one exact-precision MXU
+                    # matmul; centering keeps magnitudes <= |hi-lo| so the
+                    # expansion's rounding stays ~2 ulps of d2 (~2e-4 at
+                    # these bounds) — the serial-oracle parity test's
+                    # borderline counter verifies no hit decision sits in
+                    # that band
+                    cen = 0.5 * (lo + hi)
+                    tc = targets - cen                    # [W, nd, 3]
+                    t2 = jnp.sum(tc * tc, axis=-1)        # [W, nd]
                     pc = pos - cen
                     p2 = jnp.sum(pc * pc, axis=-1)        # [W, ne]
                     tp = jax.lax.dot_general(

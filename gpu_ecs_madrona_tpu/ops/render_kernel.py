@@ -229,8 +229,15 @@ def _make_kernel(tables: RenderTables, Wt: int, Pt: int, N: int, N0: int,
             cos_ad = (d[0] * ax[0] + d[1] * ax[1] + d[2] * ax[2]) / dist
             sin_b = jnp.clip(r_eff / dist, 0.0, 1.0)
             cos_b = jnp.sqrt(jnp.maximum(1.0 - sin_b * sin_b, 0.0))
-            # keep if angle(d, axis) <= cone_half_angle + asin(r/dist)
-            keep = (cos_ad >= cos_m * cos_b - sin_m * sin_b) \
+            # keep if angle(d, axis) <= cone_half_angle + asin(r/dist);
+            # the cosine comparison only encodes that containment while
+            # theta_m + beta <= pi — once the expanded cone wraps past a
+            # half-space (theta_m >= pi - beta, i.e. cos_m <= -cos_b,
+            # e.g. a tile spanning opposing views) it covers every
+            # direction and everything must be kept
+            wrapped = cos_m <= -cos_b
+            keep = wrapped \
+                | (cos_ad >= cos_m * cos_b - sin_m * sin_b) \
                 | (dist <= r_eff)
             if is_plane_l is not None:
                 keep = keep | is_plane_l

@@ -317,16 +317,8 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     gA = gather_i(dyn_pair, 10)
     gB = gather_j(dyn_pair, 10)
 
-    def side1(g, S):
-        return {
-            "pos": _c3(g, 0),
-            "rot": (jnp.where(kvalid, g[:, 3], 1.0),
-                    g[:, 4], g[:, 5], g[:, 6]),
-            "prev_pos": _c3(g, 7),
-            "im": S["im"], "ii": S["ii"], "mu": S["mu_s"],
-        }
-
-    PA, PB = side1(gA, SA), side1(gB, SB)
+    PA = _side1(gA, SA, kvalid)
+    PB = _side1(gB, SB, kvalid)
 
     # ---- narrowphase + positional pass (shared pair-major math) -------
     if cache_resolver is not None:
@@ -358,20 +350,8 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
         acc = segsum(packA, packB)                           # [Wt, 9, n]
 
     # ---- apply positional + recover velocities (per-body, in VMEM) ----
-    p2 = pk.v3add(pos_b, _c3(acc, 0))
-    dw_acc = _c3(acc, 3)
-    zero_n = jnp.zeros_like(dw_acc[0])
-    dq = pk.qmul((zero_n,) + dw_acc, rot_b)
-    r2 = pk.qnormalize(tuple(q + 0.5 * d for q, d in zip(rot_b, dq)))
-
-    # set_velocities (physics.cpp:673-714), bias excluded
-    bias = _c3(acc, 6)
-    v2 = tuple((p - pp - b) / h1
-               for p, pp, b in zip(p2, prev_pos_b, bias))
-    dqv = pk.qmul(r2, (prev_rot_b[0], -prev_rot_b[1],
-                       -prev_rot_b[2], -prev_rot_b[3]))
-    w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * c / h1, -2.0 * c / h1)
-               for c in dqv[1:4])
+    p2, r2, v2, w2 = _apply_positional_recover(
+        pos_b, rot_b, prev_pos_b, prev_rot_b, acc, h1)
 
     # ---- velocity pass at post-solve poses -----------------------------
     bounce = tables.any_restitution
@@ -382,21 +362,8 @@ def _substep_core(tables, relaxation, kvalid, h1, rest1,
     gA2 = gather_i(packed2, C2)
     gB2 = gather_j(packed2, C2)
 
-    def side2(g2, S):
-        side = {
-            "pos": _c3(g2, 0),
-            "rot": (jnp.where(kvalid, g2[:, 3], 1.0),
-                    g2[:, 4], g2[:, 5], g2[:, 6]),
-            "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
-            "v": _c3(g2, 7), "w": _c3(g2, 10),
-        }
-        if bounce:
-            side["pv"] = _c3(g2, 13)
-            side["pw"] = _c3(g2, 16)
-            side["rest"] = tables.scalar(S["obj"], "restitution")
-        return side
-
-    vpA, vpB = pk.velocity_pass(side2(gA2, SA), side2(gB2, SB),
+    vpA, vpB = pk.velocity_pass(_side2(gA2, SA, kvalid, bounce, tables),
+                                _side2(gB2, SB, kvalid, bounce, tables),
                                 contacts, lam, h1, rest1,
                                 speculative=speculative)
     if "noseg" in _ablate():
@@ -416,6 +383,58 @@ def _unpack_static(g, kvalid):
     return {"im": g[:, 0], "ii": _c3(g, 1),
             "mu_s": g[:, 4], "mu_d": g[:, 5],
             "obj": jnp.round(g[:, 6]).astype(jnp.int32)}
+
+
+def _side1(g, S, kvalid):
+    """Positional-pass pair side from a 10-channel pose gather (pos3
+    rot4 prev_pos3) + static side S.  Shared by _substep_core and the
+    chunked kernel — one source of truth for the gather layout."""
+    return {
+        "pos": _c3(g, 0),
+        "rot": (jnp.where(kvalid, g[:, 3], 1.0), g[:, 4], g[:, 5], g[:, 6]),
+        "prev_pos": _c3(g, 7),
+        "im": S["im"], "ii": S["ii"], "mu": S["mu_s"],
+    }
+
+
+def _side2(g2, S, kvalid, bounce, tables):
+    """Velocity-pass pair side from a 13(+6 bounce)-channel gather
+    (p2 r2 v2 w2 [+ post-integrate v w])."""
+    side = {
+        "pos": _c3(g2, 0),
+        "rot": (jnp.where(kvalid, g2[:, 3], 1.0), g2[:, 4], g2[:, 5],
+                g2[:, 6]),
+        "im": S["im"], "ii": S["ii"], "mu": S["mu_d"],
+        "v": _c3(g2, 7), "w": _c3(g2, 10),
+    }
+    if bounce:
+        side["pv"] = _c3(g2, 13)
+        side["pw"] = _c3(g2, 16)
+        side["rest"] = tables.scalar(S["obj"], "restitution")
+    return side
+
+
+def _apply_positional_recover(pos_i, rot_i, prev_pos, prev_rot, acc, h1):
+    """Apply the positional segment-sum acc [.., 9, n] to the
+    post-integrate pose and recover substep velocities
+    (set_velocities, reference physics.cpp:673-714; bias excluded).
+    Shared by _substep_core and the chunked kernel so the quaternion
+    update / sign-selected angular recovery can never diverge between
+    the two paths (they are gated bit-identical by
+    test_chunked_kernel_matches_unchunked)."""
+    p2 = pk.v3add(pos_i, _c3(acc, 0))
+    dw_acc = _c3(acc, 3)
+    zero_n = jnp.zeros_like(dw_acc[0])
+    dq = pk.qmul((zero_n,) + dw_acc, rot_i)
+    r2 = pk.qnormalize(tuple(q + 0.5 * d for q, d in zip(rot_i, dq)))
+    bias = _c3(acc, 6)
+    v2 = tuple((p - pp - b) / h1
+               for p, pp, b in zip(p2, prev_pos, bias))
+    dqv = pk.qmul(r2, (prev_rot[0], -prev_rot[1],
+                       -prev_rot[2], -prev_rot[3]))
+    w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * c / h1, -2.0 * c / h1)
+               for c in dqv[1:4])
+    return p2, r2, v2, w2
 
 
 def _integrate(pos, rot, v, w, im, ii, extf, extt, dyn, h1, g):
@@ -681,6 +700,11 @@ def _make_fused_kernel(tables: pk.ObjTables, Wt: int, n: int, K: int,
                 lane128 = jax.lax.broadcasted_iota(
                     jnp.int32, (Wt, 1, 128), 2)
                 cnt = jnp.sum(mc[:, 2], axis=-1)[:, None, None]
+                # lane1 (dropped) = 0 is EXACT for stable worlds: the
+                # host only marks a cache valid when its build had zero
+                # degree-cap drops (physics/__init__.py), so a dirty
+                # build rebuilds every step and keeps its drops
+                # accounted there
                 cached_stats = jnp.where(lane128 == 0, cnt, 0.0)
                 dtv = scal_ref[:, 0, 6:7]
 
@@ -874,7 +898,10 @@ def _make_fused_kernel_chunked(tables: pk.ObjTables, Wt: int, n: int,
     CL = 25
 
     def kernel(packed_ref, rows_i_ref, rows_j_ref, kvalid_ref, scal_ref,
-               out_ref, st_s, acc_s, accv_s, cl_s, mcc_s):
+               out_ref, st_s, acc_s, accv_s, cl_s, mcc_s=None):
+        # mcc_s (the cross-substep refresh cache) is only allocated when
+        # refresh is on — dead VMEM would otherwise shrink the live-set
+        # headroom the chunked path exists to create
         packed = packed_ref[:]                      # [Wt, FC_IN, n]
         h1 = scal_ref[:, 0, 0:1]
         rest1 = scal_ref[:, 0, 1:2]
@@ -1003,16 +1030,8 @@ def _make_fused_kernel_chunked(tables: pk.ObjTables, Wt: int, n: int,
                     SB = _unpack_static(stg[:, FC_STATIC:2 * FC_STATIC],
                                         kv_c)
 
-                    def side1(gg, S):
-                        return {
-                            "pos": _c3(gg, 0),
-                            "rot": (jnp.where(kv_c, gg[:, 3], 1.0),
-                                    gg[:, 4], gg[:, 5], gg[:, 6]),
-                            "prev_pos": _c3(gg, 7),
-                            "im": S["im"], "ii": S["ii"], "mu": S["mu_s"],
-                        }
-
-                    PA, PB = side1(gA, SA), side1(gB, SB)
+                    PA = _side1(gA, SA, kv_c)
+                    PB = _side1(gB, SB, kv_c)
                     if refresh and step_i > 0:
                         contacts = pk.refresh_contacts(
                             _parse_cache(mcc_s[:, :, sl]), PA, PB)
@@ -1042,20 +1061,8 @@ def _make_fused_kernel_chunked(tables: pk.ObjTables, Wt: int, n: int,
                     cl_s[:, :, sl] = jnp.stack(cl, axis=1)
 
             acc = acc_s[:]
-            p2 = pk.v3add(pos_i, _c3(acc, 0))
-            dw_acc = _c3(acc, 3)
-            zero_n = jnp.zeros_like(dw_acc[0])
-            dq = pk.qmul((zero_n,) + dw_acc, rot_i)
-            r2 = pk.qnormalize(tuple(q + 0.5 * d
-                                     for q, d in zip(rot_i, dq)))
-            bias = _c3(acc, 6)
-            v2 = tuple((p - pp - b) / h1
-                       for p, pp, b in zip(p2, prev_pos, bias))
-            dqv = pk.qmul(r2, (prev_rot[0], -prev_rot[1],
-                               -prev_rot[2], -prev_rot[3]))
-            w2 = tuple(jnp.where(dqv[0] >= 0, 2.0 * cq / h1,
-                                 -2.0 * cq / h1)
-                       for cq in dqv[1:4])
+            p2, r2, v2, w2 = _apply_positional_recover(
+                pos_i, rot_i, prev_pos, prev_rot, acc, h1)
 
             # ---- velocity phase, slab loop -----------------------------
             accv_s[:] = jnp.zeros((Wt, 6, n), jnp.float32)
@@ -1091,25 +1098,11 @@ def _make_fused_kernel_chunked(tables: pk.ObjTables, Wt: int, n: int,
                     lam = jnp.stack([clg[:, 21 + p] for p in range(4)],
                                     axis=1)
 
-                    def side2(g2, S):
-                        side = {
-                            "pos": _c3(g2, 0),
-                            "rot": (jnp.where(kv_c, g2[:, 3], 1.0),
-                                    g2[:, 4], g2[:, 5], g2[:, 6]),
-                            "im": S["im"], "ii": S["ii"],
-                            "mu": S["mu_d"],
-                            "v": _c3(g2, 7), "w": _c3(g2, 10),
-                        }
-                        if bounce:
-                            side["pv"] = _c3(g2, 13)
-                            side["pw"] = _c3(g2, 16)
-                            side["rest"] = tables.scalar(S["obj"],
-                                                         "restitution")
-                        return side
-
                     vpA, vpB = pk.velocity_pass(
-                        side2(gA2, SA), side2(gB2, SB), contacts, lam,
-                        h1, rest1, speculative=speculative)
+                        _side2(gA2, SA, kv_c, bounce, tables),
+                        _side2(gB2, SB, kv_c, bounce, tables),
+                        contacts, lam, h1, rest1,
+                        speculative=speculative)
                     accv_s[:] = accv_s[:] + segsum(vpA, vpB)
 
             accv = accv_s[:]
@@ -1257,8 +1250,8 @@ def _run_fused(packed, rows_i, rows_j, kvalid, scal, mc=None, *, tables,
                     pltpu.VMEM((Wt, 9, n), jnp.float32),
                     pltpu.VMEM((Wt, 6, n), jnp.float32),
                     pltpu.VMEM((Wt, 25, K), jnp.float32),
-                    pltpu.VMEM((Wt, MC_CACHE, K), jnp.float32),
-                ],
+                ] + ([pltpu.VMEM((Wt, MC_CACHE, K), jnp.float32)]
+                     if refresh else []),
                 **specs,
             )(packed, rows_i, rows_j, kvalid, scal)
         return pl.pallas_call(

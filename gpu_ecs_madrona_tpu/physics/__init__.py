@@ -1129,22 +1129,40 @@ class RigidBodyPhysicsSystem:
                 persist_kwargs = {}
                 if manifold_persist:
                     # stability predicate: every live dynamic body's
-                    # surface has moved less than persist_margin/2 since
-                    # the world's manifold cache was built.  Surface
-                    # movement bound: |dpos| + pi*|dq|*r (the quat chord
-                    # |dq| = 2 sin(theta/4) bounds the rotation angle by
-                    # theta <= pi*|dq|; a point at radius r moves at most
-                    # theta*r) — conservative for any rotation.
+                    # surface (a) has moved less than persist_margin/2
+                    # since the world's manifold cache was built AND
+                    # (b) cannot move past it by the END of this step.
+                    # Surface movement bound: |dpos| + pi*|dq|*r (the
+                    # quat chord |dq| = 2 sin(theta/4) bounds the
+                    # rotation angle by theta <= pi*|dq|; a point at
+                    # radius r moves at most theta*r) — conservative for
+                    # any rotation.  Term (b) adds the current step's
+                    # velocity carry (|v| + |w|*r) * dt: without it, an
+                    # impulsively kicked stable world (RL inject, ctx
+                    # write) would skip broadphase for one step and
+                    # tunnel with stale candidates — the predicate is
+                    # evaluated on PRE-step poses.  Nonzero external
+                    # force/torque also breaks stability (its velocity
+                    # change lands within the step).
                     mpcomp = ctx.mgr.registry.singletons["ManifoldPersist"]
                     mp = ctx.singleton(mpcomp)
                     aabb_cur = ctx.column(arch, CollisionAABB)
                     scale_c = ctx.column(arch, base.Scale)
+                    ef_c = ctx.column(arch, ExternalForce)
+                    et_c = ctx.column(arch, ExternalTorque)
+                    dt_c = phys["delta_t"][:, None]
                     disp = jnp.linalg.norm(pos - mp["apos"], axis=-1)
                     dq = jnp.linalg.norm(rot - mp["arot"], axis=-1)
                     rad = _r_tab[obj] * jnp.max(scale_c, axis=-1)
-                    move = disp + jnp.pi * dq * rad
+                    carry = (jnp.linalg.norm(vel["linear"], axis=-1)
+                             + jnp.linalg.norm(vel["angular"], axis=-1)
+                             * rad) * dt_c
+                    move = disp + jnp.pi * dq * rad + carry
+                    forced = dyn & (jnp.any(ef_c != 0.0, -1)
+                                    | jnp.any(et_c != 0.0, -1))
                     moving = dyn & (move >= 0.5 * persist_margin)
-                    stable = (mp["valid"] > 0) & ~jnp.any(moving, axis=1)
+                    stable = (mp["valid"] > 0) \
+                        & ~jnp.any(moving | forced, axis=1)
                     persist_kwargs = {
                         "mcache": mp["mc"], "stable": stable,
                         "aabb_lo": aabb_cur["lo"],
@@ -1163,14 +1181,28 @@ class RigidBodyPhysicsSystem:
                     restitution_threshold=phys["restitution_threshold"],
                     active=active, **bp_kwargs, **persist_kwargs)
                 if manifold_persist:
-                    # rebuild worlds re-anchor at this step's PRE-step
-                    # poses (the poses the inflated build AABBs saw)
-                    keep3 = stable[:, None, None]
+                    # Re-anchor ONLY worlds whose cache the kernel
+                    # actually rebuilt: unstable worlds in AWAKE blocks.
+                    # Worlds in fully-asleep blocks pass their mc through
+                    # unchanged — re-anchoring them (e.g. after an
+                    # external teleport while sleeping) would mark a
+                    # STALE cache as freshly built.  A rebuild whose
+                    # degree cap dropped pairs leaves valid=0: an
+                    # incomplete candidate set must never be reused, and
+                    # rebuilding every step keeps its drops accounted in
+                    # the overflow counter per step.
+                    awake = (jnp.ones_like(stable) if active is None
+                             else active > 0.5)
+                    rebuilt = (~stable) & awake
+                    keep3 = ~rebuilt[:, None, None]
                     ctx.set_singleton(mpcomp, {
                         "mc": out["mcache"],
                         "apos": jnp.where(keep3, mp["apos"], pos),
                         "arot": jnp.where(keep3, mp["arot"], rot),
-                        "valid": jnp.ones_like(mp["valid"])})
+                        "valid": jnp.where(
+                            rebuilt,
+                            (out["bp_dropped"] == 0).astype(jnp.int32),
+                            mp["valid"])})
                 if fused_bp is not None:
                     # observable broadphase surface from kernel outputs:
                     # AABB/LeafID columns + candidate temporaries (DCE'd

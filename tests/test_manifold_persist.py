@@ -134,7 +134,15 @@ def test_persist_rebuilds_on_disturbance_and_recontacts():
         "angular": vel["angular"],
     }
     sim._state = sim.mgr.set_column(sim.state, Body, Velocity, kicked)
-    sim.run(90)
+    # the velocity-carry term must break stability THE SAME step as the
+    # kick (round-5 review: a predicate on pre-step poses alone would
+    # reuse stale candidates for one step and let the kicked body travel
+    # v*dt unchecked — the rebuild may not arrive a step late)
+    sim.run(1)
+    apos_kick, _ = _anchors(sim)
+    assert not np.array_equal(apos0, apos_kick), \
+        "kicked world did not rebuild on the kick step"
+    sim.run(89)
     apos1, _ = _anchors(sim)
     pos, mask = sim.get_exported(0)
     pos, mask = np.asarray(pos), np.asarray(mask)

@@ -182,13 +182,13 @@ def _fvs_oracle_tick(st, rng, fvs, jr):
             d2 = np.sum((targets[i] - p) ** 2, axis=-1)
             hit = m & (d2 <= fvs.CAST_RADIUS * fvs.CAST_RADIUS)
             st[kind + "_hp"][hit] -= np.float32(fvs.CAST_DAMAGE)
-            # principled-tolerance bookkeeping (round-5): the engine
-            # computes d2 via the centered Gram form (one exact-precision
-            # MXU matmul), which reassociates fp vs this subtract form by
-            # ~2 ulps of d2.  A hit decision can only flip when d2 sits
-            # within that band of the radius; count such borderline
-            # events so the test can assert the seeded run has none and
-            # keep gating hp/mask EXACTLY.
+            # principled-tolerance bookkeeping (round-5): the engine's
+            # opt-in Gram-form d2 (GEM_TPU_FVS_GRAM=1; the default is
+            # this same subtract form) reassociates fp by ~2 ulps of
+            # d2.  A hit decision can only flip when d2 sits within
+            # that band of the radius; count such borderline events so
+            # the test can assert the seeded run has none and keep
+            # gating hp/mask EXACTLY under either formulation.
             st["borderline"] = st.get("borderline", 0) + int(np.sum(
                 m & (np.abs(d2 - fvs.CAST_RADIUS * fvs.CAST_RADIUS)
                      < 1e-3)))
